@@ -1,0 +1,127 @@
+"""Spark ↔ oracle exact-match parity for the rollup engine (the correctness gate:
+BASELINE 'rolled-up-point exact-match rate = 100% vs single-node oracle').
+
+Exactness is EXACT equality — ints bit-for-bit, floats bit-for-bit (shared
+kernels + pinned accumulation order), the analog of the reference's
+save/reload determinism (test/test_keras.py:84-91) but stricter (== not allclose).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsrollup import TIER_FACTOR
+from tsrollup.oracle import ROLLUP_COLUMNS, rollup_table
+from tsrollup.rollup import (
+    derive_columns, reaggregate_tier, rollup_grouped, rollup_sequences,
+    salted_repartition,
+)
+
+KEY = ["tier", "doc_id", "window_start"]
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(KEY).reset_index(drop=True)[ROLLUP_COLUMNS]
+
+
+def assert_exact_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    a, b = _sorted(spark_pdf), _sorted(oracle_pdf)
+    assert len(a) == len(b), f"row count {len(a)} != {len(b)}"
+    for c in ROLLUP_COLUMNS:
+        if c == "band_energy":
+            av = np.stack([np.asarray(v) for v in a[c]])
+            bv = np.stack([np.asarray(v) for v in b[c]])
+            np.testing.assert_array_equal(av, bv, err_msg=c)
+        else:
+            np.testing.assert_array_equal(a[c].values, b[c].values, err_msg=c)
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark, sequences_path):
+    return spark.read.parquet(sequences_path)
+
+
+@pytest.fixture(scope="module")
+def oracle_out(sequences_path):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(sequences_path).to_pylist()
+    return rollup_table(tbl)
+
+
+def test_rollup_exact_match_all_tiers(spark, seq_df, oracle_out):
+    got = rollup_sequences(seq_df).toPandas()
+    assert_exact_match(got, oracle_out)
+    # every tier present
+    assert set(got["tier"].unique()) == set(TIER_FACTOR)
+
+
+def test_rollup_salted_same_result(spark, seq_df, oracle_out):
+    # repartitioning (skew handling) must not change a single bit
+    got = rollup_sequences(salted_repartition(seq_df, buckets=16)).toPandas()
+    assert_exact_match(got, oracle_out)
+
+
+def test_rollup_grouped_chunked_docs(spark, seq_df, oracle_out):
+    # split every doc's tokens into chunks of ≤200 → grouped path must
+    # reproduce the unchunked result exactly
+    from pyspark.sql import functions as F
+
+    chunked = (
+        seq_df
+        .select(
+            "doc_id", "source",
+            F.posexplode(
+                # slice tokens into chunk arrays of 200
+                F.transform(
+                    F.sequence(F.lit(0), F.floor((F.size("tokens") - 1) / 200).cast("int")),
+                    lambda i: F.struct(
+                        F.slice("tokens", i * 200 + 1, 200).alias("tokens"),
+                        F.slice("gap_mask", i * 200 + 1, 200).alias("gap_mask"),
+                    ),
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+        .select("doc_id", "source", "chunk_id",
+                F.col("chunk.tokens").alias("tokens"),
+                F.col("chunk.gap_mask").alias("gap_mask"))
+    )
+    got = rollup_grouped(chunked).toPandas()
+    assert_exact_match(got, oracle_out)
+
+
+def test_maintenance_path_matches_one_pass(spark, seq_df):
+    # continuous aggregate: 1h from STORED 1m, and 1d from STORED 1h, via pure
+    # DataFrame expressions — must bit-match the in-pass tier chain
+    full = rollup_sequences(seq_df).cache()
+    one_pass_h = full.filter("tier = '1h'").toPandas()
+    one_pass_d = full.filter("tier = '1d'").toPandas()
+    stored_1m = full.filter("tier = '1m'")
+    maint_h_df = reaggregate_tier(stored_1m, "1h", 60)
+    maint_h = maint_h_df.toPandas()
+    assert_exact_match(maint_h, one_pass_h)
+    maint_d = reaggregate_tier(maint_h_df, "1d", 1440).toPandas()
+    assert_exact_match(maint_d, one_pass_d)
+    full.unpersist()
+
+
+def test_gap_free_docs_unaffected_by_mask(spark, seq_df, oracle_out):
+    # docs with no gaps must be byte-identical whether gap_mask is supplied
+    # or the column is absent (FIXTURES.md F1 requirement)
+    from pyspark.sql import functions as F
+
+    no_gaps = seq_df.filter(~F.array_contains("gap_mask", True))
+    with_mask = rollup_sequences(no_gaps).toPandas()
+    without_mask = rollup_sequences(no_gaps.drop("gap_mask")).toPandas()
+    assert_exact_match(with_mask, without_mask)
+
+
+def test_rollup_row_counts(seq_df, oracle_out):
+    # shape golden: one row per (tier, doc, window); base windows = ceil(n/64)
+    import math
+
+    pdf = seq_df.select("doc_id", "n_tok").toPandas()
+    exp_1m = int(sum(math.ceil(n / 64) for n in pdf["n_tok"]))
+    assert (oracle_out["tier"] == "1m").sum() == exp_1m

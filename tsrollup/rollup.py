@@ -1,0 +1,206 @@
+"""The rollup engine: gap-fill → base-tier windowed features → tier re-agg.
+
+Three execution paths, all producing bit-identical rolled-up points:
+
+1. ``rollup_sequences`` — the scale path. Each input row already holds one whole
+   document's token array, so base-tier windowing is embarrassingly parallel:
+   ``mapInPandas`` (Arrow-batched) with ZERO shuffle. All retention tiers are
+   computed in the same single pass per document (operator pipelining, SURVEY §4),
+   so a 100 TB scan is read exactly once and never exchanged.
+
+2. ``rollup_grouped`` — for documents chunked across rows (long sequences).
+   ``groupBy(doc_id).applyInPandas`` re-assembles chunks in order, then runs the
+   identical kernels. This is the only path that shuffles, and only chunked docs
+   need it.
+
+3. ``reaggregate_tier`` — the continuous-aggregate maintenance path: computes a
+   parent tier from a STORED child tier using pure DataFrame expressions (never
+   re-reading raw tokens) — the analog of the reference's frozen-subgraph reuse
+   (``arrythmia_experiment.py:191-193``). Integer partials re-aggregate in any
+   order (exact); float partials use a window_start-sorted sequential fold so
+   the result is bit-identical to the kernel's ``np.add.reduceat``.
+
+Skew: heavy ``source`` partitions are balanced by ``salted_repartition`` on
+``(source, pmod(xxhash64(doc_id), B))`` before the map (north_rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import BASE_WINDOW, N_BANDS, TIER_FACTOR
+from .kernels import base_window_partials, derive_stats, gap_fill, tier_chain
+
+ROLLUP_SCHEMA = (
+    "doc_id string, source string, tier string, window_start long, "
+    "count long, sum long, sumsq long, min int, max int, "
+    "mean double, var double, "
+    "spec_energy double, spec_mass double, spec_centroid double, "
+    "band_energy array<double>"
+)
+
+
+def _doc_rollup_frames(doc_id: str, source: str, tokens: np.ndarray,
+                       mask: np.ndarray | None, window: int,
+                       tiers: dict[str, int]) -> list[pd.DataFrame]:
+    filled = gap_fill(np.asarray(tokens, dtype=np.int32), mask)
+    base = base_window_partials(filled, window)
+    chain = tier_chain(base, tiers)
+    frames = []
+    for tier, p in chain.items():
+        d = derive_stats(p)
+        nw = p["count"].shape[0]
+        if nw == 0:  # empty doc → no rolled-up points at any tier
+            continue
+        frames.append(pd.DataFrame({
+            "doc_id": np.repeat(doc_id, nw),
+            "source": np.repeat(source, nw),
+            "tier": np.repeat(tier, nw),
+            "window_start": p["window_start"],
+            "count": p["count"],
+            "sum": p["sum"],
+            "sumsq": p["sumsq"],
+            "min": p["min"],
+            "max": p["max"],
+            "mean": d["mean"],
+            "var": d["var"],
+            "spec_energy": p["spec_energy"],
+            "spec_mass": p["spec_mass"],
+            "spec_centroid": d["spec_centroid"],
+            "band_energy": list(p["band_energy"]),
+        }))
+    return frames
+
+
+def rollup_sequences(df: DataFrame, window: int = BASE_WINDOW,
+                     tiers: dict[str, int] = TIER_FACTOR) -> DataFrame:
+    """Zero-shuffle rollup of a doc-per-row sequences table.
+
+    Input columns: doc_id, tokens, source[, gap_mask]. Only those are read
+    (column pruning reaches the parquet scan — verify with .explain()).
+    """
+    has_mask = "gap_mask" in df.columns
+    cols = ["doc_id", "tokens", "source"] + (["gap_mask"] if has_mask else [])
+    pruned = df.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames: list[pd.DataFrame] = []
+            masks = pdf["gap_mask"].values if has_mask else None
+            docs = pdf["doc_id"].values
+            srcs = pdf["source"].values
+            toks = pdf["tokens"].values
+            for i in range(len(pdf)):
+                m = None
+                if masks is not None and masks[i] is not None:
+                    m = np.asarray(masks[i], dtype=bool)
+                frames.extend(_doc_rollup_frames(
+                    docs[i], srcs[i], np.asarray(toks[i]), m, window, tiers))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return pruned.mapInPandas(run, ROLLUP_SCHEMA)
+
+
+def rollup_grouped(df: DataFrame, window: int = BASE_WINDOW,
+                   tiers: dict[str, int] = TIER_FACTOR) -> DataFrame:
+    """Rollup for chunked documents: rows are (doc_id, chunk_id, tokens, source
+    [, gap_mask]); chunks of one doc are concatenated in chunk_id order inside a
+    grouped Arrow UDF (the one shuffle this engine ever does), then the shared
+    kernels run as usual — cf. the reference's grouped forward pass (SURVEY §3.2).
+    """
+    has_mask = "gap_mask" in df.columns
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_id")
+        tokens = np.concatenate([np.asarray(t, dtype=np.int32) for t in pdf["tokens"]])
+        mask = None
+        if has_mask and pdf["gap_mask"].iloc[0] is not None:
+            mask = np.concatenate([np.asarray(m, dtype=bool) for m in pdf["gap_mask"]])
+        frames = _doc_rollup_frames(
+            key[0], pdf["source"].iloc[0], tokens, mask, window, tiers)
+        return pd.concat(frames, ignore_index=True)
+
+    cols = ["doc_id", "chunk_id", "tokens", "source"] + (["gap_mask"] if has_mask else [])
+    return df.select(*cols).groupBy("doc_id").applyInPandas(run, ROLLUP_SCHEMA)
+
+
+def salted_repartition(df: DataFrame, buckets: int = 64,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Balance Zipf-skewed sources: repartition on (source, hash-bucket of doc_id)
+    so one heavy source spreads over ``buckets`` tasks (north_rule skew handling)."""
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).alias("_salt")
+    if num_partitions:
+        return df.repartition(num_partitions, F.col("source"), salt)
+    return df.repartition(F.col("source"), salt)
+
+
+def reaggregate_tier(child: DataFrame, parent_tier: str, parent_factor: int,
+                     window: int = BASE_WINDOW) -> DataFrame:
+    """Continuous aggregate: parent tier from a stored child tier, pure DataFrame.
+
+    Never touches raw tokens. Integer partials (count/sum/sumsq/min/max) use
+    native partial aggregation (exact in any order). Float partials
+    (spec_energy/spec_mass/band_energy) fold sequentially in window_start order
+    via sort_array(collect_list(...)) + aggregate(), bit-matching the kernel's
+    np.add.reduceat left-to-right accumulation.
+    """
+    span = window * parent_factor
+    grouped = (
+        child
+        .withColumn("_pw", (F.col("window_start") / F.lit(span)).cast("long"))
+        .groupBy("doc_id", "source", "_pw")
+        .agg(
+            F.min("window_start").alias("window_start"),
+            F.sum("count").alias("count"),
+            F.sum("sum").alias("sum"),
+            F.sum("sumsq").alias("sumsq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sort_array(F.collect_list(F.struct(
+                F.col("window_start").alias("ws"),
+                F.col("spec_energy").alias("se"),
+                F.col("spec_mass").alias("sm"),
+                F.col("band_energy").alias("be"),
+            ))).alias("_parts"),
+        )
+    )
+    zero_bands = F.array(*[F.lit(0.0) for _ in range(N_BANDS)])
+    folded = grouped.select(
+        "doc_id", "source",
+        F.lit(parent_tier).alias("tier"),
+        "window_start", "count", "sum", "sumsq", "min", "max",
+        F.aggregate("_parts", F.lit(0.0), lambda acc, p: acc + p["se"])
+         .alias("spec_energy"),
+        F.aggregate("_parts", F.lit(0.0), lambda acc, p: acc + p["sm"])
+         .alias("spec_mass"),
+        F.aggregate(
+            "_parts", zero_bands,
+            lambda acc, p: F.zip_with(acc, p["be"], lambda a, b: a + b),
+        ).alias("band_energy"),
+    )
+    return derive_columns(folded)
+
+
+def derive_columns(partials: DataFrame) -> DataFrame:
+    """Derived mean/var/spec_centroid as Spark expressions, in the SAME pinned
+    float op order as kernels.derive_stats (IEEE-deterministic either way)."""
+    cnt = F.col("count").cast("double")
+    s = F.col("sum").cast("double")
+    sq = F.col("sumsq").cast("double")
+    return partials.select(
+        "doc_id", "source", "tier", "window_start",
+        "count", "sum", "sumsq", "min", "max",
+        (s / cnt).alias("mean"),
+        (sq / cnt - (s / cnt) * (s / cnt)).alias("var"),
+        "spec_energy", "spec_mass",
+        F.when(F.col("spec_energy") > 0.0,
+               F.col("spec_mass") / F.col("spec_energy"))
+         .otherwise(F.lit(0.0)).alias("spec_centroid"),
+        "band_energy",
+    )
