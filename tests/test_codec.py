@@ -1,0 +1,107 @@
+"""Codec round-trip tests (FIXTURES.md F5): decode(encode(x)) == x bit-exact,
+the analog of the reference's save/reload determinism (test_keras.py:84-91).
+Hypothesis property tests cover the long tail of bit patterns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsrollup.codec import dod_decode, dod_encode, gorilla_decode, gorilla_encode
+
+
+def rt_f(x):
+    x = np.asarray(x, dtype=np.float64)
+    out = gorilla_decode(gorilla_encode(x))
+    # bit-exact comparison (NaN payloads, ±0.0 preserved)
+    np.testing.assert_array_equal(out.view(np.uint64), x.view(np.uint64))
+    return gorilla_encode(x)
+
+
+def rt_i(x):
+    x = np.asarray(x, dtype=np.int64)
+    out = dod_decode(dod_encode(x))
+    np.testing.assert_array_equal(out, x)
+    return dod_encode(x)
+
+
+# ------------------------------------------------------------- gorilla ----
+
+def test_gorilla_empty_and_single():
+    assert gorilla_decode(gorilla_encode(np.empty(0))).shape == (0,)
+    rt_f([3.14159])
+
+
+def test_gorilla_constant_series_compresses():
+    enc = rt_f(np.full(1000, 123.456))
+    # 4 header + 8 first + 999 zero control bytes, no payload
+    assert len(enc) == 4 + 8 + 999
+    assert len(enc) < 1000 * 8 / 6
+
+
+def test_gorilla_slowly_varying():
+    t = np.arange(2000)
+    x = 100.0 + np.sin(t / 50.0)
+    enc = rt_f(x)
+    assert len(enc) < 2000 * 8  # beats raw
+
+
+def test_gorilla_special_values():
+    rt_f([0.0, -0.0, np.nan, np.inf, -np.inf, 5e-324, -5e-324,
+          np.finfo(np.float64).max, np.finfo(np.float64).tiny])
+
+
+def test_gorilla_nan_payload_preserved():
+    a = np.array([np.float64(1.0)])
+    weird_nan = np.frombuffer(np.uint64(0x7FF8DEADBEEF0001).tobytes(), np.float64)
+    x = np.concatenate([a, weird_nan, a])
+    rt_f(x)
+
+
+def test_gorilla_random_float64_bits():
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    bits |= rng.integers(0, 2, size=5000).astype(np.uint64) << np.uint64(63)
+    rt_f(bits.view(np.float64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64),
+                max_size=300))
+def test_gorilla_property(xs):
+    rt_f(xs)
+
+
+# ----------------------------------------------------------------- dod ----
+
+def test_dod_empty_single():
+    assert dod_decode(dod_encode(np.empty(0, np.int64))).shape == (0,)
+    rt_i([42])
+    rt_i([-42])
+
+
+def test_dod_regular_stride_one_byte_per_point():
+    x = np.arange(0, 64000, 64, dtype=np.int64)  # window_start pattern
+    enc = rt_i(x)
+    # all dods are 0 → 1 byte each; header + first + delta ≤ 8 bytes
+    assert len(enc) <= 4 + 10 + 10 + (len(x) - 2)
+
+
+def test_dod_irregular_monotone():
+    rng = np.random.default_rng(9)
+    x = np.cumsum(rng.integers(1, 10_000, 3000)).astype(np.int64)
+    rt_i(x)
+
+
+def test_dod_negative_and_extremes():
+    rt_i([np.iinfo(np.int64).min, 0, np.iinfo(np.int64).max, -1, 1])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=300))
+def test_dod_property(xs):
+    rt_i(xs)

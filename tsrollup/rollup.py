@@ -130,6 +130,96 @@ def rollup_grouped(df: DataFrame, window: int = BASE_WINDOW,
     return df.select(*cols).groupBy("doc_id").applyInPandas(run, ROLLUP_SCHEMA)
 
 
+COMPRESSED_SCHEMA = (
+    "doc_id string, source string, tier string, n_windows int, "
+    "window_start binary, count binary, sum binary, sumsq binary, "
+    "min binary, max binary, "
+    "mean binary, var binary, spec_energy binary, spec_mass binary, "
+    "spec_centroid binary, band_energy binary"
+)
+
+_INT_FIELDS = ("window_start", "count", "sum", "sumsq", "min", "max")
+_FLOAT_FIELDS = ("mean", "var", "spec_energy", "spec_mass", "spec_centroid")
+
+
+def rollup_compressed(df: DataFrame, window: int = BASE_WINDOW,
+                      tiers: dict[str, int] = TIER_FACTOR) -> DataFrame:
+    """Rollup with at-rest compression, still ZERO shuffle: one output row per
+    (doc, tier) holding codec-packed columns — delta-of-delta+varint for the
+    int partials (window_start is monotone → ~1 byte/point), stream-split
+    Gorilla XOR for the float aggregates (north_star compression requirement).
+    """
+    from .codec import dod_encode, gorilla_encode
+
+    has_mask = "gap_mask" in df.columns
+    cols = ["doc_id", "tokens", "source"] + (["gap_mask"] if has_mask else [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            masks = pdf["gap_mask"].values if has_mask else None
+            for i in range(len(pdf)):
+                m = None
+                if masks is not None and masks[i] is not None:
+                    m = np.asarray(masks[i], dtype=bool)
+                filled = gap_fill(
+                    np.asarray(pdf["tokens"].values[i], dtype=np.int32), m)
+                base = base_window_partials(filled, window)
+                for tier, p in tier_chain(base, tiers).items():
+                    nw = int(p["count"].shape[0])
+                    if nw == 0:
+                        continue
+                    d = derive_stats(p)
+                    row = {
+                        "doc_id": pdf["doc_id"].values[i],
+                        "source": pdf["source"].values[i],
+                        "tier": tier,
+                        "n_windows": nw,
+                    }
+                    for f in _INT_FIELDS:
+                        row[f] = dod_encode(p[f].astype(np.int64))
+                    for f in _FLOAT_FIELDS:
+                        src = d[f] if f in d else p[f]
+                        row[f] = gorilla_encode(src)
+                    row["band_energy"] = gorilla_encode(p["band_energy"].ravel())
+                    rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(run, COMPRESSED_SCHEMA)
+
+
+def decompress_rollup(df: DataFrame) -> DataFrame:
+    """Unpack codec-packed tier rows back to the flat ROLLUP_SCHEMA; exact
+    inverse of rollup_compressed (codec round-trips are bit-exact)."""
+    from .codec import dod_decode, gorilla_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames: list[pd.DataFrame] = []
+            for i in range(len(pdf)):
+                nw = int(pdf["n_windows"].values[i])
+                data = {
+                    "doc_id": np.repeat(pdf["doc_id"].values[i], nw),
+                    "source": np.repeat(pdf["source"].values[i], nw),
+                    "tier": np.repeat(pdf["tier"].values[i], nw),
+                }
+                for f in _INT_FIELDS:
+                    data[f] = dod_decode(pdf[f].values[i])
+                data["min"] = data["min"].astype(np.int32)
+                data["max"] = data["max"].astype(np.int32)
+                for f in _FLOAT_FIELDS:
+                    data[f] = gorilla_decode(pdf[f].values[i])
+                be = gorilla_decode(pdf["band_energy"].values[i]).reshape(nw, N_BANDS)
+                data["band_energy"] = list(be)
+                cols = ROLLUP_SCHEMA.split(", ")
+                frames.append(pd.DataFrame(data)[[c.split(" ")[0] for c in cols]])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(run, ROLLUP_SCHEMA)
+
+
 def salted_repartition(df: DataFrame, buckets: int = 64,
                        num_partitions: int | None = None) -> DataFrame:
     """Balance Zipf-skewed sources: repartition on (source, hash-bucket of doc_id)
