@@ -1,0 +1,55 @@
+"""Resumability (north_rule): kill after part of the buckets, re-run, outputs
+identical to a clean single run; lineage rows present and idempotent."""
+
+from __future__ import annotations
+
+import pytest
+
+from tsrollup.checkpoint import (
+    completed_buckets, read_lineage, read_rollup, run_checkpointed,
+)
+from tests.test_rollup_spark import assert_exact_match
+
+
+def test_kill_resume_identical(spark, sequences_path, tmp_path):
+    clean_root = str(tmp_path / "clean")
+    resumed_root = str(tmp_path / "resumed")
+
+    # clean run: everything in one call
+    done = run_checkpointed(spark, sequences_path, clean_root, n_buckets=4,
+                            run_id="clean")
+    assert done == [0, 1, 2, 3]
+
+    # killed run: only 2 buckets, then "crash"
+    part = run_checkpointed(spark, sequences_path, resumed_root, n_buckets=4,
+                            run_id="r1", max_buckets=2)
+    assert part == [0, 1]
+    assert completed_buckets(spark, resumed_root) == {0, 1}
+
+    # resume: picks up exactly the rest
+    rest = run_checkpointed(spark, sequences_path, resumed_root, n_buckets=4,
+                            run_id="r2")
+    assert rest == [2, 3]
+
+    a = read_rollup(spark, clean_root).toPandas()
+    b = read_rollup(spark, resumed_root).toPandas()
+    assert_exact_match(a, b)
+
+    # idempotent: nothing left to do, lineage unchanged
+    assert run_checkpointed(spark, sequences_path, resumed_root, n_buckets=4) == []
+    lin = read_lineage(spark, resumed_root).toPandas()
+    assert len(lin) == 4
+    assert set(lin["status"]) == {"done"}
+    assert (lin["n_points"] > 0).all()
+    # per-partition metrics present
+    assert (lin["wall_time_sec"] > 0).all()
+    assert lin["n_docs"].sum() == 120  # every doc in exactly one bucket
+
+
+def test_checkpoint_compressed_mode(spark, sequences_path, tmp_path):
+    root = str(tmp_path / "packed")
+    run_checkpointed(spark, sequences_path, root, n_buckets=2, compressed=True)
+    from tsrollup.rollup import decompress_rollup
+
+    back = decompress_rollup(read_rollup(spark, root)).count()
+    assert back > 0
