@@ -1,38 +1,747 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries are thin wrappers over the ``tsrollup`` package operators (SURVEY.md §2
+inventory + training-data-pipeline ops). Every query aliases its computed
+columns identically in the Spark plan and the DuckDB oracle, and pins float
+expression order so value hashes match bit-for-bit (see tsrollup module docs).
+
+The documents→sequences bridge: token = word length of a single-space split —
+deterministic and identical in Spark (`transform(split(text,' '), length)`)
+and DuckDB (`list_transform(string_split(text,' '), w -> length(w))`), so the
+rollup engine's semantics are checkable against ANSI SQL on the driver's
+tables. The engine's native input (tokens:array<int32> per BASELINE
+input_hint) is exercised by tests/ and bench.py on the seeded F1 fixture.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+W0 = 16  # base window for document-token rollups (docs are short)
+
+
+# ------------------------------------------------------------ helpers -------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.text import tokenize_words
+
+    return tokenize_words(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "tokens",
+        F.lit("docs").alias("source"),
+    )
+
+
+def _rollup_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", "window_start", "count", "sum", "sumsq",
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        "mean", "var",
+    )
+
+
+_ROLLUP_ORACLE_BODY = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+)
+SELECT doc_id,
+       (p // {span}) * {span} AS window_start,
+       COUNT(*)::BIGINT AS "count",
+       SUM(tk)::BIGINT AS "sum",
+       SUM(tk * tk)::BIGINT AS "sumsq",
+       MIN(tk)::BIGINT AS "min",
+       MAX(tk)::BIGINT AS "max",
+       SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS "mean",
+       SUM(tk * tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE
+         - (SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE)
+           * (SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE) AS "var"
+FROM pos
+GROUP BY doc_id, (p // {span})
+"""
+
+
+# ------------------------------------------------------------ queries -------
+
+def q_rollup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-tier tumbling rollup (engine mapInPandas path, zero shuffle).
+    ≙ pooling window aggregates, reference models_keras.py:59-63."""
+    from tsrollup.rollup import rollup_sequences
+
+    out = rollup_sequences(_tokenized(spark, sf_dir), window=W0, tiers={"w": 1})
+    return _rollup_cols(out)
+
+
+def q_rollup_tier_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate: parent tier from the stored child tier, pure
+    DataFrame expressions (never re-reads tokens). ≙ stacked pooling."""
+    from tsrollup.rollup import reaggregate_tier, rollup_sequences
+
+    base = rollup_sequences(_tokenized(spark, sf_dir), window=W0, tiers={"w": 1})
+    return _rollup_cols(reaggregate_tier(base, "w4", 4, window=W0))
+
+
+def q_rollup_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla/delta-of-delta at-rest codecs: compress → decompress must
+    reproduce the base rollup exactly — checked against the SAME SQL oracle."""
+    from tsrollup.rollup import decompress_rollup, rollup_compressed
+
+    packed = rollup_compressed(_tokenized(spark, sf_dir), window=W0, tiers={"w": 1})
+    return _rollup_cols(decompress_rollup(packed))
+
+
+def q_rollup_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral summaries (rFFT band energies + centroid) — not
+    SQL-expressible; driver records rows-only. ≙ conv-as-filter, SURVEY §2.9."""
+    from tsrollup.rollup import rollup_sequences
+
+    return rollup_sequences(_tokenized(spark, sf_dir), window=W0,
+                            tiers={"w": 1, "w4": 4})
+
+
+def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill gap handling as a declarative plan (last ignorenulls over
+    an ordered window); gaps ≡ tokens ≤ 2. ≙ discontinuity handling,
+    reference timeseries_batch_generator.py:238-256."""
+    t = _tokenized(spark, sf_dir).select(
+        "doc_id", F.posexplode("tokens").alias("p", "tk"))
+    val = F.when(F.col("tk") > 2, F.col("tk"))
+    w = Window.partitionBy("doc_id").orderBy("p") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    filled = F.coalesce(F.last(val, ignorenulls=True).over(w), F.lit(0))
+    return (t.select("doc_id", val.alias("v"), filled.alias("f"))
+            .groupBy("doc_id")
+            .agg(F.sum("f").cast("long").alias("filled_sum"),
+                 F.count("*").cast("long").alias("n"),
+                 F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_gaps")))
+
+
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence global aggregates ≙ GlobalAverage/MaxPooling1D
+    (reference blocks_keras.py:96, :227-232)."""
+    t = _tokenized(spark, sf_dir)
+    tok = F.col("tokens")
+    s = F.aggregate(tok, F.lit(0).cast("long"), lambda a, x: a + x)
+    return t.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tok"),
+        s.alias("tok_sum"),
+        F.array_min(tok).cast("long").alias("tok_min"),
+        F.array_max(tok).cast("long").alias("tok_max"),
+        (s.cast("double") / F.size(tok).cast("double")).alias("tok_mean"),
+    )
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window materializer (length=8, stride=4, 'valid') ≙ reference
+    timeseries_batch_generator.py:289-295."""
+    from tsrollup.windowing import sliding_window_aggs
+
+    return sliding_window_aggs(_tokenized(spark, sf_dir), length=8, stride=4)
+
+
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpSampling1D(2) analog (reference blocks_keras.py:153)."""
+    from tsrollup.windowing import upsample_repeat
+
+    up = upsample_repeat(_tokenized(spark, sf_dir), factor=2)
+    return up.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_up"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+         .alias("sum_up"))
+
+
+def q_znorm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BatchNorm-inference z-normalization + outlier count (reference
+    models_keras.py:203-206, eps blocks_pytorch.py:246)."""
+    from tsrollup.windowing import znorm_outliers
+
+    return znorm_outliers(_tokenized(spark, sf_dir), z=2.0)
+
+
+def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands segmentation: runs of consecutive equal event_type per
+    user ≙ reference get_mit_bih_segments run grouping (data.py:50-57)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")), 1).otherwise(0)
+    runs = (ev.withColumn("chg", chg)
+            .withColumn("island", F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (runs.groupBy("user_id", "island", "event_type")
+            .agg(F.count("*").alias("run_len"))
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_islands"),
+                 F.max("run_len").cast("long").alias("longest_run")))
+
+
+def q_rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean over an ordered frame ≙ reference moving_average
+    (IGN_experiment.py:190-205)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select("event_id", F.avg("value").over(w).alias("rmean"))
+
+
+def q_downsample_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window downsample ≙ AveragePooling1D (blocks_keras.py:25);
+    decimal-exact sums cast to double for cross-engine determinism."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # session tz is UTC → NTZ cast matches DuckDB's naive-as-UTC epoch_us
+    minute = (F.unix_micros(F.col("ts").cast("timestamp"))
+              / F.lit(60_000_000)).cast("long")
+    return (ev.groupBy("user_id", minute.alias("minute"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("val_sum"),
+                 F.min("value").alias("val_min"),
+                 F.max("value").alias("val_max")))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (10-min inactivity gap) — the streaming-window analog in
+    batch; gap detection ≙ get_indices_change (timeseries_batch_generator.py:125-141)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gap = F.when(
+        F.lag("ts").over(w).isNull() | ((us - prev_us) > 600_000_000),
+        1).otherwise(0)
+    sess = (ev.withColumn("new_sess", gap)
+            .withColumn("sess_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "sess_id")
+            .agg(F.count("*").alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.max("n_events").cast("long").alias("max_session_events")))
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by score ≙ reference anomaly argsort top-k (keras_experiment.py:590-593)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.orderBy(F.desc("value"), F.asc("event_id"))
+            .select("event_id", "user_id", "value").limit(20))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary; decimal-exact aggregation → double."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (F.lit(1).cast("decimal(3,0)") - disc))
+                  .cast("double").alias("sum_disc_price"),
+                 F.sum(price * (F.lit(1).cast("decimal(3,0)") - disc)
+                       * (F.lit(1).cast("decimal(3,0)") + tax))
+                  .cast("double").alias("sum_charge"),
+                 F.count("*").cast("long").alias("count_order")))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims (customer⋈orders⋈lineitem⋈nation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = price * (F.lit(1).cast("decimal(3,0)") - disc)
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").cast("long").alias("n_items")))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir).filter("doc_id < 200"), n=3, threshold=0.3)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), k=4, n=3)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir), k=4, bands=2, n=3)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.similarity import cosine_topk_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 100")
+    return cosine_topk_pairs(emb, k=10)
+
+
+def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsrollup.similarity import cosine_topk_for_queries
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_for_queries(emb, emb.filter("vec_id < 3"), k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN (scale path; bucket membership involves a
+    sign decision at float boundaries → rows-only check)."""
+    from tsrollup.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, k=10, n_planes=8, dim=32)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 3-tier rollup of sf0.001 documents-as-sequences through
+    the zero-shuffle engine path."""
+    from tsrollup.rollup import rollup_sequences
+
+    toks = _tokenized(spark, "/root/testdata/sf0.001")
+    return rollup_sequences(toks, window=W0, tiers={"w": 1, "w4": 4, "w16": 16})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rollup_base": q_rollup_base,
+        "rollup_tier_reagg": q_rollup_tier_reagg,
+        "rollup_compressed_roundtrip": q_rollup_compressed_roundtrip,
+        "rollup_spectral": q_rollup_spectral,
+        "gapfill_ffill": q_gapfill_ffill,
+        "global_agg": q_global_agg,
+        "sliding_windows": q_sliding_windows,
+        "upsample": q_upsample,
+        "znorm_outliers": q_znorm_outliers,
+        "segment_islands": q_segment_islands,
+        "rolling_mean_events": q_rolling_mean_events,
+        "downsample_minute": q_downsample_minute,
+        "sessionize": q_sessionize,
+        "topk_events": q_topk_events,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "cosine_knn": q_cosine_knn,
+        "ann_lsh": q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------- oracle SQL -------
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM v
+"""
+
+
+_SHINGLES = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(0, greatest(len(ws) - 3, 0) + 1),
+           i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents{filt})
+"""
+
+_MINHASH = """
+WITH sh AS ({shingles})
+SELECT doc_id,
+       MIN(('0x' || substr(md5('0|' || shingle), 1, 15))::BIGINT) AS mh0,
+       MIN(('0x' || substr(md5('1|' || shingle), 1, 15))::BIGINT) AS mh1,
+       MIN(('0x' || substr(md5('2|' || shingle), 1, 15))::BIGINT) AS mh2,
+       MIN(('0x' || substr(md5('3|' || shingle), 1, 15))::BIGINT) AS mh3
+FROM sh GROUP BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["rollup_base"] = _ROLLUP_ORACLE_BODY.format(span=W0)
+    sqls["rollup_tier_reagg"] = _ROLLUP_ORACLE_BODY.format(span=W0 * 4)
+    sqls["rollup_compressed_roundtrip"] = _ROLLUP_ORACLE_BODY.format(span=W0)
+    # rollup_spectral: FFT — not SQL-expressible (rows-only check)
+    # ann_lsh: sign-at-boundary sensitivity (rows-only check)
+
+    sqls["gapfill_ffill"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+), f AS (
+  SELECT doc_id,
+         CASE WHEN tk > 2 THEN tk END AS v,
+         COALESCE(last_value(CASE WHEN tk > 2 THEN tk END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS fv
+  FROM pos
+)
+SELECT doc_id, SUM(fv)::BIGINT AS filled_sum, COUNT(*)::BIGINT AS n,
+       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_gaps
+FROM f GROUP BY doc_id
+"""
+
+    sqls["global_agg"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk FROM tok
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tok, SUM(tk)::BIGINT AS tok_sum,
+       MIN(tk)::BIGINT AS tok_min, MAX(tk)::BIGINT AS tok_max,
+       SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS tok_mean
+FROM pos GROUP BY doc_id
+"""
+
+    sqls["sliding_windows"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), st AS (
+  SELECT doc_id, tokens, unnest(range(0, len(tokens) - 7, 4)) AS s
+  FROM tok WHERE len(tokens) >= 8
+)
+SELECT doc_id, s::BIGINT AS win_start, 8::BIGINT AS win_count,
+       list_aggregate(tokens[s + 1 : s + 8], 'sum')::BIGINT AS win_sum,
+       list_aggregate(tokens[s + 1 : s + 8], 'min')::BIGINT AS win_min,
+       list_aggregate(tokens[s + 1 : s + 8], 'max')::BIGINT AS win_max
+FROM st
+"""
+
+    sqls["upsample"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         flatten(list_transform(
+           list_transform(string_split(text, ' '), w -> length(w)),
+           x -> [x, x])) AS up
+  FROM documents
+), pos AS (SELECT doc_id, unnest(up) AS tk FROM tok)
+SELECT doc_id, COUNT(*)::BIGINT AS n_up, SUM(tk)::BIGINT AS sum_up
+FROM pos GROUP BY doc_id
+"""
+
+    sqls["znorm_outliers"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk FROM tok
+), stats AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tok,
+         SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS mean,
+         SUM(tk * tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE
+           - (SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE)
+             * (SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE) AS var
+  FROM pos GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tok, s.mean, s.var,
+       SUM(CASE WHEN abs((p.tk::DOUBLE - s.mean) / sqrt(s.var + 1.001e-5)) > 2.0
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM stats s JOIN pos p ON s.doc_id = p.doc_id
+GROUP BY s.doc_id, s.n_tok, s.mean, s.var
+"""
+
+    sqls["segment_islands"] = """
+WITH r AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg,
+         row_number() OVER w AS rowid
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT user_id, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY rowid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM r
+), runs AS (
+  SELECT user_id, island, event_type, COUNT(*) AS run_len
+  FROM isl GROUP BY user_id, island, event_type
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_islands,
+       MAX(run_len)::BIGINT AS longest_run
+FROM runs GROUP BY user_id
+"""
+
+    sqls["rolling_mean_events"] = """
+SELECT event_id,
+       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rmean
+FROM events
+"""
+
+    sqls["downsample_minute"] = """
+SELECT user_id, (epoch_us(ts) // 60000000)::BIGINT AS minute,
+       COUNT(*)::BIGINT AS n,
+       SUM(value::DECIMAL(18,2))::DOUBLE AS val_sum,
+       MIN(value) AS val_min, MAX(value) AS val_max
+FROM events GROUP BY user_id, (epoch_us(ts) // 60000000)
+"""
+
+    sqls["sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+              THEN 1 ELSE 0 END AS new_sess,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+), per AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events FROM s GROUP BY user_id, sess_id
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+       MAX(n_events)::BIGINT AS max_session_events
+FROM per GROUP BY user_id
+"""
+
+    sqls["topk_events"] = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 20
+"""
+
+    sqls["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       SUM(l_extendedprice::DECIMAL(18,2)
+           * (1::DECIMAL(3,0) - l_discount::DECIMAL(4,2)))::DOUBLE
+         AS sum_disc_price,
+       SUM(l_extendedprice::DECIMAL(18,2)
+           * (1::DECIMAL(3,0) - l_discount::DECIMAL(4,2))
+           * (1::DECIMAL(3,0) + l_tax::DECIMAL(4,2)))::DOUBLE AS sum_charge,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    sqls["revenue_by_nation"] = """
+SELECT n_name,
+       SUM(l_extendedprice::DECIMAL(18,2)
+           * (1::DECIMAL(3,0) - l_discount::DECIMAL(4,2)))::DOUBLE AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sqls["token_stats"] = """
+SELECT doc_id,
+       len(string_split(text, ' '))::INT AS n_words,
+       length(text)::INT AS n_chars_meas,
+       length(text)::DOUBLE / 4.0 AS bpe_est,
+       list_max(list_transform(string_split(text, ' '), w -> length(w)))::INT
+         AS max_word_len
+FROM documents
+"""
+
+    en = ", ".join(f"'{s}'" for s in
+                   ("the", "of", "and", "to", "in", "is", "that", "it",
+                    "was", "for"))
+    sqls["quality_score"] = f"""
+WITH q AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::INT AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains([{en}], w)))::INT AS n_stopwords,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_words, n_stopwords,
+       n_stopwords::DOUBLE / n_words::DOUBLE AS stop_ratio,
+       n_chars::DOUBLE / n_words::DOUBLE AS mean_word_len,
+       (n_stopwords::DOUBLE / n_words::DOUBLE) * 2.0
+         + 1.0 / (n_chars::DOUBLE / n_words::DOUBLE) AS quality
+FROM q
+"""
+
+    from tsrollup.text import LANG_STOPWORDS
+
+    hit_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        lex = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"SELECT doc_id, '{lang}' AS lang, len(list_filter(ws, "
+            f"w -> list_contains([{lex}], w)))::INT AS hits FROM w")
+    union = "\nUNION ALL\n".join(hit_cols)
+    sqls["lang_id"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+h AS ({union}),
+r AS (SELECT doc_id, lang, hits,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY hits DESC, lang DESC) AS rn FROM h)
+SELECT doc_id, lang AS pred_lang, hits AS stop_hits FROM r WHERE rn = 1
+"""
+
+    sqls["fingerprint"] = """
+SELECT doc_id, md5(text) AS md5,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
+FROM documents
+"""
+
+    sqls["dedup_exact"] = """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
+       COUNT(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+    shingles_all = _SHINGLES.format(filt="")
+    shingles_200 = _SHINGLES.format(filt=" WHERE doc_id < 200")
+    sqls["jaccard_pairs"] = f"""
+WITH sh AS ({shingles_200}),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       shared::DOUBLE / (sa.n_sh + sb.n_sh - shared)::DOUBLE AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared)::DOUBLE >= 0.3
+"""
+
+    sqls["minhash_signatures"] = _MINHASH.format(shingles=shingles_all)
+
+    sqls["lsh_pairs"] = f"""
+WITH sig AS ({_MINHASH.format(shingles=shingles_all)})
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+   AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3
+   AND a.doc_id < b.doc_id
+) _
+"""
+
+    sqls["simhash"] = _simhash_oracle(16)
+
+    sqls["cosine_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 100)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(a.v, b.v) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, id_a, id_b LIMIT 10
+"""
+
+    sqls["cosine_knn"] = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < 3),
+scored AS (
+  SELECT qid, id, list_cosine_similarity(qv, v) AS cos_sim
+  FROM e CROSS JOIN q WHERE id <> qid
+), r AS (
+  SELECT qid, id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY cos_sim DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT qid, id, cos_sim, rank::INT AS rank FROM r WHERE rank <= 5
+"""
+
+    return sqls

@@ -1,0 +1,126 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard — all expressed as
+declarative DataFrame plans (shuffle-conscious: shingle explode → partial agg;
+LSH banding turns the O(n²) pair space into per-bucket joins). Hashing is
+md5-based so every op is reproducible cross-engine (DuckDB oracles in
+__spark_entry__.py): ``h_i(x) = bigint(md5(i || x)[:15 hex])`` is a family of
+independent 60-bit hash functions available identically in Spark
+(conv(substr(md5(..)))) and DuckDB (('0x'||substr(md5(..)))::bigint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(col: Column, salt: int | None = None) -> Column:
+    """60-bit integer hash from md5 (cross-engine deterministic)."""
+    x = F.concat(F.lit(f"{salt}|"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one representative (min doc_id) per
+    distinct text; group sizes for dup accounting. Hash-groupBy scales to any
+    corpus (partial agg map-side; no row ever carries the full text twice)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc → (doc_id, shingle). Documents
+    shorter than n words contribute their full word join as one shingle."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    return (df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the shared-shingle join: doc
+    pairs only materialize if they share ≥1 shingle (never the full n² space);
+    |A∩B| from the join, |A|,|B| from per-doc counts, Jaccard derived."""
+    sh = word_shingles(df, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a").join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                          .withColumnRenamed("n_sh", "n_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                          .withColumnRenamed("n_sh", "n_b")), "doc_b")
+        .withColumn("jaccard",
+                    F.col("shared").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, k: int = 8, n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """k-permutation MinHash signatures over word n-gram shingles:
+    sig_i(doc) = min over shingles of h60(i || shingle). One explode + one
+    partial-aggregated groupBy regardless of k (k min-aggs in a single pass)."""
+    sh = word_shingles(df, n, text_col)
+    aggs = [F.min(_h60(F.col("shingle"), i)).alias(f"mh{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-dup candidates: signature split into ``bands`` bands of
+    k/bands rows; docs sharing any full band collide. Scale path: the band-key
+    groupBy is the only shuffle, and bucket sizes stay small for non-dup data
+    (salt/AQE handle pathological buckets)."""
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(df, k, n, text_col)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 *[F.col(f"mh{b * rows + r}").alias(f"h{r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    return (
+        banded.alias("a").join(banded.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over word hashes. ``bits``
+    sign sums are computed as JVM-side conditional aggregates in ONE pass
+    (explode → groupBy doc); bit b of h60(word) votes ±1."""
+    w = (
+        df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .withColumn("h", _h60(F.col("word")))
+    )
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))

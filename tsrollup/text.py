@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines, all JVM-side
+(built-in pyspark.sql.functions only — no Python in the hot path).
+
+Cross-engine determinism notes (each op has a DuckDB oracle in
+__spark_entry__.py): word split is on a single literal space with empty
+tokens kept (Spark ``split`` limit=-1 == DuckDB ``string_split``); hashes are
+md5 hex (identical in both engines); ratios are single IEEE double divisions
+of exact integer counts, so bits match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword lexicons for the n-gram-free language-ID heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "une", "que", "dans"),
+    "es": ("el", "la", "que", "los", "una", "por", "con", "para", "del", "las"),
+}
+
+
+def words(text_col: str = "text") -> Column:
+    """Whitespace word split (single literal space, empties kept)."""
+    return F.split(F.col(text_col), " ")
+
+
+def tokenize_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The documents→sequences bridge: token = word length (deterministic,
+    engine-agnostic stand-in for a BPE id). Position index = timestamp."""
+    return df.withColumn(
+        "tokens", F.transform(words(text_col), lambda w: F.length(w)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counting: whitespace tokens + a BPE-ish estimate
+    (chars/4 heuristic) + max word length."""
+    w = words(text_col)
+    return df.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.length(text_col).alias("n_chars_meas"),
+        (F.length(text_col) / F.lit(4.0)).alias("bpe_est"),
+        F.array_max(F.transform(w, lambda x: F.length(x))).alias("max_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, mean word length, and a
+    combined score — exact integer counts + pinned double arithmetic."""
+    w = words(text_col)
+    en = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(en, x)))
+    mean_wl = F.length(text_col).cast("double") / n_words.cast("double")
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stop_ratio"),
+        mean_wl.alias("mean_word_len"),
+        (stop_ratio * F.lit(2.0) + F.lit(1.0) / mean_wl).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: most stopword hits wins; ties break by language
+    code order (deterministic greatest-of-structs trick)."""
+    w = words(text_col)
+    hits = []
+    for lang in sorted(LANG_STOPWORDS):  # deterministic order
+        lex = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        hits.append(F.struct(
+            F.size(F.filter(w, lambda x: F.array_contains(lex, x))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        ))
+    # greatest = max hits, then max lang code — invert lang for tie-break-by-
+    # first: use (hits, negated-lang) ordering via greatest on (hits, lang)
+    best = F.greatest(*hits)
+    return df.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].alias("stop_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of full text (exact dup key) + a 60-bit
+    int fingerprint (md5-derived) usable as a shard/join key."""
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("md5"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+         .cast("long").alias("fp60"),
+    )

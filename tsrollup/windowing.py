@@ -1,0 +1,79 @@
+"""Sliding-window materialization and signal ops as declarative DataFrame plans.
+
+Semantics follow the reference's window generator
+(``experiments/timeseries_batch_generator.py:289-295``): windows parameterized
+by ``length``, ``stride``, ``sampling_rate``; a window starting at s covers
+positions s, s+rate, ..., s+(length-1)*rate and requires them all in-bounds
+('valid' convention — pinned, cf. SURVEY §2.4). All JVM-side higher-order
+functions (sequence/transform/slice/aggregate) — no Python, no explode of the
+token space unless the caller asks for flat output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sliding_window_aggs(df: DataFrame, length: int = 8, stride: int = 4,
+                        sampling_rate: int = 1,
+                        tokens_col: str = "tokens") -> DataFrame:
+    """Materialize valid sliding windows and their int aggregates:
+    (doc_id, win_start, win_count, win_sum, win_min, win_max).
+
+    win_start ∈ {0, stride, 2·stride, …} with win_start + (length-1)·rate <
+    n_tok (reference 'valid' windows, timeseries_batch_generator.py:289)."""
+    span = (length - 1) * sampling_rate  # last offset inside the window
+    n = F.size(F.col(tokens_col))
+    starts = F.sequence(F.lit(0), n - 1 - span, F.lit(stride))
+    win = lambda s: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(length - 1)),
+        lambda i: F.element_at(F.col(tokens_col), s + i * sampling_rate + 1))
+    out = (
+        df.filter(n > span)
+        .select(
+            "doc_id",
+            F.explode(F.transform(starts, lambda s: F.struct(
+                s.cast("long").alias("win_start"),
+                F.aggregate(win(s), F.lit(0).cast("long"),
+                            lambda a, x: a + x).alias("win_sum"),
+                F.array_min(win(s)).cast("long").alias("win_min"),
+                F.array_max(win(s)).cast("long").alias("win_max"),
+            ))).alias("w"),
+        )
+        .select("doc_id", "w.win_start",
+                F.lit(length).cast("long").alias("win_count"),
+                "w.win_sum", "w.win_min", "w.win_max")
+    )
+    return out
+
+
+def upsample_repeat(df: DataFrame, factor: int = 2,
+                    tokens_col: str = "tokens") -> DataFrame:
+    """UpSampling1D analog (reference blocks_keras.py:153): repeat each element
+    ``factor`` times — coarse-to-fine broadcast."""
+    rep = F.flatten(F.transform(
+        F.col(tokens_col),
+        lambda t: F.array_repeat(t, factor)))
+    return df.withColumn(tokens_col, rep)
+
+
+def znorm_outliers(df: DataFrame, z: float = 2.0, eps: float = 1.001e-5,
+                   tokens_col: str = "tokens") -> DataFrame:
+    """BatchNorm-inference analog (reference models_keras.py:203-206, ε per
+    blocks_pytorch.py:246): per-doc z-normalization, returns how many tokens
+    sit beyond ``z`` sigmas. Pinned float order: mean=s/n, var=sq/n-mean²."""
+    t = F.col(tokens_col)
+    n = F.size(t).cast("double")
+    s = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+    sq = F.aggregate(t, F.lit(0).cast("long"),
+                     lambda a, x: a + x.cast("long") * x.cast("long")).cast("double")
+    mean = s / n
+    var = sq / n - (s / n) * (s / n)
+    denom = F.sqrt(var + F.lit(eps))
+    n_out = F.size(F.filter(
+        t, lambda x: F.abs((x.cast("double") - mean) / denom) > z))
+    return df.select("doc_id",
+                     F.size(t).cast("long").alias("n_tok"),
+                     mean.alias("mean"), var.alias("var"),
+                     n_out.cast("long").alias("n_outliers"))
