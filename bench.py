@@ -1,0 +1,142 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+It also measures the engine's native headline number — rollup throughput in
+sequences/sec over the seeded F1 sequences fixture (BASELINE.json metric) —
+and reports it in the same JSON line under ``rollup_seqs_per_sec``.
+
+Every timing forces FULL materialization with the noop sink
+(``df.write.format("noop")``) so lazy plans can't cheat; the noop sink also
+keeps the measurement free of driver-collect overhead.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``; this file is the
+single-parallelism per-round benchmark the driver records as BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline queries: the engine paths (rollup/tiers/codec/spectral) plus one of
+# each operator family from SURVEY.md §2. Quadratic-ish ops run on the bounded
+# slices their queries() entries pin (jaccard<200 docs, cosine_topk<100 vecs).
+HEADLINE = [
+    "rollup_base",
+    "rollup_tier_reagg",
+    "rollup_compressed_roundtrip",
+    "rollup_spectral",
+    "gapfill_ffill",
+    "global_agg",
+    "sliding_windows",
+    "znorm_outliers",
+    "segment_islands",
+    "downsample_minute",
+    "sessionize",
+    "topk_events",
+    "pricing_summary",
+    "revenue_by_nation",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "cosine_knn",
+    "ann_lsh",
+]
+
+# F1 sequences fixture size for the native-throughput leg. ~8k docs × ~700
+# mean tokens ≈ 5.6M points — enough to amortize job overhead at local[32],
+# small enough to keep the per-round bench under a couple of minutes.
+SEQ_DOCS = int(os.environ.get("TSROLLUP_BENCH_DOCS", "8000"))
+SEQ_SEED = 42
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _sequences_fixture() -> str:
+    """Seeded F1 fixture parquet, cached across runs (same seed ⇒ same bytes)."""
+    from tsrollup.datagen import write_sequences
+
+    cache = os.environ.get("TSROLLUP_BENCH_CACHE", "/tmp/tsrollup-bench")
+    os.makedirs(cache, exist_ok=True)
+    dpf = max(125, SEQ_DOCS // 64)  # many splittable files, like a real table
+    path = os.path.join(cache, f"seqs-{SEQ_SEED}-{SEQ_DOCS}-{dpf}")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        write_sequences(tmp, seed=SEQ_SEED, n_docs=SEQ_DOCS, docs_per_file=dpf)
+        os.replace(tmp, path)
+    return path
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from tsrollup.rollup import rollup_sequences
+    from tsrollup.session import get_spark
+
+    seq_path = _sequences_fixture()
+    spark = get_spark("tsrollup-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(8, CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    # The sf fixtures are single small files; a real 100 TB table has ~800k
+    # 128MB splits. Emulate split abundance so scans parallelize here too.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
+
+    # Warm the JVM + Python workers once so q1 doesn't pay the cold start.
+    _noop(spark.read.parquet(f"{SF_DIR}/nation.parquet"))
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _noop(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Native rollup throughput on the input_hint table (BASELINE.json metric).
+    seqs = spark.read.parquet(seq_path)
+    _noop(rollup_sequences(seqs.limit(256)))  # warm the Arrow UDF path
+    t0 = time.perf_counter()
+    _noop(rollup_sequences(seqs))
+    rollup_s = time.perf_counter() - t0
+    seqs_per_sec = SEQ_DOCS / rollup_s
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "total headline query time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "rollup_seqs_per_sec": round(seqs_per_sec, 1),
+        "rollup_sec": round(rollup_s, 3),
+        "rollup_n_docs": SEQ_DOCS,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,211 @@
+"""Two-cluster-size scaling evidence (north_rule: efficiency ≥ 0.8 at N→4N).
+
+No real cluster exists in this sandbox, so per driver instruction the same
+rollup job runs at two parallelism levels on the same seeded input and we
+report throughput at both plus
+
+    efficiency = throughput(4N) / (4 × throughput(N))
+
+Methodology (each choice is load-bearing):
+
+* **CPU pinning.** A pandas-UDF job on ``local[N]`` really uses ~2N cores
+  (N JVM task threads + N Python workers), so an unpinned ``local[8]`` leg
+  quietly borrows the box's idle cores and the ratio understates true
+  scaling. Each leg therefore runs under ``taskset`` with a hard budget of
+  exactly N cores — the same co-location a real executor has.
+* **N=2 vs 4N=8** on this 32-core box, so both legs (each using 2×cores
+  worth of runnable threads) stay far from the machine's capacity and
+  measure the engine, not box saturation. A pure-CPU multiprocessing
+  control is reported alongside as the hardware context, and a full-box
+  32-core leg is reported as single-node capacity.
+* **Fresh JVM per leg** (subprocess) — no inherited warm state, mirroring
+  two separate spark-submit invocations.
+* **Steady state.** One warm pass (JIT + Python worker spawn), then the
+  minimum of ``PASSES`` measured full materializations (noop sink).
+* **Parallelism-invariance.** Each leg emits an order-insensitive value
+  hash (Σ xxhash64 over each rolled-up point's canonical string) — the
+  sandbox analog of "every rolled-up point matches at N and 4N executors".
+
+Usage: python tools/bench_scaling.py              # writes BENCH/BASELINE.md
+       python tools/bench_scaling.py --worker 8   # one leg (internal)
+       python tools/bench_scaling.py --report-only # re-render from cache
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("TSROLLUP_SCALE_DOCS", "128000"))
+SEED = 42
+PASSES = 4
+LEGS = {2: "0-1", 8: "0-7", 32: "0-31"}  # cores -> taskset cpu list
+SPLIT_BYTES = 2 * 1024 * 1024  # emulate a real table's split abundance
+
+
+def _fixture_path() -> str:
+    cache = os.environ.get("TSROLLUP_BENCH_CACHE", "/tmp/tsrollup-bench")
+    os.makedirs(cache, exist_ok=True)
+    dpf = max(250, N_DOCS // 192)
+    return os.path.join(cache, f"seqs-{SEED}-{N_DOCS}-{dpf}")
+
+
+def _ensure_fixture() -> str:
+    """Generate the seeded fixture in parallel with Spark (one batch per task);
+    byte-identical to the single-threaded writer, cached across runs."""
+    path = _fixture_path()
+    if not os.path.exists(path):
+        from tsrollup.datagen import write_sequences_spark
+        from tsrollup.session import get_spark
+
+        dpf = max(250, N_DOCS // 192)
+        spark = get_spark("tsrollup-datagen", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        write_sequences_spark(spark, path, seed=SEED, n_docs=N_DOCS,
+                              docs_per_part=dpf)
+        spark.stop()
+    return path
+
+
+def worker(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from tsrollup.rollup import ROLLUP_SCHEMA, rollup_sequences
+    from tsrollup.session import get_spark
+
+    spark = get_spark(f"tsrollup-scale-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(8, cores))
+    spark.sparkContext.setLogLevel("ERROR")
+    # A real 100 TB table has ~800k 128MB splits; the small fixture emulates
+    # that split abundance (without this, file bin-packing folds everything
+    # into ~8 partitions and extra cores can't engage).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(SPLIT_BYTES))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
+    seqs = spark.read.parquet(_fixture_path())
+    out = rollup_sequences(seqs)
+
+    out.write.format("noop").mode("overwrite").save()  # warm
+    times = []
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        times.append(round(time.perf_counter() - t0, 3))
+    secs = min(times)
+
+    flat = [f.split(" ")[0] for f in ROLLUP_SCHEMA.split(", ")][:-1]
+    row_h = F.xxhash64(F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in flat],
+        F.concat_ws(",", F.transform("band_energy",
+                                     lambda v: v.cast("string")))))
+    agg = out.agg(F.sum(row_h.cast("decimal(38,0)")).alias("h"),
+                  F.count("*").alias("n")).collect()[0]
+
+    print(json.dumps({
+        "cores": cores, "secs": secs, "passes": times, "n_docs": N_DOCS,
+        "seqs_per_sec": round(N_DOCS / secs, 1),
+        "n_points": int(agg["n"]), "value_hash": str(agg["h"]),
+    }))
+    spark.stop()
+
+
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.5:
+        x += 1
+    return x
+
+
+def _cpu_control() -> dict[int, float]:
+    """Pure-CPU multiprocessing control: the box's own scaling ceiling."""
+    rates = {}
+    for n in (8, 32):
+        with multiprocessing.Pool(n) as pool:
+            rates[n] = sum(pool.map(_burn, range(n)))
+    return rates
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return 0
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--report-only":
+        with open("BENCH/legs.json") as f:
+            results = {int(k): v for k, v in json.load(f).items()}
+    else:
+        _ensure_fixture()  # generate once (Spark-parallel), outside timing
+        results = {}
+        for cores, cpus in LEGS.items():
+            proc = subprocess.run(
+                ["taskset", "-c", cpus, sys.executable,
+                 os.path.abspath(__file__), "--worker", str(cores)],
+                capture_output=True, text=True, check=True)
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            results[cores] = json.loads(line)
+            print(line)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/legs.json", "w") as f:
+            json.dump(results, f, indent=1)
+
+    lo, hi, full = results[2], results[8], results[32]
+    eff = hi["seqs_per_sec"] / (4.0 * lo["seqs_per_sec"])
+    match = len({r["value_hash"] for r in results.values()}) == 1 \
+        and len({r["n_points"] for r in results.values()}) == 1
+    ctrl = _cpu_control()
+    hw_eff = ctrl[32] / (4.0 * ctrl[8])
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — rollup throughput at two cluster sizes (N vs 4N)
+
+Sandbox stand-in for N vs 4N executors (driver instruction): the identical
+rollup job (gap-fill → base + 1h + 1d tiers, spectral features, zero shuffle)
+over the same seeded F1 input ({N_DOCS} docs, seed {SEED}), each leg a fresh
+JVM pinned with ``taskset`` to exactly its core budget (a pandas-UDF job on
+local[N] really uses ~2N cores — JVM task threads + Python workers — so
+unpinned legs overstate the small leg). One warm pass, then min of {PASSES}
+measured full materializations. See module docstring of
+`tools/bench_scaling.py` for the full methodology.
+
+| leg | cores (pinned) | best wall (s) | throughput (seqs/s) | points | value hash |
+|---|---|---|---|---|---|
+| N | 2 | {lo['secs']} | {lo['seqs_per_sec']} | {lo['n_points']} | `{lo['value_hash']}` |
+| 4N | 8 | {hi['secs']} | {hi['seqs_per_sec']} | {hi['n_points']} | `{hi['value_hash']}` |
+| full box | 32 | {full['secs']} | {full['seqs_per_sec']} | {full['n_points']} | `{full['value_hash']}` |
+
+**Scaling efficiency (4N vs N): {eff:.3f}** (target ≥ 0.8, north_rule).
+
+**Parallelism-invariance: {'PASS' if match else 'FAIL'}** — the
+order-insensitive value hash (Σ xxhash64 of each point's canonical string)
+over every rolled-up point at every tier is
+{'identical' if match else 'DIFFERENT'} at all three parallelism levels: the
+per-row exact-match invariant holds independent of cluster size.
+
+Why N=2 vs 4N=8 (not 8 vs 32): a local[N] pandas-UDF job runs ~2N runnable
+threads, so a local[32] leg needs 64 threads' worth of a 32-core box — it
+measures box saturation (scheduler pressure, GC pauses, short-job straggler
+noise), not the engine. At 2 vs 8 cores both legs run far below capacity and
+isolate the ENGINE's scaling: no shuffle, no synchronization, no driver
+bottleneck on the scale path — the property that transfers to real N→4N
+executor fleets. (Pure-CPU multiprocessing control for 8→32 procs on this
+box: {hw_eff:.2f}.) The 32-core row shows full-box capacity:
+{full['seqs_per_sec']} seqs/s ≈ {full['seqs_per_sec'] * 86.4 / 1e3:.0f}M
+docs/day on one node.
+
+Reproduce: `python tools/bench_scaling.py`
+""")
+    print(f"efficiency={eff:.3f} hw_ceiling_8to32={hw_eff:.2f} "
+          f"parallelism_invariant={match}")
+    return 0 if match else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,6 +19,8 @@ All randomness flows from one ``numpy.random.default_rng(seed)`` so any
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -81,10 +83,29 @@ def generate_batch(seed: int, n_docs: int, min_len: int = 64, max_len: int = 409
 
 
 def write_sequences(path: str, seed: int = 42, n_docs: int = 200,
-                    batch_size: int = 50_000, **kw) -> None:
-    """Write the sequences table as parquet (row-group per seeded batch so
-    generation is embarrassingly parallel / restartable at scale)."""
+                    batch_size: int = 50_000, docs_per_file: int | None = None,
+                    **kw) -> None:
+    """Write the sequences table as parquet.
+
+    With ``docs_per_file`` set, writes a DIRECTORY of part files (one seeded
+    batch each) — the shape a real 100 TB table has (thousands of splittable
+    files), so local scans parallelize the way a cluster scan would. Batch b
+    always uses seed+b, so (seed, n_docs, part size) regenerate byte-identical
+    data on any host. Without it, writes one file (row-group per batch).
+    """
     import pyarrow.parquet as pq
+
+    if docs_per_file:
+        os.makedirs(path, exist_ok=True)
+        done = 0
+        b = 0
+        while done < n_docs:
+            take = min(docs_per_file, n_docs - done)
+            tbl = generate_batch(seed + b, take, **kw)
+            pq.write_table(tbl, os.path.join(path, f"part-{b:05d}.parquet"))
+            done += take
+            b += 1
+        return
 
     writer = None
     done = 0
@@ -99,3 +120,33 @@ def write_sequences(path: str, seed: int = 42, n_docs: int = 200,
         b += 1
     if writer is not None:
         writer.close()
+
+
+SEQUENCES_DDL = ("doc_id string, tokens array<int>, n_tok int, source string, "
+                 "gap_mask array<boolean>")
+
+
+def write_sequences_spark(spark, path: str, seed: int = 42, n_docs: int = 200,
+                          docs_per_part: int = 2000, **kw) -> None:
+    """Distributed fixture generation: one seeded batch per task (the batch
+    plan is tiny driver-side metadata; all signal synthesis runs on executors).
+    Byte-identical rows to write_sequences(docs_per_file=docs_per_part) — batch
+    b always uses seed+b — only the file layout differs."""
+    plan = []
+    done = 0
+    b = 0
+    while done < n_docs:
+        take = min(docs_per_part, n_docs - done)
+        plan.append((seed + b, take))
+        done += take
+        b += 1
+
+    def gen(batches):
+        for pdf in batches:
+            for s, n in zip(pdf["seed"], pdf["n"]):
+                yield generate_batch(int(s), int(n), **kw).to_pandas()
+
+    (spark.createDataFrame(plan, "seed int, n int")
+     .repartition(len(plan))
+     .mapInPandas(gen, SEQUENCES_DDL)
+     .write.mode("overwrite").parquet(path))

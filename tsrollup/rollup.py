@@ -45,36 +45,56 @@ ROLLUP_SCHEMA = (
 )
 
 
-def _doc_rollup_frames(doc_id: str, source: str, tokens: np.ndarray,
-                       mask: np.ndarray | None, window: int,
-                       tiers: dict[str, int]) -> list[pd.DataFrame]:
+_OUT_COLS = ("doc_id", "source", "tier", "window_start", "count", "sum",
+             "sumsq", "min", "max", "mean", "var", "spec_energy", "spec_mass",
+             "spec_centroid")
+
+
+def _new_acc() -> dict[str, list]:
+    acc: dict[str, list] = {c: [] for c in _OUT_COLS}
+    acc["band_energy"] = []
+    return acc
+
+
+def _acc_doc(acc: dict[str, list], doc_id: str, source: str,
+             tokens: np.ndarray, mask: np.ndarray | None, window: int,
+             tiers: dict[str, int]) -> None:
+    """Append one doc's rolled-up points (all tiers) to the batch accumulator.
+    Column arrays are concatenated ONCE per Arrow batch (_acc_frame) — building
+    a pandas frame per doc would dominate runtime at scale."""
     filled = gap_fill(np.asarray(tokens, dtype=np.int32), mask)
     base = base_window_partials(filled, window)
-    chain = tier_chain(base, tiers)
-    frames = []
-    for tier, p in chain.items():
-        d = derive_stats(p)
+    for tier, p in tier_chain(base, tiers).items():
         nw = p["count"].shape[0]
         if nw == 0:  # empty doc → no rolled-up points at any tier
             continue
-        frames.append(pd.DataFrame({
-            "doc_id": np.repeat(doc_id, nw),
-            "source": np.repeat(source, nw),
-            "tier": np.repeat(tier, nw),
-            "window_start": p["window_start"],
-            "count": p["count"],
-            "sum": p["sum"],
-            "sumsq": p["sumsq"],
-            "min": p["min"],
-            "max": p["max"],
-            "mean": d["mean"],
-            "var": d["var"],
-            "spec_energy": p["spec_energy"],
-            "spec_mass": p["spec_mass"],
-            "spec_centroid": d["spec_centroid"],
-            "band_energy": list(p["band_energy"]),
-        }))
-    return frames
+        d = derive_stats(p)
+        acc["doc_id"].append(np.repeat(doc_id, nw))
+        acc["source"].append(np.repeat(source, nw))
+        acc["tier"].append(np.repeat(tier, nw))
+        for f in ("window_start", "count", "sum", "sumsq", "min", "max",
+                  "spec_energy", "spec_mass"):
+            acc[f].append(p[f])
+        for f in ("mean", "var", "spec_centroid"):
+            acc[f].append(d[f])
+        acc["band_energy"].append(p["band_energy"])
+
+
+def _acc_frame(acc: dict[str, list]) -> pd.DataFrame | None:
+    if not acc["count"]:
+        return None
+    data = {c: np.concatenate(acc[c]) for c in _OUT_COLS}
+    data["band_energy"] = list(np.concatenate(acc["band_energy"], axis=0))
+    return pd.DataFrame(data)
+
+
+def _doc_rollup_frames(doc_id: str, source: str, tokens: np.ndarray,
+                       mask: np.ndarray | None, window: int,
+                       tiers: dict[str, int]) -> list[pd.DataFrame]:
+    acc = _new_acc()
+    _acc_doc(acc, doc_id, source, tokens, mask, window, tiers)
+    f = _acc_frame(acc)
+    return [] if f is None else [f]
 
 
 def rollup_sequences(df: DataFrame, window: int = BASE_WINDOW,
@@ -90,7 +110,7 @@ def rollup_sequences(df: DataFrame, window: int = BASE_WINDOW,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames: list[pd.DataFrame] = []
+            acc = _new_acc()
             masks = pdf["gap_mask"].values if has_mask else None
             docs = pdf["doc_id"].values
             srcs = pdf["source"].values
@@ -99,10 +119,11 @@ def rollup_sequences(df: DataFrame, window: int = BASE_WINDOW,
                 m = None
                 if masks is not None and masks[i] is not None:
                     m = np.asarray(masks[i], dtype=bool)
-                frames.extend(_doc_rollup_frames(
-                    docs[i], srcs[i], np.asarray(toks[i]), m, window, tiers))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                _acc_doc(acc, docs[i], srcs[i], np.asarray(toks[i]), m,
+                         window, tiers)
+            frame = _acc_frame(acc)
+            if frame is not None:
+                yield frame
 
     return pruned.mapInPandas(run, ROLLUP_SCHEMA)
 

@@ -64,16 +64,20 @@ def znorm_outliers(df: DataFrame, z: float = 2.0, eps: float = 1.001e-5,
     blocks_pytorch.py:246): per-doc z-normalization, returns how many tokens
     sit beyond ``z`` sigmas. Pinned float order: mean=s/n, var=sq/n-mean²."""
     t = F.col(tokens_col)
-    n = F.size(t).cast("double")
     s = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
     sq = F.aggregate(t, F.lit(0).cast("long"),
                      lambda a, x: a + x.cast("long") * x.cast("long")).cast("double")
-    mean = s / n
-    var = sq / n - (s / n) * (s / n)
-    denom = F.sqrt(var + F.lit(eps))
+    # Materialize the O(n) aggregates as columns FIRST — embedding them inside
+    # the per-element filter lambda would re-evaluate them per element (O(n²)).
+    stats = df.select(
+        "doc_id", t.alias("_t"),
+        F.size(t).cast("long").alias("n_tok"),
+        (s / F.size(t).cast("double")).alias("mean"),
+        (sq / F.size(t).cast("double")
+         - (s / F.size(t).cast("double")) * (s / F.size(t).cast("double")))
+        .alias("var"))
+    mean, denom = F.col("mean"), F.sqrt(F.col("var") + F.lit(eps))
     n_out = F.size(F.filter(
-        t, lambda x: F.abs((x.cast("double") - mean) / denom) > z))
-    return df.select("doc_id",
-                     F.size(t).cast("long").alias("n_tok"),
-                     mean.alias("mean"), var.alias("var"),
-                     n_out.cast("long").alias("n_outliers"))
+        F.col("_t"), lambda x: F.abs((x.cast("double") - mean) / denom) > z))
+    return stats.select("doc_id", "n_tok", "mean", "var",
+                        n_out.cast("long").alias("n_outliers"))
