@@ -355,7 +355,58 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_lsh_topk(emb, k=10, n_planes=8, dim=32)
+    return ann_lsh_topk(emb, k=10, n_planes=8, dim=64)
+
+
+def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted rolling aggregate ≙ Conv1D(k=3, stride=2, 'valid')
+    (reference models_keras.py:386; SURVEY §2.4 'the heart of the mapping')."""
+    from tsrollup.convolve import conv1d
+
+    return conv1d(_tokenized(spark, sf_dir), weights=(0.25, 0.5, 0.25),
+                  stride=2, padding="valid")
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-kernel conv = moving average, the literal reference op
+    (IGN_experiment.py:190-205: np.convolve(x, ones(w))/w)."""
+    from tsrollup.convolve import conv1d
+
+    return conv1d(_tokenized(spark, sf_dir), weights=(0.25, 0.25, 0.25, 0.25),
+                  stride=1, padding="valid")
+
+
+def q_pool_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping max-pool (pool=2, stride=1) ≙ reference models_keras.py:452
+    (rolling max without downsample)."""
+    from tsrollup.convolve import pool1d
+
+    return pool1d(_tokenized(spark, sf_dir), pool=2, stride=1, agg="max")
+
+
+def q_ewma_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential EWMA fold ≙ LSTM seq→vector scan (return_sequences=False,
+    models_keras.py:109-111); pinned fold order matches DuckDB list_reduce."""
+    from tsrollup.convolve import ewma_last
+
+    return ewma_last(_tokenized(spark, sf_dir), alpha=0.125)
+
+
+def q_ewma_bidir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional scan ≙ Bidirectional(LSTM) (models_keras.py:510)."""
+    from tsrollup.convolve import ewma_bidir
+
+    return ewma_bidir(_tokenized(spark, sf_dir), alpha=0.125)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed meta → mapInPandas feature
+    extraction (deterministic fake decoder; rows-only check — no SQL analog)."""
+    from tsrollup.multimodal import MEDIA_SCHEMA, extract_features, generate_media
+
+    media = spark.createDataFrame(generate_media(17, 200), MEDIA_SCHEMA)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "n_frames_sampled")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -397,6 +448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_knn": q_cosine_knn,
         "ann_lsh": q_ann_lsh,
+        "conv1d_valid": q_conv1d_valid,
+        "moving_average": q_moving_average,
+        "pool_overlap": q_pool_overlap,
+        "ewma_scan": q_ewma_scan,
+        "ewma_bidir": q_ewma_bidir,
+        "media_features": q_media_features,
     }
 
 
@@ -727,6 +784,84 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, id_a, id_b LIMIT 10
 """
+
+    # conv ops: the 0.0-init left-fold in Spark is (((0+a)+b)+c); the SQL
+    # sum parses the same way, so doubles match bit-for-bit.
+    sqls["conv1d_valid"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 2, 2)) AS s
+  FROM tok WHERE len(t) >= 3
+)
+SELECT doc_id, (s // 2)::BIGINT AS pos,
+       0.0 + t[s+1]::DOUBLE * 0.25 + t[s+2]::DOUBLE * 0.5
+           + t[s+3]::DOUBLE * 0.25 AS y
+FROM st
+"""
+
+    sqls["moving_average"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 3, 1)) AS s
+  FROM tok WHERE len(t) >= 4
+)
+SELECT doc_id, s::BIGINT AS pos,
+       0.0 + t[s+1]::DOUBLE * 0.25 + t[s+2]::DOUBLE * 0.25
+           + t[s+3]::DOUBLE * 0.25 + t[s+4]::DOUBLE * 0.25 AS y
+FROM st
+"""
+
+    sqls["pool_overlap"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 1, 1)) AS s
+  FROM tok WHERE len(t) >= 2
+)
+SELECT doc_id, s::BIGINT AS pos,
+       greatest(t[s+1], t[s+2])::BIGINT AS y
+FROM st
+"""
+
+    # list_reduce: init = first element, left fold, acc is the first lambda
+    # arg — identical semantics and float op order to the Spark aggregate().
+    sqls["ewma_scan"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_transform(t, x -> x::DOUBLE),
+                   (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_last,
+       list_max(t)::BIGINT AS run_max,
+       list_min(t)::BIGINT AS run_min,
+       t[-1]::BIGINT AS last_tok
+FROM tok WHERE len(t) > 0
+"""
+
+    sqls["ewma_bidir"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_transform(t, x -> x::DOUBLE),
+                   (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_fwd,
+       list_reduce(list_transform(list_reverse(t), x -> x::DOUBLE),
+                   (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_bwd
+FROM tok WHERE len(t) > 0
+"""
+    # media_features: binary decode plumbing — no SQL analog (rows-only)
 
     sqls["cosine_knn"] = """
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

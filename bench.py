@@ -14,7 +14,7 @@ Every timing forces FULL materialization with the noop sink
 (``df.write.format("noop")``) so lazy plans can't cheat; the noop sink also
 keeps the measurement free of driver-collect overhead.
 
-Scaling-efficiency evidence (local[8] vs local[32]) lives in
+Scaling-efficiency evidence (pinned N vs 4N cores) lives in
 ``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``; this file is the
 single-parallelism per-round benchmark the driver records as BENCH_r{N}.json.
 """
@@ -57,12 +57,18 @@ HEADLINE = [
     "simhash",
     "cosine_knn",
     "ann_lsh",
+    "conv1d_valid",
+    "moving_average",
+    "pool_overlap",
+    "ewma_scan",
+    "ewma_bidir",
+    "media_features",
 ]
 
-# F1 sequences fixture size for the native-throughput leg. ~8k docs × ~700
-# mean tokens ≈ 5.6M points — enough to amortize job overhead at local[32],
+# F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700
+# mean tokens ≈ 22M points — enough to amortize job overhead at local[32],
 # small enough to keep the per-round bench under a couple of minutes.
-SEQ_DOCS = int(os.environ.get("TSROLLUP_BENCH_DOCS", "8000"))
+SEQ_DOCS = int(os.environ.get("TSROLLUP_BENCH_DOCS", "32000"))
 SEQ_SEED = 42
 
 
@@ -111,9 +117,10 @@ def main() -> int:
 
     # Native rollup throughput on the input_hint table (BASELINE.json metric).
     seqs = spark.read.parquet(seq_path)
-    _noop(rollup_sequences(seqs.limit(256)))  # warm the Arrow UDF path
+    roll = rollup_sequences(seqs)
+    _noop(roll)  # full warm pass: JIT + every Python worker
     t0 = time.perf_counter()
-    _noop(rollup_sequences(seqs))
+    _noop(roll)
     rollup_s = time.perf_counter() - t0
     seqs_per_sec = SEQ_DOCS / rollup_s
 

@@ -1,0 +1,110 @@
+"""conv1d/pool1d/ewma vs a NumPy reference, covering the padding conventions
+and dilation the DuckDB oracles don't reach ('same', 'full', dilation=2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def toks_df(spark):
+    rng = np.random.default_rng(13)
+    rows = [("d%03d" % i,
+             rng.integers(0, 100, rng.integers(1, 40)).astype(int).tolist(),
+             "t")
+            for i in range(80)]
+    rows.append(("empty", [], "t"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "tokens", "source"]))
+
+
+def np_conv(x, w, stride, padding, dilation=1):
+    x = np.asarray(x, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64)
+    k = len(w)
+    span = (k - 1) * dilation
+    if padding == "full":
+        x = np.concatenate([np.zeros(span), x, np.zeros(span)])
+    out = []
+    if padding == "same":
+        starts = range(0, len(x), stride)
+        for s in starts:
+            m = min(k, len(x) - s)
+            acc = 0.0
+            for i in range(m):
+                acc += x[s + i] * w[i]
+            out.append(acc)
+    else:
+        starts = range(0, len(x) - span, stride) if len(x) > span else []
+        for s in starts:
+            acc = 0.0
+            for i in range(k):
+                acc += x[s + i * dilation] * w[i]
+            out.append(acc)
+    return out
+
+
+def _collect(df):
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["doc_id"], {})[r["pos"]] = r["y"]
+    return {d: [v[p] for p in sorted(v)] for d, v in got.items()}
+
+
+@pytest.mark.parametrize("padding,stride,dilation", [
+    ("valid", 1, 1), ("valid", 3, 1), ("valid", 1, 2),
+    ("same", 1, 1), ("same", 2, 1), ("full", 1, 1), ("full", 2, 2),
+])
+def test_conv1d_matches_numpy(spark, toks_df, padding, stride, dilation):
+    from tsrollup.convolve import conv1d
+
+    w = (0.5, -0.25, 0.125)
+    got = _collect(conv1d(toks_df, w, stride, padding, dilation))
+    pdf = toks_df.toPandas()
+    n_docs_with_output = 0
+    for _, r in pdf.iterrows():
+        want = np_conv(r["tokens"], w, stride, padding, dilation)
+        if want:
+            n_docs_with_output += 1
+            assert got.get(r["doc_id"]) == want, r["doc_id"]
+        else:
+            assert r["doc_id"] not in got
+    assert n_docs_with_output > 0
+
+
+@pytest.mark.parametrize("pool,stride,agg", [(2, 2, "max"), (3, 1, "max"),
+                                             (2, 2, "avg"), (4, 2, "min")])
+def test_pool1d_matches_numpy(spark, toks_df, pool, stride, agg):
+    from tsrollup.convolve import pool1d
+
+    got = _collect(pool1d(toks_df, pool, stride, agg))
+    fn = {"max": max, "min": min,
+          "avg": lambda w: float(sum(w)) / len(w)}[agg]
+    for _, r in toks_df.toPandas().iterrows():
+        x = r["tokens"]
+        want = [fn(x[s:s + pool]) for s in range(0, len(x) - pool + 1, stride)]
+        if want:
+            assert got.get(r["doc_id"]) == want, r["doc_id"]
+        else:
+            assert r["doc_id"] not in got
+
+
+def test_ewma_matches_numpy(spark, toks_df):
+    from tsrollup.convolve import ewma_last
+
+    a = 0.125
+    got = {r["doc_id"]: r for r in ewma_last(toks_df, a).collect()}
+    for _, r in toks_df.toPandas().iterrows():
+        x = r["tokens"]
+        if not len(x):
+            assert r["doc_id"] not in got
+            continue
+        acc = float(x[0])
+        for v in x[1:]:
+            acc = a * float(v) + (1 - a) * acc
+        g = got[r["doc_id"]]
+        assert g["ewma_last"] == acc
+        assert g["run_max"] == max(x) and g["run_min"] == min(x)
+        assert g["last_tok"] == x[-1]

@@ -63,11 +63,13 @@ def run_checkpointed(spark: SparkSession, input_path: str, output_root: str,
     ``max_buckets`` limits work per call (used by tests to simulate a kill
     mid-run; in production it bounds a single spark-submit invocation).
     """
+    from .io import read_table
+
     done = completed_buckets(spark, output_root)
     pending = [b for b in range(n_buckets) if b not in done]
     if max_buckets is not None:
         pending = pending[:max_buckets]
-    src = spark.read.parquet(input_path).withColumn("_bucket", _bucket_col(n_buckets))
+    src = read_table(spark, input_path).withColumn("_bucket", _bucket_col(n_buckets))
     finished: list[int] = []
     for b in pending:
         t0 = time.time()

@@ -1,0 +1,142 @@
+"""Weighted rolling aggregates (the Conv1D analog) and recurrent scans.
+
+SURVEY §2.4 calls the sliding dot-product "the heart of the mapping":
+``Conv1D(filters, k, stride)`` ≙ out[t] = Σᵢ w[i]·x[t·s+i] — a weighted
+rolling aggregate (reference ``models_keras.py:137``, 44 Keras + 70 Torch
+uses; uniform kernel = ``moving_average`` at ``IGN_experiment.py:190-205``).
+§2.5's LSTM/GRU scans ≙ ordered stateful recurrences; their deterministic
+engine analog is EWMA / running extrema computed as a strictly sequential
+fold (``F.aggregate``), which pins float order so a SQL oracle folding the
+same list reproduces the bits.
+
+Padding conventions (pinned, §2.4):
+  'valid' — output length T−(k−1)·d (no padding; reference models_keras.py:386)
+  'same'  — output length T; window trimmed at the right edge (shrinking)
+  'full'  — output length T+(k−1); zero-pad k−1 both ends (reference
+            utils.py:107-130 full_convolution)
+
+Everything is JVM-side higher-order functions (sequence/transform/
+aggregate/slice) — zero Python in the hot path; weights enter the plan as
+literals (constant-folded by Catalyst).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _window_dot(tok: Column, start: Column, weights: Sequence[float],
+                dilation: int = 1) -> Column:
+    """Σᵢ w[i] · tok[start + i·dilation]  (start is 0-based; strictly
+    sequential left-to-right fold → pinned float order)."""
+    terms = F.transform(
+        F.sequence(F.lit(0), F.lit(len(weights) - 1)),
+        lambda i: F.element_at(tok, start + i * dilation + 1).cast("double")
+        * F.element_at(F.array(*[F.lit(float(w)) for w in weights]), i + 1))
+    return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+
+
+def conv1d(df: DataFrame, weights: Sequence[float], stride: int = 1,
+           padding: str = "valid", dilation: int = 1,
+           tokens_col: str = "tokens") -> DataFrame:
+    """Weighted rolling aggregate over each doc's token signal.
+
+    Returns (doc_id, pos, y) flat rows: y[p] = Σᵢ w[i]·x[p·stride + i·dilation]
+    under the chosen padding convention. A uniform kernel w=1/k is the
+    reference's moving_average; arbitrary kernels are its learned conv filters.
+    """
+    k = len(weights)
+    span = (k - 1) * dilation
+    tok = F.col(tokens_col)
+    if padding == "full":
+        tok = F.concat(F.array_repeat(F.lit(0), span), tok,
+                       F.array_repeat(F.lit(0), span))
+    n = F.size(tok)
+    if padding == "same":
+        # output length ceil(T/stride); right-edge windows shrink
+        df = df.filter(F.size(F.col(tokens_col)) > 0)  # sequence(0,-1) errors
+        starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+        win = lambda s: F.slice(tok, s + 1, F.least(  # noqa: E731
+            F.lit(span + 1), n - s))
+        wlit = F.array(*[F.lit(float(w)) for w in weights])
+        y = lambda s: F.aggregate(  # noqa: E731
+            F.zip_with(
+                F.transform(win(s), lambda x: x.cast("double")),
+                F.slice(wlit, 1, F.least(F.lit(k), n - s)),
+                lambda x, w: x * w),
+            F.lit(0.0), lambda a, x: a + x)
+        if dilation != 1:
+            raise ValueError("'same' padding supports dilation=1")
+    else:
+        starts = F.sequence(F.lit(0), n - 1 - span, F.lit(stride))
+        y = lambda s: _window_dot(tok, s, weights, dilation)  # noqa: E731
+        df = df.filter(n > span)
+    out = df.select(
+        "doc_id",
+        F.posexplode(F.transform(starts, y)).alias("pos", "y"))
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "y")
+
+
+def pool1d(df: DataFrame, pool: int = 2, stride: int | None = None,
+           agg: str = "max", tokens_col: str = "tokens") -> DataFrame:
+    """MaxPooling1D/AveragePooling1D analog (reference models_keras.py:59,
+    blocks_keras.py:25): rolling window extreme/mean then decimate by stride.
+    stride == pool is the tumbling rollup; stride < pool is the overlapping
+    variant (e.g. pool=2, stride=1 at models_keras.py:452). 'valid' windows.
+    """
+    stride = pool if stride is None else stride
+    tok = F.col(tokens_col)
+    n = F.size(tok)
+    starts = F.sequence(F.lit(0), n - pool, F.lit(stride))
+    win = lambda s: F.slice(tok, s + 1, pool)  # noqa: E731
+    if agg == "max":
+        val = lambda s: F.array_max(win(s)).cast("long")  # noqa: E731
+    elif agg == "min":
+        val = lambda s: F.array_min(win(s)).cast("long")  # noqa: E731
+    elif agg == "avg":
+        val = lambda s: (F.aggregate(win(s), F.lit(0).cast("long"),  # noqa: E731
+                                     lambda a, x: a + x).cast("double")
+                         / F.lit(float(pool)))
+    else:
+        raise ValueError(agg)
+    return (df.filter(n >= pool)
+            .select("doc_id", F.posexplode(F.transform(starts, val))
+                    .alias("pos", "y"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"), "y"))
+
+
+def ewma_last(df: DataFrame, alpha: float = 0.125,
+              tokens_col: str = "tokens") -> DataFrame:
+    """EWMA over each doc's signal, final value + running max/min — the
+    deterministic analog of the reference's LSTM/GRU seq→vector scans
+    (return_sequences=False, models_keras.py:109-111). Strictly sequential
+    F.aggregate fold ⇒ float order is pinned and SQL-oracle-reproducible."""
+    tok = F.col(tokens_col)
+    first = F.element_at(tok, 1).cast("double")
+    rest = F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0)))
+    a = F.lit(float(alpha))
+    ew = F.aggregate(rest, first,
+                     lambda acc, x: a * x.cast("double") + (F.lit(1.0) - a) * acc)
+    return (df.filter(F.size(tok) > 0)
+            .select("doc_id",
+                    ew.alias("ewma_last"),
+                    F.array_max(tok).cast("long").alias("run_max"),
+                    F.array_min(tok).cast("long").alias("run_min"),
+                    F.element_at(tok, -1).cast("long").alias("last_tok")))
+
+
+def ewma_bidir(df: DataFrame, alpha: float = 0.125,
+               tokens_col: str = "tokens") -> DataFrame:
+    """Bidirectional scan analog (reference Bidirectional(LSTM),
+    models_keras.py:510): the same fold forward and over reverse(tokens),
+    concatenated — here their final values side by side."""
+    fwd = ewma_last(df, alpha, tokens_col).select(
+        "doc_id", F.col("ewma_last").alias("ewma_fwd"))
+    bwd = ewma_last(
+        df.withColumn(tokens_col, F.reverse(F.col(tokens_col))),
+        alpha, tokens_col).select(
+        "doc_id", F.col("ewma_last").alias("ewma_bwd"))
+    return fwd.join(bwd, "doc_id")

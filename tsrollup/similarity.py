@@ -77,8 +77,13 @@ def srp_signature(df: DataFrame, n_planes: int = 8, dim: int = 32,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Sign-random-projection signature: plane p's direction for component c is
     ±1 from bit (md5-derived) — deterministic, model-free, cross-engine.
-    sig bit p = 1 iff Σ_c v[c]·dir(p,c) > 0."""
-    v = _as_double(F.col(vec_col))
+    sig bit p = 1 iff Σ_c v[c]·dir(p,c) > 0.
+
+    ``dim`` must equal the embedding dimension: the vector is sliced to
+    ``dim`` so a mismatch can't NULL-poison the projection (zip_with pads the
+    shorter side with NULLs, which would silently fold every row into one
+    bucket and degrade the join to O(n²))."""
+    v = F.slice(_as_double(F.col(vec_col)), 1, dim)
     bits = []
     for p in range(n_planes):
         # dir(p,c) = +1 if md5("p|c")'s low hex bit even — precomputed literal
@@ -105,16 +110,22 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int = 8, dim: int = 32,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """ANN via SRP-LSH: candidates = pairs sharing a bucket (equi-join on the
     signature), then exact cosine re-rank within candidates. Recall trades off
-    with n_planes; the bucket join replaces the O(n²) scan."""
+    with n_planes; the bucket join replaces the O(n²) scan.
+
+    Plan shape: signature + L2-normalized vector are computed ONCE per row in
+    a pre-join projection, so the per-pair work is a single dot product and
+    the big SRP expression tree never sits on a join side."""
     sig = srp_signature(df, n_planes, dim, id_col, vec_col)
+    v = _as_double(F.col(vec_col))
+    norm = _norm(v)
     e = (df.select(F.col(id_col).alias("id"),
-                   _as_double(F.col(vec_col)).alias("v"))
+                   F.transform(v, lambda x: x / norm).alias("vn"))
          .join(sig, "id"))
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(b, (F.col("a.srp_bucket") == F.col("b.srp_bucket"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"))
+                _dot(F.col("a.vn"), F.col("b.vn")).alias("cos_sim"))
     )
     return cand.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
