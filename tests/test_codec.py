@@ -105,3 +105,33 @@ def test_dod_negative_and_extremes():
                 max_size=300))
 def test_dod_property(xs):
     rt_i(xs)
+
+
+def test_batched_codecs_byte_identical_to_scalar():
+    """*_many variants must produce byte-identical blobs to per-blob calls
+    (readers can't tell which writer ran) and round-trip exactly."""
+    import numpy as np
+
+    from tsrollup.codec import (dod_decode_many, dod_encode, dod_encode_many,
+                                gorilla_decode_many, gorilla_encode,
+                                gorilla_encode_many)
+
+    rng = np.random.default_rng(7)
+    ints = [rng.integers(-10**14, 10**14,
+                         rng.integers(1, 60)).astype(np.int64)
+            for _ in range(150)]
+    ints += [np.array([0], dtype=np.int64),
+             np.arange(0, 64 * 500, 64, dtype=np.int64),
+             np.array([2**62, -2**62, 17], dtype=np.int64)]
+    enc = dod_encode_many(ints)
+    assert enc == [dod_encode(a) for a in ints]
+    for a, r in zip(ints, dod_decode_many(enc)):
+        assert (a == r).all()
+
+    floats = [rng.standard_normal(rng.integers(1, 60)) for _ in range(150)]
+    floats += [np.array([0.0]), np.repeat(2.5, 40),
+               np.array([np.nan, np.inf, -np.inf, -0.0, 2.0**-1040, 1e300])]
+    genc = gorilla_encode_many(floats)
+    assert genc == [gorilla_encode(a) for a in floats]
+    for a, r in zip(floats, gorilla_decode_many(genc)):
+        assert a.tobytes() == r.tobytes()

@@ -170,14 +170,17 @@ def rollup_compressed(df: DataFrame, window: int = BASE_WINDOW,
     int partials (window_start is monotone → ~1 byte/point), stream-split
     Gorilla XOR for the float aggregates (north_star compression requirement).
     """
-    from .codec import dod_encode, gorilla_encode
+    from .codec import dod_encode_many, gorilla_encode_many
 
     has_mask = "gap_mask" in df.columns
     cols = ["doc_id", "tokens", "source"] + (["gap_mask"] if has_mask else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[dict] = []
+            meta: dict[str, list] = {"doc_id": [], "source": [], "tier": [],
+                                     "n_windows": []}
+            blobs: dict[str, list[np.ndarray]] = {
+                f: [] for f in _INT_FIELDS + _FLOAT_FIELDS + ("band_energy",)}
             masks = pdf["gap_mask"].values if has_mask else None
             for i in range(len(pdf)):
                 m = None
@@ -191,21 +194,23 @@ def rollup_compressed(df: DataFrame, window: int = BASE_WINDOW,
                     if nw == 0:
                         continue
                     d = derive_stats(p)
-                    row = {
-                        "doc_id": pdf["doc_id"].values[i],
-                        "source": pdf["source"].values[i],
-                        "tier": tier,
-                        "n_windows": nw,
-                    }
+                    meta["doc_id"].append(pdf["doc_id"].values[i])
+                    meta["source"].append(pdf["source"].values[i])
+                    meta["tier"].append(tier)
+                    meta["n_windows"].append(nw)
                     for f in _INT_FIELDS:
-                        row[f] = dod_encode(p[f].astype(np.int64))
+                        blobs[f].append(p[f].astype(np.int64))
                     for f in _FLOAT_FIELDS:
-                        src = d[f] if f in d else p[f]
-                        row[f] = gorilla_encode(src)
-                    row["band_energy"] = gorilla_encode(p["band_energy"].ravel())
-                    rows.append(row)
-            if rows:
-                yield pd.DataFrame(rows)
+                        blobs[f].append(d[f] if f in d else p[f])
+                    blobs["band_energy"].append(p["band_energy"].ravel())
+            if meta["doc_id"]:
+                # one vectorized codec pass per FIELD per Arrow batch
+                data: dict[str, list] = dict(meta)
+                for f in _INT_FIELDS:
+                    data[f] = dod_encode_many(blobs[f])
+                for f in _FLOAT_FIELDS + ("band_energy",):
+                    data[f] = gorilla_encode_many(blobs[f])
+                yield pd.DataFrame(data)
 
     return df.select(*cols).mapInPandas(run, COMPRESSED_SCHEMA)
 
@@ -213,30 +218,31 @@ def rollup_compressed(df: DataFrame, window: int = BASE_WINDOW,
 def decompress_rollup(df: DataFrame) -> DataFrame:
     """Unpack codec-packed tier rows back to the flat ROLLUP_SCHEMA; exact
     inverse of rollup_compressed (codec round-trips are bit-exact)."""
-    from .codec import dod_decode, gorilla_decode
+    from .codec import dod_decode_many, gorilla_decode_many
+
+    out_cols = [c.split(" ")[0] for c in ROLLUP_SCHEMA.split(", ")]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames: list[pd.DataFrame] = []
-            for i in range(len(pdf)):
-                nw = int(pdf["n_windows"].values[i])
-                data = {
-                    "doc_id": np.repeat(pdf["doc_id"].values[i], nw),
-                    "source": np.repeat(pdf["source"].values[i], nw),
-                    "tier": np.repeat(pdf["tier"].values[i], nw),
-                }
-                for f in _INT_FIELDS:
-                    data[f] = dod_decode(pdf[f].values[i])
-                data["min"] = data["min"].astype(np.int32)
-                data["max"] = data["max"].astype(np.int32)
-                for f in _FLOAT_FIELDS:
-                    data[f] = gorilla_decode(pdf[f].values[i])
-                be = gorilla_decode(pdf["band_energy"].values[i]).reshape(nw, N_BANDS)
-                data["band_energy"] = list(be)
-                cols = ROLLUP_SCHEMA.split(", ")
-                frames.append(pd.DataFrame(data)[[c.split(" ")[0] for c in cols]])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            nws = pdf["n_windows"].values.astype(np.intp)
+            data: dict[str, object] = {
+                "doc_id": np.repeat(pdf["doc_id"].values, nws),
+                "source": np.repeat(pdf["source"].values, nws),
+                "tier": np.repeat(pdf["tier"].values, nws),
+            }
+            for f in _INT_FIELDS:
+                data[f] = np.concatenate(dod_decode_many(list(pdf[f].values)))
+            data["min"] = data["min"].astype(np.int32)
+            data["max"] = data["max"].astype(np.int32)
+            for f in _FLOAT_FIELDS:
+                data[f] = np.concatenate(
+                    gorilla_decode_many(list(pdf[f].values)))
+            be = np.concatenate(
+                gorilla_decode_many(list(pdf["band_energy"].values)))
+            data["band_energy"] = list(be.reshape(-1, N_BANDS))
+            yield pd.DataFrame(data)[out_cols]
 
     return df.mapInPandas(run, ROLLUP_SCHEMA)
 
