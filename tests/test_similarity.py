@@ -1,0 +1,75 @@
+"""Similarity search: brute-force exactness vs NumPy, LSH bucket health and
+recall of near-duplicate pairs (the dedup use case LSH exists for)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, DIM))
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(40)]
+    # planted near-duplicates: 100/101 and 102/103 are tiny perturbations
+    for vid, src in ((100, 0), (101, 0), (102, 1), (103, 1)):
+        v = base[src] + rng.standard_normal(DIM) * 1e-3
+        rows.append((vid, v.astype(np.float32).tolist()))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    from tsrollup.similarity import cosine_topk_pairs
+
+    got = cosine_topk_pairs(emb_df, k=3).toPandas()
+    pdf = emb_df.toPandas().set_index("vec_id")["embedding"]
+    ids = sorted(pdf.index)
+    best = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va = np.asarray(pdf[a], dtype=np.float64)
+            vb = np.asarray(pdf[b], dtype=np.float64)
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            best.append((a, b, cos))
+    best.sort(key=lambda t: (-t[2], t[0], t[1]))
+    want = [(a, b) for a, b, _ in best[:3]]
+    assert list(zip(got["id_a"], got["id_b"])) == want
+    np.testing.assert_allclose(got["cos_sim"], [c for _, _, c in best[:3]],
+                               rtol=1e-12)
+
+
+def test_lsh_buckets_are_diverse_and_deterministic(spark, emb_df):
+    from tsrollup.similarity import srp_signature
+
+    sig = srp_signature(emb_df, n_planes=8, dim=DIM).toPandas()
+    assert sig["srp_bucket"].nunique() > 4  # not collapsed into one bucket
+    again = srp_signature(emb_df, n_planes=8, dim=DIM).toPandas()
+    assert sig.sort_values("id").equals(again.sort_values("id"))
+
+
+def test_lsh_finds_planted_near_duplicates(spark, emb_df):
+    from tsrollup.similarity import ann_lsh_topk
+
+    # k=6: each planted twin also near-matches its source vector (0 or 1),
+    # so the duplicate clusters occupy the top six pairs
+    got = ann_lsh_topk(emb_df, k=6, n_planes=8, dim=DIM).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    # near-identical vectors share every hyperplane sign → must be candidates
+    # and must outrank everything else
+    assert (100, 101) in pairs and (102, 103) in pairs
+    assert got["cos_sim"].iloc[0] > 0.999
+
+
+def test_knn_ranks_are_exact(spark, emb_df):
+    from tsrollup.similarity import cosine_topk_for_queries
+
+    q = emb_df.filter("vec_id = 100")
+    got = cosine_topk_for_queries(emb_df, q, k=3).toPandas()
+    assert list(got["rank"]) == [1, 2, 3]
+    # nearest two must be its duplicate cluster: source 0 and twin 101
+    assert set(got["id"].iloc[:2]) == {0, 101}

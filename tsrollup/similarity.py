@@ -14,6 +14,8 @@ hyperplanes are md5-derived (deterministic, no stored model).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,27 +78,28 @@ def cosine_topk_for_queries(df: DataFrame, queries: DataFrame, k: int = 5,
 def srp_signature(df: DataFrame, n_planes: int = 8, dim: int = 32,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Sign-random-projection signature: plane p's direction for component c is
-    ±1 from bit (md5-derived) — deterministic, model-free, cross-engine.
+    ±1 from an md5-derived bit — deterministic, model-free, no stored model.
     sig bit p = 1 iff Σ_c v[c]·dir(p,c) > 0.
 
-    ``dim`` must equal the embedding dimension: the vector is sliced to
-    ``dim`` so a mismatch can't NULL-poison the projection (zip_with pads the
-    shorter side with NULLs, which would silently fold every row into one
-    bucket and degrade the join to O(n²))."""
-    v = F.slice(_as_double(F.col(vec_col)), 1, dim)
-    bits = []
-    for p in range(n_planes):
-        # dir(p,c) = +1 if md5("p|c")'s low hex bit even — precomputed literal
-        dirs = F.array(*[
-            F.lit(1.0 if _plane_dir(p, c) else -1.0) for c in range(dim)])
-        proj = F.aggregate(F.zip_with(v, dirs, lambda x, d: x * d),
-                           F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+    Implemented as ONE matmul per Arrow batch in a vectorized pandas UDF: the
+    declarative alternative (n_planes folds over dim-literal arrays) builds an
+    expression tree that takes longer to codegen-compile than the job runs.
+    ``dim`` must equal the embedding dimension; vectors are truncated to
+    ``dim`` so a mismatch can't silently fold all rows into one bucket."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([[1.0 if _plane_dir(p, c) else -1.0
+                        for p in range(n_planes)]
+                       for c in range(dim)])  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("int")
+    def bucket(v: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(a[:dim], dtype=np.float64) for a in v])
+        return pd.Series(((x @ planes) > 0) @ weights)
+
     return df.select(F.col(id_col).alias("id"),
-                     sig.cast("int").alias("srp_bucket"))
+                     bucket(F.col(vec_col)).alias("srp_bucket"))
 
 
 def _plane_dir(p: int, c: int) -> bool:
