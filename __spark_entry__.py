@@ -399,6 +399,86 @@ def q_ewma_bidir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_bidir(_tokenized(spark, sf_dir), alpha=0.125)
 
 
+def q_one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encode event_type per user (≙ reference KDD one-hot,
+    experiments/utils.py:4-107) as conditional aggregates in one pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+             .cast("long").alias(f"n_{t}") for t in types]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def q_softmax_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-subtracted softmax over each doc's token signal (≙ reference
+    softmax head, models_keras.py:70): elementwise exp / sequential-fold sum.
+    Returns the entropy of the distribution per doc."""
+    t = F.col("tokens")
+    mx = F.array_max(t).cast("double")
+    ex = F.transform(t, lambda x: F.exp(x.cast("double") - mx))
+    z = F.aggregate(ex, F.lit(0.0), lambda a, x: a + x)
+    probs = F.transform(ex, lambda e: e / z)
+    ent = -F.aggregate(F.transform(probs, lambda p: p * F.log(p)),
+                       F.lit(0.0), lambda a, x: a + x)
+    return (_tokenized(spark, sf_dir)
+            .filter(F.size(t) > 0)
+            .select("doc_id", z.alias("z"), ent.alias("entropy")))
+
+
+def q_residual_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual add of a coarse branch (avg-pool/2 → upsample×2 → crop) onto
+    the input ≙ reference residual blocks with pad/crop alignment
+    (blocks_keras.py:157-161). Returns checksum aggregates of the summed
+    signal so the whole aligned zip_with path is value-checked."""
+    t = F.col("tokens")
+    n = F.size(t)
+    half = F.transform(
+        F.sequence(F.lit(0), (F.floor(n / 2) - 1).cast("int")),
+        lambda i: (F.element_at(t, 2 * i + 1) + F.element_at(t, 2 * i + 2))
+        .cast("double") / F.lit(2.0))
+    up = F.flatten(F.transform(half, lambda v: F.array(v, v)))
+    aligned = F.slice(up, 1, F.size(up))  # even length ≤ n; crop input to it
+    res = F.zip_with(F.slice(t, 1, F.size(up)), aligned,
+                     lambda x, u: x.cast("double") + u)
+    return (_tokenized(spark, sf_dir)
+            .filter(n >= 2)
+            .select("doc_id",
+                    F.size(res).cast("long").alias("n_res"),
+                    F.aggregate(res, F.lit(0.0), lambda a, x: a + x)
+                     .alias("res_sum")))
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity metrics in one scan via GROUPING SETS (engine metric
+    rollups, SURVEY §2.7): per-user, per-event-type, and grand total."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("events_gs")
+    # grouping-set NULL keys → '*' sentinels so cross-engine sort/compare of
+    # the result is total-order-safe
+    return spark.sql("""
+        SELECT COALESCE(CAST(user_id AS STRING), '*') AS user_grp,
+               COALESCE(event_type, '*') AS type_grp,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        FROM events_gs
+        GROUP BY GROUPING SETS ((user_id), (event_type), ())
+    """)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified split ≙ reference train/test split
+    (test/test_keras.py:50-53): md5-based bucket (cross-engine stable,
+    unlike xxhash64) → per-split counts."""
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"), F.lit(10))
+    split = F.when(bucket < 8, "train").when(bucket < 9, "valid") \
+        .otherwise("test")
+    return (d.select(split.alias("split"))
+            .groupBy("split").agg(F.count("*").cast("long").alias("n_docs")))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + typed meta → mapInPandas feature
     extraction (deterministic fake decoder; rows-only check — no SQL analog)."""
@@ -454,6 +534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_scan": q_ewma_scan,
         "ewma_bidir": q_ewma_bidir,
         "media_features": q_media_features,
+        "one_hot_events": q_one_hot_events,
+        "softmax_window": q_softmax_window,
+        "residual_add": q_residual_add,
+        "grouping_sets": q_grouping_sets,
+        "hash_split": q_hash_split,
     }
 
 
@@ -862,6 +947,63 @@ SELECT doc_id,
 FROM tok WHERE len(t) > 0
 """
     # media_features: binary decode plumbing — no SQL analog (rows-only)
+    # softmax_window: exp/log differ in the last ulp between the JVM and
+    # DuckDB libm (measured 29/145 values) — rows-only check
+
+    sqls["one_hot_events"] = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+    sqls["residual_add"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), r AS (
+  SELECT doc_id, t,
+         flatten(list_transform(
+           range(0, len(t) // 2),
+           i -> [ (t[2*i+1] + t[2*i+2])::DOUBLE / 2.0,
+                  (t[2*i+1] + t[2*i+2])::DOUBLE / 2.0 ])) AS up
+  FROM tok WHERE len(t) >= 2
+), z AS (
+  SELECT doc_id, len(up)::BIGINT AS n_res,
+         list_transform(range(0, len(up)),
+                        i -> t[i+1]::DOUBLE + up[i+1]) AS res
+  FROM r
+)
+SELECT doc_id, n_res,
+       list_reduce(list_prepend(0.0, res), (acc, x) -> acc + x) AS res_sum
+FROM z
+"""
+
+    sqls["grouping_sets"] = """
+SELECT COALESCE(CAST(user_id AS VARCHAR), '*') AS user_grp,
+       COALESCE(event_type, '*') AS type_grp,
+       COUNT(*)::BIGINT AS n,
+       SUM(value::DECIMAL(18,2))::DOUBLE AS val_sum
+FROM events
+GROUP BY GROUPING SETS ((user_id), (event_type), ())
+"""
+
+    sqls["hash_split"] = """
+WITH b AS (
+  SELECT CASE
+    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+      THEN 'train'
+    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 9
+      THEN 'valid'
+    ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*)::BIGINT AS n_docs FROM b GROUP BY split
+"""
 
     sqls["cosine_knn"] = """
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

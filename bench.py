@@ -63,6 +63,11 @@ HEADLINE = [
     "ewma_scan",
     "ewma_bidir",
     "media_features",
+    "one_hot_events",
+    "softmax_window",
+    "residual_add",
+    "grouping_sets",
+    "hash_split",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

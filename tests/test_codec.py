@@ -135,3 +135,39 @@ def test_batched_codecs_byte_identical_to_scalar():
     assert genc == [gorilla_encode(a) for a in floats]
     for a, r in zip(floats, gorilla_decode_many(genc)):
         assert a.tobytes() == r.tobytes()
+
+
+def test_codec_roundtrip_property():
+    """Property-based: arbitrary int64/float64 arrays round-trip exactly
+    through both codecs and their batched variants."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsrollup.codec import (dod_decode, dod_decode_many, dod_encode,
+                                dod_encode_many, gorilla_decode,
+                                gorilla_decode_many, gorilla_encode,
+                                gorilla_encode_many)
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    f64 = st.floats(allow_nan=True, allow_infinity=True, width=64)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(i64, min_size=0, max_size=80))
+    def check_dod(xs):
+        a = np.array(xs, dtype=np.int64)
+        assert (dod_decode(dod_encode(a)) == a).all()
+        if len(xs):
+            assert (dod_decode_many(dod_encode_many([a]))[0] == a).all()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(f64, min_size=0, max_size=80))
+    def check_gorilla(xs):
+        a = np.array(xs, dtype=np.float64)
+        assert gorilla_decode(gorilla_encode(a)).tobytes() == a.tobytes()
+        if len(xs):
+            assert gorilla_decode_many(
+                gorilla_encode_many([a]))[0].tobytes() == a.tobytes()
+
+    check_dod()
+    check_gorilla()
