@@ -479,6 +479,24 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split").agg(F.count("*").cast("long").alias("n_docs")))
 
 
+def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-(source, tier) metrics: salted two-phase aggregation of
+    decomposable partials (SURVEY §4 — a Zipf-heavy source would bottleneck a
+    plain groupBy; the salt spreads phase 1 over 32 reducers). Source here is
+    synthetic doc_id%4 with a deliberately heavy bucket 0 (0-2 map to src0)."""
+    from tsrollup.rollup import per_source_stats, rollup_sequences
+    from tsrollup.text import tokenize_words
+
+    toks = tokenize_words(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "tokens",
+        F.concat(F.lit("src"),
+                 F.greatest(F.col("doc_id") % 4 - 2, F.lit(0)).cast("string"))
+        .alias("source"))
+    rolled = rollup_sequences(toks, window=W0, tiers={"w": 1, "w4": 4})
+    return per_source_stats(rolled)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + typed meta → mapInPandas feature
     extraction (deterministic fake decoder; rows-only check — no SQL analog)."""
@@ -539,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "residual_add": q_residual_add,
         "grouping_sets": q_grouping_sets,
         "hash_split": q_hash_split,
+        "per_source_stats": q_per_source_stats,
     }
 
 
@@ -1003,6 +1022,32 @@ WITH b AS (
   FROM documents
 )
 SELECT split, COUNT(*)::BIGINT AS n_docs FROM b GROUP BY split
+"""
+
+    sqls["per_source_stats"] = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'src' || CAST(greatest(doc_id % 4 - 2, 0) AS VARCHAR) AS source,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, unnest(tokens) AS tk,
+         unnest(range(0, len(tokens))) AS p
+  FROM tok
+), pts AS (
+  SELECT source, 'w' AS tier, COUNT(*)::BIGINT AS cnt,
+         SUM(tk)::BIGINT AS s, MIN(tk)::BIGINT AS mn, MAX(tk)::BIGINT AS mx
+  FROM pos GROUP BY source, doc_id, p // {W0}
+  UNION ALL
+  SELECT source, 'w4', COUNT(*)::BIGINT, SUM(tk)::BIGINT,
+         MIN(tk)::BIGINT, MAX(tk)::BIGINT
+  FROM pos GROUP BY source, doc_id, p // {W0 * 4}
+)
+SELECT source, tier, COUNT(*)::BIGINT AS n_points,
+       SUM(cnt)::BIGINT AS n_tokens,
+       SUM(s)::BIGINT::DOUBLE / SUM(cnt)::BIGINT::DOUBLE AS token_mean,
+       MIN(mn)::BIGINT AS token_min, MAX(mx)::BIGINT AS token_max
+FROM pts GROUP BY source, tier
 """
 
     sqls["cosine_knn"] = """

@@ -68,6 +68,7 @@ HEADLINE = [
     "residual_add",
     "grouping_sets",
     "hash_split",
+    "per_source_stats",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

@@ -1,0 +1,67 @@
+"""Production entry point: resumable, checkpointed rollup of a sequences
+table (north_rule: runs via spark-submit --py-files on a multi-executor
+cluster; in local mode the session factory ships the package zip itself).
+
+    spark-submit --py-files tsrollup.zip tools/run_rollup.py \
+        --input s3://bucket/sequences --output s3://bucket/rollup \
+        --buckets 4096 --run-id nightly-01 [--compressed]
+
+Each hash bucket of documents is one atomic unit of work with a lineage row;
+a killed run resumes where it stopped; disjoint bucket ranges can be driven
+by concurrent submissions (--max-buckets bounds one invocation).
+Per-source metrics are appended after the buckets finish.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="sequences table (path or, "
+                    "with TSROLLUP_TABLE_FORMAT=iceberg, a catalog table)")
+    ap.add_argument("--output", required=True, help="rollup output root")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--max-buckets", type=int, default=None,
+                    help="bound the work of this invocation (shard/resume)")
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--compressed", action="store_true",
+                    help="store codec-packed tiers (Gorilla/delta-of-delta)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from tsrollup import BASE_WINDOW
+    from tsrollup.checkpoint import read_lineage, run_checkpointed
+    from tsrollup.session import get_spark
+
+    spark = get_spark(f"tsrollup-{args.run_id}", master=args.master)
+    done = run_checkpointed(
+        spark, args.input, args.output,
+        n_buckets=args.buckets, run_id=args.run_id,
+        window=args.window or BASE_WINDOW,
+        compressed=args.compressed, max_buckets=args.max_buckets)
+    lineage = read_lineage(spark, args.output)
+    n_done = lineage.filter("status = 'done'").count()
+    print(f"completed {len(done)} bucket(s) this run; "
+          f"{n_done}/{args.buckets} total done")
+
+    if n_done == args.buckets and not args.compressed:
+        from tsrollup.checkpoint import read_rollup
+        from tsrollup.io import write_table
+        from tsrollup.rollup import per_source_stats
+
+        metrics = per_source_stats(read_rollup(spark, args.output))
+        write_table(metrics, f"{args.output}/_metrics/per_source")
+        print("per-source metrics written")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -321,3 +321,33 @@ def derive_columns(partials: DataFrame) -> DataFrame:
          .otherwise(F.lit(0.0)).alias("spec_centroid"),
         "band_energy",
     )
+
+
+def per_source_stats(rolled: DataFrame, salt_buckets: int = 32) -> DataFrame:
+    """Per-(source, tier) metrics over rolled-up points with SKEW-SAFE
+    two-phase aggregation (SURVEY §4: AQE fixes skewed joins, but a skewed
+    groupBy needs explicit salting): phase 1 aggregates per
+    (source, tier, salt) so a Zipf-heavy source spreads over ``salt_buckets``
+    reducers; phase 2 merges the decomposable partials. Results are exact —
+    count/sum/min/max compose associatively and the derived mean uses one
+    final division.
+    """
+    salt = F.pmod(F.xxhash64("doc_id", "window_start"), F.lit(salt_buckets))
+    phase1 = (
+        rolled
+        .groupBy("source", "tier", salt.alias("_salt"))
+        .agg(F.count("*").alias("n"),
+             F.sum("count").alias("tok"),
+             F.sum("sum").alias("s"),
+             F.min("min").alias("mn"),
+             F.max("max").alias("mx"))
+    )
+    return (
+        phase1.groupBy("source", "tier")
+        .agg(F.sum("n").cast("long").alias("n_points"),
+             F.sum("tok").cast("long").alias("n_tokens"),
+             (F.sum("s").cast("double") / F.sum("tok").cast("double"))
+             .alias("token_mean"),
+             F.min("mn").cast("long").alias("token_min"),
+             F.max("mx").cast("long").alias("token_max"))
+    )
