@@ -110,3 +110,59 @@ def test_stream_minute_rollup_matches_batch(spark, tmp_path):
     assert len(got) == len(want) > 0
     for c in ("count", "sum", "min", "max"):
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_stateful_rolling_matches_batch_window(spark, tmp_path):
+    """Ring-buffer state across triggers AND a query restart must reproduce
+    the batch window aggregate bit-for-bit (in-order arrival)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tsrollup.streaming import stream_stateful_rolling
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    src = tmp_path / "ev"
+    src.mkdir()
+    # file 0 = first half, file 1 = second half (later ts) → in-order arrival
+    ev.iloc[:200].to_parquet(src / "p0.parquet", coerce_timestamps="us",
+                             allow_truncated_timestamps=True)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("user_id long, event_id long, ts timestamp, "
+                          "value double")
+                  .parquet(str(src)))
+        q = (stream_stateful_rolling(stream, window_n=4).writeStream
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    ev.iloc[200:].to_parquet(src / "p1.parquet", coerce_timestamps="us",
+                             allow_truncated_timestamps=True)
+    run_once()  # restart: ring buffers come back from the state store
+
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 0))
+    want = (spark.read.parquet(str(src))
+            .select("event_id", F.avg("value").over(w).alias("rmean"),
+                    F.count("*").over(w).cast("int").alias("n_in_window"))
+            .toPandas().sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(want) == n
+    assert (got["n_in_window"].values == want["n_in_window"].values).all()
+    a = got["rmean"].to_numpy(np.float64)
+    b = want["rmean"].to_numpy(np.float64)
+    np.testing.assert_allclose(a, b, rtol=1e-12)
