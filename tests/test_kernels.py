@@ -128,3 +128,39 @@ def test_empty_input():
 def test_global_features():
     g = global_features(np.array([2, 3, 4], dtype=np.int32))
     assert g == {"count": 3, "sum": 9, "sumsq": 29, "min": 2, "max": 4}
+
+
+def test_batch_kernels_bit_identical_to_scalar():
+    """batch_* kernels must reproduce per-doc kernels bit-for-bit on ragged
+    random docs (the Spark scale path uses the batch forms; the oracle keeps
+    the per-doc forms — this test is the bridge)."""
+    import numpy as np
+
+    from tsrollup.kernels import (base_window_partials, batch_tier_chain,
+                                  batch_window_partials, tier_chain)
+
+    rng = np.random.default_rng(3)
+    docs = [rng.integers(0, 50000, rng.integers(1, 700)).astype(np.int32)
+            for _ in range(120)]
+    docs += [np.array([7], dtype=np.int32),
+             np.arange(64 * 7, dtype=np.int32)]  # exact multiple of window
+    tiers = {"a": 1, "b": 4, "c": 16}
+
+    got_base, got_nw = batch_window_partials(docs, window=64)
+    got_chain = batch_tier_chain(got_base, got_nw, tiers)
+
+    offs = {t: 0 for t in tiers}
+    for d in docs:
+        want_chain = tier_chain(base_window_partials(d, 64), tiers)
+        for t in tiers:
+            want = want_chain[t]
+            n = want["count"].shape[0]
+            gp, _ = got_chain[t]
+            o = offs[t]
+            for f in want:
+                g = gp[f][o:o + n]
+                assert g.dtype == want[f].dtype, (t, f)
+                assert g.tobytes() == want[f].tobytes(), (t, f)
+            offs[t] = o + n
+    for t in tiers:
+        assert offs[t] == got_chain[t][0]["count"].shape[0]

@@ -228,3 +228,136 @@ def global_features(x: np.ndarray) -> dict[str, float]:
         "min": int(x64.min()),
         "max": int(x64.max()),
     }
+
+
+# ------------------------------------------------ batched (cross-doc) -------
+#
+# The per-doc kernels above are the ORACLE semantics. The batch_* variants
+# below compute the identical partials for a whole Arrow batch of documents
+# in one set of vector ops (global reduceat bounds, one rFFT matrix, padded
+# segmented folds) — bit-identical output (tested in test_kernels), ~10-30
+# NumPy calls per BATCH instead of per DOC. The Spark scale path uses these;
+# the oracle keeps the per-doc forms so parity stays independently derived.
+
+
+def _within(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(0..c_i-1 concatenated over groups, first global index of each group)."""
+    firsts = np.zeros(counts.shape[0], dtype=np.intp)
+    firsts[1:] = np.cumsum(counts)[:-1]
+    total = int(counts.sum())
+    return np.arange(total, dtype=np.intp) - np.repeat(firsts, counts), firsts
+
+
+def batch_window_partials(docs: list[np.ndarray],
+                          window: int = BASE_WINDOW
+                          ) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """base_window_partials for many non-empty docs at once.
+
+    Returns (partials with concatenated per-window arrays, windows-per-doc).
+    Bit-identical to concatenating per-doc base_window_partials results:
+    reduceat segments hold identical content, and the rFFT matrix rows equal
+    the per-doc padded rows.
+    """
+    lens = np.array([d.shape[0] for d in docs], dtype=np.intp)
+    nw = -(-lens // window)
+    total_w = int(nw.sum())
+    doc_off = np.zeros(lens.shape[0], dtype=np.intp)
+    doc_off[1:] = np.cumsum(lens)[:-1]
+    within_w, w_firsts = _within(nw)
+    bounds = np.repeat(doc_off, nw) + within_w * window
+
+    x = np.concatenate(docs)
+    x64 = x.astype(np.int64, copy=False)
+    counts = np.full(total_w, window, dtype=np.int64)
+    counts[w_firsts + nw - 1] = lens - (nw - 1) * window
+    sums = np.add.reduceat(x64, bounds)
+    sumsqs = np.add.reduceat(x64 * x64, bounds)
+    mins = np.minimum.reduceat(x, bounds).astype(np.int32)
+    maxs = np.maximum.reduceat(x, bounds).astype(np.int32)
+
+    # one zero-padded (total_windows, window) matrix for the whole batch
+    padded = np.zeros(total_w * window, dtype=np.float64)
+    pw_off = w_firsts * window
+    for i in range(lens.shape[0]):  # one slice-assign per doc
+        padded[pw_off[i]:pw_off[i] + lens[i]] = x[doc_off[i]:doc_off[i] + lens[i]]
+    spec = np.fft.rfft(padded.reshape(total_w, window), axis=1)
+    power = (spec.real * spec.real + spec.imag * spec.imag)[:, 1:]
+    nbins = power.shape[1]
+    k = np.arange(1, nbins + 1, dtype=np.float64)
+    spec_energy = np.add.reduce(power, axis=1)
+    spec_mass = np.add.reduce(power * k, axis=1)
+    edges = np.linspace(0, nbins, N_BANDS + 1).astype(np.intp)
+    band_energy = np.empty((total_w, N_BANDS), dtype=np.float64)
+    for b in range(N_BANDS):
+        band_energy[:, b] = np.add.reduce(power[:, edges[b]:edges[b + 1]], axis=1)
+
+    return {
+        "window_start": (within_w * window).astype(np.int64),
+        "count": counts,
+        "sum": sums,
+        "sumsq": sumsqs,
+        "min": mins,
+        "max": maxs,
+        "spec_energy": spec_energy,
+        "spec_mass": spec_mass,
+        "band_energy": band_energy,
+    }, nw
+
+
+def batch_reaggregate(partials: dict[str, np.ndarray], nw: np.ndarray,
+                      factor: int) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """reaggregate for many docs at once (same pinned float fold order)."""
+    pnw = -(-nw // factor)
+    total_p = int(pnw.sum())
+    within_p, p_firsts = _within(pnw)
+    child_firsts = np.zeros(nw.shape[0], dtype=np.intp)
+    child_firsts[1:] = np.cumsum(nw)[:-1]
+    bounds = np.repeat(child_firsts, pnw) + within_p * factor
+
+    # floats: stacked (total_child, 2+N_BANDS) → zero-padded (total_p, factor,
+    # 2+N_BANDS) → strictly left-to-right fold over the factor axis, exactly
+    # the scalar _seq_group_sum order per field
+    M = np.column_stack([partials["spec_energy"], partials["spec_mass"],
+                         partials["band_energy"]])
+    buf = np.zeros((total_p * factor, M.shape[1]), dtype=np.float64)
+    for i in range(nw.shape[0]):  # one slice-assign per doc
+        buf[p_firsts[i] * factor:p_firsts[i] * factor + nw[i]] = \
+            M[child_firsts[i]:child_firsts[i] + nw[i]]
+    blocks = buf.reshape(total_p, factor, M.shape[1])
+    acc = blocks[:, 0].copy()
+    for j in range(1, factor):
+        acc += blocks[:, j]
+
+    out = {
+        "window_start": partials["window_start"][bounds],
+        "count": np.add.reduceat(partials["count"], bounds),
+        "sum": np.add.reduceat(partials["sum"], bounds),
+        "sumsq": np.add.reduceat(partials["sumsq"], bounds),
+        "min": np.minimum.reduceat(partials["min"], bounds),
+        "max": np.maximum.reduceat(partials["max"], bounds),
+        "spec_energy": acc[:, 0],
+        "spec_mass": acc[:, 1],
+        "band_energy": np.ascontiguousarray(acc[:, 2:]),
+    }
+    return out, pnw
+
+
+def batch_tier_chain(base: dict[str, np.ndarray], nw: np.ndarray,
+                     tiers: dict[str, int]
+                     ) -> dict[str, tuple[dict[str, np.ndarray], np.ndarray]]:
+    """tier_chain for many docs at once: each tier re-aggregates the previous
+    (finer) tier, same hierarchy contract as the scalar version."""
+    out: dict[str, tuple[dict[str, np.ndarray], np.ndarray]] = {}
+    prev_factor = None
+    prev: tuple[dict[str, np.ndarray], np.ndarray] | None = None
+    for tier, factor in sorted(tiers.items(), key=lambda kv: kv[1]):
+        if factor == 1:
+            cur = (base, nw)
+        else:
+            parent_of, pn = prev if prev is not None else (base, nw)
+            pf = prev_factor if prev_factor is not None else 1
+            assert factor % pf == 0, f"tier factor {factor} not multiple of {pf}"
+            cur = batch_reaggregate(parent_of, pn, factor // pf)
+        out[tier] = cur
+        prev, prev_factor = cur, factor
+    return out

@@ -104,28 +104,58 @@ def rollup_sequences(df: DataFrame, window: int = BASE_WINDOW,
     Input columns: doc_id, tokens, source[, gap_mask]. Only those are read
     (column pruning reaches the parquet scan — verify with .explain()).
     """
+    from .kernels import batch_tier_chain, batch_window_partials
+
     has_mask = "gap_mask" in df.columns
     cols = ["doc_id", "tokens", "source"] + (["gap_mask"] if has_mask else [])
     pruned = df.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            filled, keep = _gap_filled_docs(pdf, has_mask)
+            if not filled:
+                continue
+            base, nw = batch_window_partials(filled, window)
+            chain = batch_tier_chain(base, nw, tiers)
+            doc_ids = pdf["doc_id"].values[keep]
+            srcs = pdf["source"].values[keep]
             acc = _new_acc()
-            masks = pdf["gap_mask"].values if has_mask else None
-            docs = pdf["doc_id"].values
-            srcs = pdf["source"].values
-            toks = pdf["tokens"].values
-            for i in range(len(pdf)):
-                m = None
-                if masks is not None and masks[i] is not None:
-                    m = np.asarray(masks[i], dtype=bool)
-                _acc_doc(acc, docs[i], srcs[i], np.asarray(toks[i]), m,
-                         window, tiers)
+            for tier, (p, tnw) in chain.items():
+                d = derive_stats(p)
+                total = int(tnw.sum())
+                acc["doc_id"].append(np.repeat(doc_ids, tnw))
+                acc["source"].append(np.repeat(srcs, tnw))
+                acc["tier"].append(np.repeat(tier, total))
+                for f in ("window_start", "count", "sum", "sumsq", "min",
+                          "max", "spec_energy", "spec_mass"):
+                    acc[f].append(p[f])
+                for f in ("mean", "var", "spec_centroid"):
+                    acc[f].append(d[f])
+                acc["band_energy"].append(p["band_energy"])
             frame = _acc_frame(acc)
             if frame is not None:
                 yield frame
 
     return pruned.mapInPandas(run, ROLLUP_SCHEMA)
+
+
+def _gap_filled_docs(pdf: pd.DataFrame,
+                     has_mask: bool) -> tuple[list[np.ndarray], np.ndarray]:
+    """Gap-fill every doc of a batch; returns (non-empty filled signals,
+    boolean keep-mask over the batch rows)."""
+    masks = pdf["gap_mask"].values if has_mask else None
+    toks = pdf["tokens"].values
+    filled: list[np.ndarray] = []
+    keep = np.zeros(len(pdf), dtype=bool)
+    for i in range(len(pdf)):
+        m = None
+        if masks is not None and masks[i] is not None:
+            m = np.asarray(masks[i], dtype=bool)
+        t = gap_fill(np.asarray(toks[i], dtype=np.int32), m)
+        if t.shape[0]:
+            filled.append(t)
+            keep[i] = True
+    return filled, keep
 
 
 def rollup_grouped(df: DataFrame, window: int = BASE_WINDOW,
@@ -171,46 +201,48 @@ def rollup_compressed(df: DataFrame, window: int = BASE_WINDOW,
     Gorilla XOR for the float aggregates (north_star compression requirement).
     """
     from .codec import dod_encode_many, gorilla_encode_many
+    from .kernels import batch_tier_chain, batch_window_partials
 
     has_mask = "gap_mask" in df.columns
     cols = ["doc_id", "tokens", "source"] + (["gap_mask"] if has_mask else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            filled, keep = _gap_filled_docs(pdf, has_mask)
+            if not filled:
+                continue
+            base, nw = batch_window_partials(filled, window)
+            chain = batch_tier_chain(base, nw, tiers)
+            doc_ids = pdf["doc_id"].values[keep]
+            srcs = pdf["source"].values[keep]
             meta: dict[str, list] = {"doc_id": [], "source": [], "tier": [],
                                      "n_windows": []}
             blobs: dict[str, list[np.ndarray]] = {
                 f: [] for f in _INT_FIELDS + _FLOAT_FIELDS + ("band_energy",)}
-            masks = pdf["gap_mask"].values if has_mask else None
-            for i in range(len(pdf)):
-                m = None
-                if masks is not None and masks[i] is not None:
-                    m = np.asarray(masks[i], dtype=bool)
-                filled = gap_fill(
-                    np.asarray(pdf["tokens"].values[i], dtype=np.int32), m)
-                base = base_window_partials(filled, window)
-                for tier, p in tier_chain(base, tiers).items():
-                    nw = int(p["count"].shape[0])
-                    if nw == 0:
-                        continue
-                    d = derive_stats(p)
-                    meta["doc_id"].append(pdf["doc_id"].values[i])
-                    meta["source"].append(pdf["source"].values[i])
-                    meta["tier"].append(tier)
-                    meta["n_windows"].append(nw)
-                    for f in _INT_FIELDS:
-                        blobs[f].append(p[f].astype(np.int64))
-                    for f in _FLOAT_FIELDS:
-                        blobs[f].append(d[f] if f in d else p[f])
-                    blobs["band_energy"].append(p["band_energy"].ravel())
-            if meta["doc_id"]:
-                # one vectorized codec pass per FIELD per Arrow batch
-                data: dict[str, list] = dict(meta)
+            for tier, (p, tnw) in chain.items():
+                d = derive_stats(p)
+                ends = np.cumsum(tnw)
+                starts = ends - tnw
+                meta["doc_id"].append(doc_ids)
+                meta["source"].append(srcs)
+                meta["tier"].append(np.repeat(tier, tnw.shape[0]))
+                meta["n_windows"].append(tnw.astype(np.int32))
                 for f in _INT_FIELDS:
-                    data[f] = dod_encode_many(blobs[f])
-                for f in _FLOAT_FIELDS + ("band_energy",):
-                    data[f] = gorilla_encode_many(blobs[f])
-                yield pd.DataFrame(data)
+                    arr = p[f].astype(np.int64)
+                    blobs[f].extend(arr[s:e] for s, e in zip(starts, ends))
+                for f in _FLOAT_FIELDS:
+                    arr = d[f] if f in d else p[f]
+                    blobs[f].extend(arr[s:e] for s, e in zip(starts, ends))
+                flat_be = p["band_energy"].reshape(-1)
+                blobs["band_energy"].extend(
+                    flat_be[s * N_BANDS:e * N_BANDS] for s, e in zip(starts, ends))
+            data: dict[str, object] = {
+                k: np.concatenate(v) for k, v in meta.items()}
+            for f in _INT_FIELDS:
+                data[f] = dod_encode_many(blobs[f])
+            for f in _FLOAT_FIELDS + ("band_energy",):
+                data[f] = gorilla_encode_many(blobs[f])
+            yield pd.DataFrame(data)
 
     return df.select(*cols).mapInPandas(run, COMPRESSED_SCHEMA)
 
