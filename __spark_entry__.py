@@ -479,6 +479,43 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split").agg(F.count("*").cast("long").alias("n_docs")))
 
 
+def q_segment_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-run segmentation (≙ reference get_mit_bih_segments,
+    data.py:10-96): events stream as (signal, annotations) — runs of equal
+    event_type per user cut the value signal into offset-expanded, clamped,
+    fixed-length zero-padded segments."""
+    from tsrollup.segments import extract_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev2 = ev.withColumn("pos", F.row_number().over(w) - 1)
+    signal = (ev2.groupBy("user_id")
+              .agg(F.transform(
+                  F.sort_array(F.collect_list(F.struct("pos", "value"))),
+                  lambda s: s["value"]).alias("values"))
+              .select(F.col("user_id").alias("series_id"), "values"))
+    ann = ev2.select(F.col("user_id").alias("series_id"), "pos",
+                     F.col("event_type").alias("symbol"))
+    segs = extract_segments(signal, ann, left_offset=2, right_offset=3,
+                            fixed_length=8)
+    return segs.select(
+        "series_id", "seg_id", "symbol", "n_raw",
+        F.aggregate("seg", F.lit(0.0), lambda a, x: a + x).alias("seg_sum"))
+
+
+def q_windows_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows with discontinuity exclusion zones (≙ reference
+    filter_indices, timeseries_batch_generator.py:238-256): windows spanning
+    a boundary position (token ≤ 1) are dropped."""
+    from tsrollup.windowing import sliding_window_aggs
+
+    t = _tokenized(spark, sf_dir)
+    bnd = F.filter(F.sequence(F.lit(0), F.size("tokens") - 1),
+                   lambda i: F.element_at(F.col("tokens"), i + 1) <= 1)
+    return sliding_window_aggs(t.withColumn("bnd", bnd), length=8, stride=4,
+                               boundaries_col="bnd")
+
+
 def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-(source, tier) metrics: salted two-phase aggregation of
     decomposable partials (SURVEY §4 — a Zipf-heavy source would bottleneck a
@@ -558,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "hash_split": q_hash_split,
         "per_source_stats": q_per_source_stats,
+        "segment_extract": q_segment_extract,
+        "windows_excluded": q_windows_excluded,
     }
 
 
@@ -1022,6 +1061,66 @@ WITH b AS (
   FROM documents
 )
 SELECT split, COUNT(*)::BIGINT AS n_docs FROM b GROUP BY split
+"""
+
+    sqls["segment_extract"] = """
+WITH ev AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS pos
+  FROM events
+), sig AS (
+  SELECT user_id, list(value ORDER BY pos) AS vals FROM ev GROUP BY user_id
+), r AS (
+  SELECT user_id, pos, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY pos)
+), isl AS (
+  SELECT user_id, pos, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM r
+), runs AS (
+  SELECT user_id, seg_id, event_type AS symbol,
+         MIN(pos) AS first_pos, MAX(pos) AS last_pos
+  FROM isl GROUP BY user_id, seg_id, event_type
+), segs AS (
+  SELECT r.user_id, r.seg_id, r.symbol,
+         greatest(first_pos - 2, 0) AS seg_start,
+         least(last_pos + 3, len(vals)) AS seg_stop,
+         vals
+  FROM runs r JOIN sig USING (user_id)
+)
+SELECT user_id AS series_id, seg_id::BIGINT AS seg_id, symbol,
+       (seg_stop - seg_start)::INT AS n_raw,
+       list_reduce(
+         list_prepend(0.0, list_transform(
+           vals[seg_start + 1 : seg_start + least(seg_stop - seg_start, 8)],
+           x -> x::DOUBLE)),
+         (a, b) -> a + b) AS seg_sum
+FROM segs WHERE seg_stop - seg_start > 0
+"""
+
+    sqls["windows_excluded"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), b AS (
+  SELECT doc_id, t,
+         list_filter(range(0, len(t)), i -> t[i + 1] <= 1) AS bnd
+  FROM tok
+), st AS (
+  SELECT doc_id, t, bnd, unnest(range(0, len(t) - 7, 4)) AS s
+  FROM b WHERE len(t) >= 8
+)
+SELECT doc_id, s::BIGINT AS win_start, 8::BIGINT AS win_count,
+       list_aggregate(t[s + 1 : s + 8], 'sum')::BIGINT AS win_sum,
+       list_aggregate(t[s + 1 : s + 8], 'min')::BIGINT AS win_min,
+       list_aggregate(t[s + 1 : s + 8], 'max')::BIGINT AS win_max
+FROM st
+WHERE len(list_filter(bnd, p -> p >= s AND p <= s + 7)) = 0
 """
 
     sqls["per_source_stats"] = f"""

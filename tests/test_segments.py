@@ -1,0 +1,99 @@
+"""FIXTURES.md F3/F4: annotation-run segmentation vs a NumPy oracle of the
+reference semantics (data.py:50-84), and windowing-parameter goldens
+(timeseries_batch_generator.py:156-173, :238-256)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+LEFT, RIGHT, FIXED = 9, 16, 40
+
+
+def oracle_segments(values, positions, symbols, left, right, fixed):
+    """Reference semantics, data.py:50-84: runs of equal symbols → expand,
+    clamp, slice, truncate/right-zero-pad."""
+    segs = []
+    i = 0
+    while i < len(symbols):
+        j = i
+        while j + 1 < len(symbols) and symbols[j + 1] == symbols[i]:
+            j += 1
+        first, last = positions[i], positions[j]
+        start = max(first - left, 0)
+        stop = min(last + right, len(values))
+        seg = np.asarray(values[start:stop], dtype=np.float64)[:fixed]
+        seg = np.concatenate([seg, np.zeros(fixed - len(seg))])
+        segs.append((symbols[i], seg, stop - start))
+        i = j + 1
+    return segs
+
+
+@pytest.fixture(scope="module")
+def sig_ann(spark):
+    rng = np.random.default_rng(21)
+    rows_sig, rows_ann = [], []
+    for sid in range(6):
+        n = int(rng.integers(60, 400))
+        vals = rng.standard_normal(n).round(3)
+        n_ann = int(rng.integers(3, 12))
+        pos = np.sort(rng.choice(n, size=n_ann, replace=False))
+        syms = rng.choice(list("NLRAV"), size=n_ann)
+        rows_sig.append((sid, vals.tolist()))
+        rows_ann += [(sid, int(p), str(s)) for p, s in zip(pos, syms)]
+    sig = spark.createDataFrame(
+        pd.DataFrame(rows_sig, columns=["series_id", "values"]))
+    ann = spark.createDataFrame(
+        pd.DataFrame(rows_ann, columns=["series_id", "pos", "symbol"]))
+    return sig, ann
+
+
+def test_segments_match_oracle(spark, sig_ann):
+    from tsrollup.segments import extract_segments
+
+    sig, ann = sig_ann
+    got = extract_segments(sig, ann, LEFT, RIGHT, FIXED).toPandas()
+    sig_pdf = sig.toPandas().set_index("series_id")["values"]
+    ann_pdf = ann.toPandas().sort_values(["series_id", "pos"])
+
+    total = 0
+    for sid, grp in ann_pdf.groupby("series_id"):
+        want = oracle_segments(sig_pdf[sid], grp["pos"].tolist(),
+                               grp["symbol"].tolist(), LEFT, RIGHT, FIXED)
+        g = got[got["series_id"] == sid].sort_values("seg_id")
+        assert len(g) == len(want)
+        for (_, row), (sym, seg, n_raw) in zip(g.iterrows(), want):
+            assert row["symbol"] == sym
+            assert row["n_raw"] == n_raw
+            assert len(row["seg"]) == FIXED
+            np.testing.assert_array_equal(np.asarray(row["seg"]), seg)
+        total += len(want)
+    assert total == len(got) > 0
+
+
+def test_windowing_start_end_and_exclusion(spark):
+    """Hand-computed goldens for start/end reservation and filter_indices-style
+    exclusion zones."""
+    from tsrollup.windowing import sliding_window_aggs
+
+    toks = list(range(100, 130))  # n=30, values 100..129
+    df = spark.createDataFrame(
+        pd.DataFrame([("d", toks, [7, 20]), ("e", toks, [])],
+                     columns=["doc_id", "tokens", "bnd"]))
+
+    # length=4, stride=3, rate=2 → span=6; start_index=2, end_index=28
+    # starts: 2,5,8,11,14,17,20 with s+6 < 28 → 2..20 (s=21? 21>20 no)
+    # doc d boundaries {7,20}: exclude s with [s,s+6] ∋ 7 → s∈{2,5}; ∋ 20 → s∈{14,17,20}
+    # → d keeps {8, 11}; e keeps all 7
+    out = sliding_window_aggs(df, length=4, stride=3, sampling_rate=2,
+                              start_index=2, end_index=28,
+                              boundaries_col="bnd").toPandas()
+    d = out[out["doc_id"] == "d"].sort_values("win_start")
+    e = out[out["doc_id"] == "e"].sort_values("win_start")
+    assert d["win_start"].tolist() == [8, 11]
+    assert e["win_start"].tolist() == [2, 5, 8, 11, 14, 17, 20]
+    # window at s=8, rate 2 → positions 8,10,12,14 → values 108,110,112,114
+    row = d.iloc[0]
+    assert row["win_sum"] == 108 + 110 + 112 + 114
+    assert row["win_min"] == 108 and row["win_max"] == 114

@@ -1,0 +1,66 @@
+"""Annotation-run segmentation: the reference's raw-signal → segments pipeline
+(``TSFEDL/data.py:10-96`` get_mit_bih_segments) as a declarative Spark plan.
+
+Semantics (pinned to the reference, FIXTURES.md F3):
+
+1. runs of consecutive equal annotation symbols (``data.py:50-57``) —
+   gaps-and-islands over the annotation stream;
+2. each run [first_pos, last_pos] expanded by ``left_offset``/``right_offset``
+   and clamped to the signal bounds (``data.py:65-71``);
+3. the signal slice is truncated / right-zero-padded to ``fixed_length``
+   (``data.py:79-84``);
+4. output one row per run: (series_id, seg_id, symbol, seg array, n_raw).
+
+Everything is built-in column functions — islands via lag+cumsum window,
+slice/pad via slice/concat/array_repeat. The one shuffle is the per-series
+window; segments of one series stay co-partitioned for downstream rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def annotation_runs(ann: DataFrame) -> DataFrame:
+    """Runs of consecutive equal symbols per series: (series_id, seg_id,
+    symbol, first_pos, last_pos, n_ann). ``ann`` columns: series_id, pos,
+    symbol (pos strictly increasing per series)."""
+    w = Window.partitionBy("series_id").orderBy("pos")
+    chg = F.when(
+        F.lag("symbol").over(w).isNull()
+        | (F.lag("symbol").over(w) != F.col("symbol")), 1).otherwise(0)
+    runs = (ann.withColumn("_chg", chg)
+            .withColumn("seg_id", F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (runs.groupBy("series_id", "seg_id", "symbol")
+            .agg(F.min("pos").alias("first_pos"),
+                 F.max("pos").alias("last_pos"),
+                 F.count("*").alias("n_ann")))
+
+
+def extract_segments(signal: DataFrame, ann: DataFrame,
+                     left_offset: int = 99, right_offset: int = 160,
+                     fixed_length: int = 1000) -> DataFrame:
+    """Cut a long per-series signal into fixed-length annotated segments.
+
+    ``signal`` columns: series_id, values array<double|int> (position index =
+    timestamp). Expansion, clamping and truncate/right-zero-pad follow the
+    reference exactly (data.py:65-84): start = max(first_pos - left, 0),
+    stop = min(last_pos + right, len) exclusive, then seg = values[start:stop]
+    truncated or zero-padded to fixed_length.
+    """
+    runs = annotation_runs(ann)
+    j = runs.join(signal, "series_id")
+    n = F.size("values")
+    start = F.greatest(F.col("first_pos") - left_offset, F.lit(0))
+    stop = F.least(F.col("last_pos") + right_offset, n)  # exclusive
+    raw_len = F.least(stop - start, F.lit(fixed_length))
+    seg = F.slice("values", start + 1, raw_len)
+    pad = F.greatest(F.lit(fixed_length) - raw_len, F.lit(0)).cast("int")
+    padded = F.concat(seg, F.array_repeat(F.lit(0.0).cast("double"), pad))
+    return (j.select(
+        "series_id", "seg_id", "symbol",
+        F.transform(padded, lambda x: x.cast("double")).alias("seg"),
+        (stop - start).cast("int").alias("n_raw"))
+        .filter(F.col("n_raw") > 0))

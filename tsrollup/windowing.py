@@ -17,20 +17,34 @@ from pyspark.sql import functions as F
 
 def sliding_window_aggs(df: DataFrame, length: int = 8, stride: int = 4,
                         sampling_rate: int = 1,
-                        tokens_col: str = "tokens") -> DataFrame:
+                        tokens_col: str = "tokens",
+                        start_index: int = 0,
+                        end_index: int | None = None,
+                        boundaries_col: str | None = None) -> DataFrame:
     """Materialize valid sliding windows and their int aggregates:
     (doc_id, win_start, win_count, win_sum, win_min, win_max).
 
-    win_start ∈ {0, stride, 2·stride, …} with win_start + (length-1)·rate <
-    n_tok (reference 'valid' windows, timeseries_batch_generator.py:289)."""
+    win_start ∈ {start_index, +stride, …} with win_start + (length-1)·rate <
+    min(n_tok, end_index) (reference 'valid' windows,
+    timeseries_batch_generator.py:289; start/end reservation per :168-173).
+    If ``boundaries_col`` names an array<int> column of discontinuity
+    positions, windows whose span [s, s+(length-1)·rate] contains one are
+    EXCLUDED — the reference's filter_indices exclusion zones
+    (timeseries_batch_generator.py:238-256)."""
     span = (length - 1) * sampling_rate  # last offset inside the window
     n = F.size(F.col(tokens_col))
-    starts = F.sequence(F.lit(0), n - 1 - span, F.lit(stride))
+    limit = F.least(n, F.lit(end_index)) if end_index is not None else n
+    starts = F.sequence(F.lit(start_index), limit - 1 - span, F.lit(stride))
+    if boundaries_col is not None:
+        b = F.col(boundaries_col)
+        starts = F.filter(
+            starts,
+            lambda s: ~F.exists(b, lambda p: (p >= s) & (p <= s + span)))
     win = lambda s: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.lit(length - 1)),
         lambda i: F.element_at(F.col(tokens_col), s + i * sampling_rate + 1))
     out = (
-        df.filter(n > span)
+        df.filter(limit > span + start_index)  # else sequence() is invalid
         .select(
             "doc_id",
             F.explode(F.transform(starts, lambda s: F.struct(
