@@ -516,6 +516,20 @@ def q_windows_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
                                boundaries_col="bnd")
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy: per (doc, tier) keep the trailing N windows (finer
+    tier ages out sooner) — the third leg of rollup+downsample+RETENTION."""
+    from tsrollup.rollup import apply_retention, rollup_sequences
+
+    rolled = rollup_sequences(_tokenized(spark, sf_dir), window=W0,
+                              tiers={"w": 1, "w4": 4})
+    kept = apply_retention(rolled, {"w": 3, "w4": 2})
+    return kept.select(
+        "doc_id", "tier", "window_start", "count", "sum",
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"))
+
+
 def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-(source, tier) metrics: salted two-phase aggregation of
     decomposable partials (SURVEY §4 — a Zipf-heavy source would bottleneck a
@@ -597,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_stats": q_per_source_stats,
         "segment_extract": q_segment_extract,
         "windows_excluded": q_windows_excluded,
+        "retention": q_retention,
     }
 
 
@@ -1061,6 +1076,32 @@ WITH b AS (
   FROM documents
 )
 SELECT split, COUNT(*)::BIGINT AS n_docs FROM b GROUP BY split
+"""
+
+    sqls["retention"] = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+), pts AS (
+  SELECT doc_id, 'w' AS tier, (p // {W0}) * {W0} AS window_start,
+         COUNT(*)::BIGINT AS "count", SUM(tk)::BIGINT AS "sum",
+         MIN(tk)::BIGINT AS "min", MAX(tk)::BIGINT AS "max"
+  FROM pos GROUP BY doc_id, p // {W0}
+  UNION ALL
+  SELECT doc_id, 'w4', (p // {W0 * 4}) * {W0 * 4},
+         COUNT(*)::BIGINT, SUM(tk)::BIGINT, MIN(tk)::BIGINT, MAX(tk)::BIGINT
+  FROM pos GROUP BY doc_id, p // {W0 * 4}
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, tier
+             ORDER BY window_start DESC) AS r
+  FROM pts
+)
+SELECT doc_id, tier, window_start, "count", "sum", "min", "max"
+FROM rk WHERE (tier = 'w' AND r <= 3) OR (tier = 'w4' AND r <= 2)
 """
 
     sqls["segment_extract"] = """

@@ -69,6 +69,9 @@ HEADLINE = [
     "grouping_sets",
     "hash_split",
     "per_source_stats",
+    "segment_extract",
+    "windows_excluded",
+    "retention",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

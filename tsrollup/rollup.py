@@ -383,3 +383,31 @@ def per_source_stats(rolled: DataFrame, salt_buckets: int = 32) -> DataFrame:
              F.min("mn").cast("long").alias("token_min"),
              F.max("mx").cast("long").alias("token_max"))
     )
+
+
+RETENTION_DEFAULT = {"1m": 1440, "1h": 168, "1d": 365}
+
+
+def apply_retention(rolled: DataFrame,
+                    keep_windows: dict[str, int] = RETENTION_DEFAULT
+                    ) -> DataFrame:
+    """Retention policy over a rolled-up tier store: per (doc, tier) keep only
+    the trailing ``keep_windows[tier]`` windows — finer tiers age out sooner,
+    the TS-database retention contract (e.g. 1440 base windows ≈ one "day" of
+    the finest tier, 365 of the coarsest). Tiers absent from the policy are
+    kept whole.
+
+    Expressed as rank-from-the-end over (doc, tier): one shuffle on the group
+    keys; at the store level the same policy runs as a partition-pruned
+    DELETE on the (tier, window_start) metadata, so no data file outside the
+    horizon is ever rewritten.
+    """
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id", "tier").orderBy(F.desc("window_start")))
+    out = rolled.withColumn("_rk", rk)
+    cond = ~F.col("tier").isin(*list(keep_windows.keys()))
+    for tier, n in keep_windows.items():
+        cond = cond | ((F.col("tier") == tier) & (F.col("_rk") <= n))
+    return out.filter(cond).drop("_rk")
