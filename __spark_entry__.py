@@ -415,14 +415,22 @@ def q_softmax_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the entropy of the distribution per doc."""
     t = F.col("tokens")
     mx = F.array_max(t).cast("double")
-    ex = F.transform(t, lambda x: F.exp(x.cast("double") - mx))
-    z = F.aggregate(ex, F.lit(0.0), lambda a, x: a + x)
-    probs = F.transform(ex, lambda e: e / z)
-    ent = -F.aggregate(F.transform(probs, lambda p: p * F.log(p)),
-                       F.lit(0.0), lambda a, x: a + x)
-    return (_tokenized(spark, sf_dir)
-            .filter(F.size(t) > 0)
-            .select("doc_id", z.alias("z"), ent.alias("entropy")))
+    # Stage the O(n) intermediates as columns: embedding `z` (itself a fold
+    # over `ex`) inside the per-element prob lambda would re-evaluate the
+    # whole fold per element (O(n²)) — same trap as znorm_outliers.
+    staged = (_tokenized(spark, sf_dir)
+              .filter(F.size(t) > 0)
+              .select("doc_id",
+                      F.transform(t, lambda x: F.exp(x.cast("double") - mx))
+                      .alias("_ex"))
+              .select("doc_id", "_ex",
+                      F.aggregate("_ex", F.lit(0.0), lambda a, x: a + x)
+                      .alias("z")))
+    z = F.col("z")
+    ent = -F.aggregate(
+        F.transform("_ex", lambda e: (e / z) * F.log(e / z)),
+        F.lit(0.0), lambda a, x: a + x)
+    return staged.select("doc_id", "z", ent.alias("entropy"))
 
 
 def q_residual_add(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +538,23 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max").cast("long").alias("max"))
 
 
+def q_pipeline_ohshulih(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned pipeline ≙ OhShuLih (models_keras.py:13-78): 3x(full-conv →
+    relu → maxpool/2) → EWMA scan → global stats. np.convolve chains are not
+    SQL-expressible → rows-only; NumPy parity in tests/test_pipelines.py."""
+    from tsrollup.pipelines import pipeline_features
+
+    return pipeline_features(_tokenized(spark, sf_dir), "ohshulih")
+
+
+def q_pipeline_autoenc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned pipeline ≙ YildirimOzal autoencoder (models_keras.py:999-1091):
+    avg-pool ÷4 → upsample ×4 → reconstruction residual stats (rows-only)."""
+    from tsrollup.pipelines import pipeline_features
+
+    return pipeline_features(_tokenized(spark, sf_dir), "autoenc")
+
+
 def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-(source, tier) metrics: salted two-phase aggregation of
     decomposable partials (SURVEY §4 — a Zipf-heavy source would bottleneck a
@@ -612,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_extract": q_segment_extract,
         "windows_excluded": q_windows_excluded,
         "retention": q_retention,
+        "pipeline_ohshulih": q_pipeline_ohshulih,
+        "pipeline_autoenc": q_pipeline_autoenc,
     }
 
 

@@ -1,0 +1,54 @@
+"""Canned pipelines (SURVEY §2.13): shape/semantics goldens vs direct NumPy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def toks_df(spark):
+    rng = np.random.default_rng(17)
+    rows = [("d%03d" % i,
+             rng.integers(0, 1000, rng.integers(8, 200)).astype(int).tolist())
+            for i in range(50)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "tokens"]))
+
+
+@pytest.mark.parametrize("pipeline", ["ohshulih", "shihaotian", "autoenc"])
+def test_pipeline_features_match_numpy(spark, toks_df, pipeline):
+    from tsrollup.pipelines import pipeline_features, run_pipeline
+
+    got = {r["doc_id"]: r
+           for r in pipeline_features(toks_df, pipeline).collect()}
+    for _, row in toks_df.toPandas().iterrows():
+        h = run_pipeline(np.asarray(row["tokens"], dtype=np.float64), pipeline)
+        if h.shape[0] == 0:
+            assert row["doc_id"] not in got
+            continue
+        g = got[row["doc_id"]]
+        assert g["f_len"] == h.shape[0]
+        assert g["f_mean"] == float(h.mean())
+        assert g["f_var"] == float(h.var())
+        assert g["f_min"] == float(h.min()) and g["f_max"] == float(h.max())
+        assert g["f_last"] == float(h[-1])
+
+
+def test_pipeline_shapes():
+    """Shape contracts mirror the reference stacks: 3 pool halvings ÷8 for
+    ohshulih (models_keras.py:59-63); time-concat for ShiHaotian (:645);
+    autoenc residual bounded by input length."""
+    from tsrollup.pipelines import run_pipeline
+
+    x = np.arange(80, dtype=np.float64)
+    oh = run_pipeline(x, "ohshulih")
+    # full conv adds k-1=2 each stage before halving: n -> (n+2)//2
+    n = 80
+    for _ in range(3):
+        n = (n + 2) // 2
+    assert oh.shape[0] == n
+    sh = run_pipeline(x, "shihaotian")
+    assert sh.shape[0] == (80 + 2) + (80 + 4) + (80 + 6)
+    ae = run_pipeline(x, "autoenc")
+    assert ae.shape[0] == 80  # 80 ÷4 ×4 = 80
