@@ -76,3 +76,14 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(docs.filter("doc_id < 200").select("doc_id"))
     assert "PushedFilters: [" in plan
     assert "LessThan" in plan or "lt(" in plan.lower()
+
+
+def test_per_source_stats_is_two_phase(spark, seqs):
+    from tsrollup.rollup import per_source_stats, rollup_sequences
+
+    plan = _plan(per_source_stats(rollup_sequences(seqs, tiers={"1m": 1})))
+    # exactly two shuffles: (source, tier, salt) then (source, tier) — the
+    # salt phase is what spreads a Zipf-heavy source over many reducers
+    assert _n_exchanges(plan) == 2, plan
+    pre = plan.split("Exchange", 1)[0]
+    assert "HashAggregate" in pre  # map-side combine before the salt shuffle
