@@ -33,13 +33,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc → (doc_id, shingle). Documents
+def shingle_array(n: int = 3, text_col: str = "text") -> Column:
+    """Distinct word n-gram shingles of a doc as ONE array column. Documents
     shorter than n words contribute their full word join as one shingle."""
     w = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
-    return (df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " ")))
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Exploded form (doc_id, shingle) — for the shared-shingle pair join."""
+    return df.select("doc_id",
+                     F.explode(shingle_array(n, text_col)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -73,11 +79,20 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 def minhash_signatures(df: DataFrame, k: int = 8, n: int = 3,
                        text_col: str = "text") -> DataFrame:
     """k-permutation MinHash signatures over word n-gram shingles:
-    sig_i(doc) = min over shingles of h60(i || shingle). One explode + one
-    partial-aggregated groupBy regardless of k (k min-aggs in a single pass)."""
-    sh = word_shingles(df, n, text_col)
-    aggs = [F.min(_h60(F.col("shingle"), i)).alias(f"mh{i}") for i in range(k)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sig_i(doc) = min over shingles of h60(i || shingle).
+
+    ZERO shuffle: a doc's shingle set already lives in one row, so each
+    signature is array_min over a per-element hash transform — no explode,
+    no groupBy. At 100 TB this is a pure map over the scan."""
+    staged = df.select("doc_id", shingle_array(n, text_col).alias("_sh"))
+
+    def h_i(i: int):
+        # NB: a two-arg lambda would make Spark pass the ARRAY INDEX as arg 2
+        return lambda s: _h60(s, i)
+
+    sig = [F.array_min(F.transform("_sh", h_i(i))).alias(f"mh{i}")
+           for i in range(k)]
+    return staged.select("doc_id", *sig)
 
 
 def lsh_candidate_pairs(df: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
