@@ -1,0 +1,63 @@
+"""Dedup semantics on planted duplicates: exact copies collapse, near-dups
+surface through Jaccard and LSH, SimHash distance tracks similarity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest to find some food for its hungry cubs")
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    near = BASE.replace("hungry", "starving")  # one-word edit
+    rows = [
+        (1, BASE), (2, BASE),                      # exact dup pair
+        (3, near),                                  # near-dup of 1/2
+        (4, "completely different text about spark query engines and "
+            "columnar execution with vectorized operators at scale"),
+        (5, "yet another unrelated document mentioning gorilla compression "
+            "and delta encoding of monotone offsets in tiered storage"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_collapses_copies(spark, docs_df):
+    from tsrollup.dedup import exact_dedup
+
+    out = exact_dedup(docs_df).toPandas()
+    assert len(out) == 4  # 5 docs, one exact-dup pair
+    dup = out[out["n_copies"] == 2]
+    assert len(dup) == 1 and dup["keep_doc_id"].iloc[0] == 1
+
+
+def test_jaccard_finds_near_dup(spark, docs_df):
+    from tsrollup.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs_df, n=3, threshold=0.5).toPandas()
+    pairs = {(a, b): j for a, b, j in
+             zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    assert pairs[(1, 2)] == 1.0          # exact dup
+    assert 0.5 <= pairs[(1, 3)] < 1.0    # near dup
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_lsh_candidates_cover_duplicates(spark, docs_df):
+    from tsrollup.dedup import lsh_candidate_pairs
+
+    got = set(map(tuple, lsh_candidate_pairs(
+        docs_df, k=8, bands=4, n=3).toPandas().values))
+    # identical docs share every band; the near-dup shares ≥1 with high prob
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got
+
+
+def test_simhash_distance_tracks_similarity(spark, docs_df):
+    from tsrollup.dedup import simhash
+
+    sig = dict(simhash(docs_df, bits=32).toPandas().values)
+    assert sig[1] == sig[2]  # identical text → identical fingerprint
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
