@@ -367,6 +367,16 @@ def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
                   stride=2, padding="valid")
 
 
+def q_conv1d_same(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'same'-padding conv (output length = input length; right-edge windows
+    shrink) ≙ reference padding='same' (models_keras.py:202). Non-negative
+    weights keep the shrunk-window fold bit-equal to a zero-guarded SQL sum."""
+    from tsrollup.convolve import conv1d
+
+    return conv1d(_tokenized(spark, sf_dir), weights=(0.25, 0.5, 0.25),
+                  stride=1, padding="same")
+
+
 def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform-kernel conv = moving average, the literal reference op
     (IGN_experiment.py:190-205: np.convolve(x, ones(w))/w)."""
@@ -623,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_knn": q_cosine_knn,
         "ann_lsh": q_ann_lsh,
         "conv1d_valid": q_conv1d_valid,
+        "conv1d_same": q_conv1d_same,
         "moving_average": q_moving_average,
         "pool_overlap": q_pool_overlap,
         "ewma_scan": q_ewma_scan,
@@ -984,6 +995,25 @@ WITH tok AS (
 SELECT doc_id, (s // 2)::BIGINT AS pos,
        0.0 + t[s+1]::DOUBLE * 0.25 + t[s+2]::DOUBLE * 0.5
            + t[s+3]::DOUBLE * 0.25 AS y
+FROM st
+"""
+
+    # shrunk right-edge windows: missing terms contribute literal +0.0, which
+    # is exact for the non-negative partial sums these weights produce
+    sqls["conv1d_same"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 1)) AS s
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id, s::BIGINT AS pos,
+       0.0 + t[s+1]::DOUBLE * 0.25
+           + CASE WHEN s + 2 <= len(t) THEN t[s+2]::DOUBLE * 0.5 ELSE 0.0 END
+           + CASE WHEN s + 3 <= len(t) THEN t[s+3]::DOUBLE * 0.25 ELSE 0.0 END
+         AS y
 FROM st
 """
 

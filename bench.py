@@ -58,6 +58,7 @@ HEADLINE = [
     "cosine_knn",
     "ann_lsh",
     "conv1d_valid",
+    "conv1d_same",
     "moving_average",
     "pool_overlap",
     "ewma_scan",
