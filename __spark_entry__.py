@@ -107,12 +107,21 @@ def q_rollup_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_rollup_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spectral summaries (rFFT band energies + centroid) — not
-    SQL-expressible; driver records rows-only. ≙ conv-as-filter, SURVEY §2.9."""
+    """Spectral summaries (rFFT band energies + centroid) — FFT values are not
+    SQL-expressible, so the driver records rows-only. ≙ conv-as-filter,
+    SURVEY §2.9. band_energy is projected into scalar band_0..band_3 columns
+    (the driver's canonicalizer sorts/hashes scalars only — an array column
+    crashes pandas sort_values with `unhashable type: 'list'`)."""
+    from tsrollup import N_BANDS
     from tsrollup.rollup import rollup_sequences
 
-    return rollup_sequences(_tokenized(spark, sf_dir), window=W0,
-                            tiers={"w": 1, "w4": 4})
+    out = rollup_sequences(_tokenized(spark, sf_dir), window=W0,
+                           tiers={"w": 1, "w4": 4})
+    return out.select(
+        "doc_id", "tier", "window_start", "count",
+        "spec_energy", "spec_mass", "spec_centroid",
+        *[F.element_at("band_energy", b + 1).alias(f"band_{b}")
+          for b in range(N_BANDS)])
 
 
 def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,7 +102,7 @@ def test_maintenance_path_matches_one_pass(spark, seq_df):
     maint_h_df = reaggregate_tier(stored_1m, "1h", 60)
     maint_h = maint_h_df.toPandas()
     assert_exact_match(maint_h, one_pass_h)
-    maint_d = reaggregate_tier(maint_h_df, "1d", 1440).toPandas()
+    maint_d = reaggregate_tier(maint_h_df, "1d", 1440, child_factor=60).toPandas()
     assert_exact_match(maint_d, one_pass_d)
     full.unpersist()
 
