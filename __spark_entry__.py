@@ -166,6 +166,17 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_aggs(_tokenized(spark, sf_dir), length=8, stride=4)
 
 
+def q_windows_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-target window split (≙ reference WindowGenerator.split_window,
+    IGN_experiment.py:125-134): (input-window aggs, label-window aggs) pairs
+    with an 8-position horizon — the (X, y) materialization of a forecasting
+    dataset."""
+    from tsrollup.windowing import forecast_window_aggs
+
+    return forecast_window_aggs(_tokenized(spark, sf_dir), length=8,
+                                label_length=4, shift=8, stride=4)
+
+
 def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UpSampling1D(2) analog (reference blocks_keras.py:153)."""
     from tsrollup.windowing import upsample_repeat
@@ -377,9 +388,10 @@ def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_conv1d_same(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'same'-padding conv (output length = input length; right-edge windows
-    shrink) ≙ reference padding='same' (models_keras.py:202). Non-negative
-    weights keep the shrunk-window fold bit-equal to a zero-guarded SQL sum."""
+    """'same'-padding conv: CENTERED zero-padding, output length = input
+    length — value-exact Keras Conv1D(padding='same') semantics at stride=1
+    (reference models_keras.py:202). Padded zeros contribute literal 0·w
+    terms, bit-equal to the zero-guarded SQL sum."""
     from tsrollup.convolve import conv1d
 
     return conv1d(_tokenized(spark, sf_dir), weights=(0.25, 0.5, 0.25),
@@ -473,6 +485,25 @@ def q_residual_add(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size(res).cast("long").alias("n_res"),
                     F.aggregate(res, F.lit(0.0), lambda a, x: a + x)
                      .alias("res_sum")))
+
+
+def q_attention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention multiply-gate + residual add (≙ reference RTA block,
+    blocks_keras.py:201-202): linear-attention weights (x_i/Σx — IEEE-exact
+    cross-engine, unlike exp) multiplied onto the signal, residual-added,
+    checksum-aggregated."""
+    from tsrollup.gating import attention_gate_features
+
+    return attention_gate_features(_tokenized(spark, sf_dir))
+
+
+def q_en_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """en_loss clip→−log→pow(γ)→mean reduction (≙ reference YiboGao custom
+    loss, models_keras.py:1538-1550); per-element terms rounded to 9 decimals
+    (verified bit-identical JVM↔DuckDB over the token domain)."""
+    from tsrollup.gating import en_loss
+
+    return en_loss(_tokenized(spark, sf_dir))
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +605,47 @@ def q_pipeline_autoenc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline_features(_tokenized(spark, sf_dir), "autoenc")
 
 
+def _two_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → 2-channel signal (reference (T, V) data model,
+    TSFEDL/data.py:40-43): channel 0 = word lengths (the V=1 bridge),
+    channel 1 = vowel counts per word — both deterministic and identical in
+    Spark and DuckDB."""
+    ws = F.split(F.col("text"), " ")
+    ch0 = F.transform(ws, lambda w: F.length(w))
+    ch1 = F.transform(ws, lambda w: F.length(F.regexp_replace(w, "[^aeiou]", "")))
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(ch0, ch1).alias("channels"),
+        F.lit("docs").alias("source"))
+
+
+def q_rollup_multichannel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate (V=2) per-channel rollup: melted (doc, channel, tokens)
+    rows through the zero-shuffle batched kernels — the V>1 twin of
+    rollup_base (reference 12-lead input, test/test_keras.py:191-198)."""
+    from tsrollup.channels import melt_channels, rollup_channels
+
+    out = rollup_channels(melt_channels(_two_channel(spark, sf_dir)),
+                          window=W0, tiers={"w": 1})
+    return out.select(
+        "doc_id", "channel", "window_start", "count", "sum", "sumsq",
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        "mean", "var")
+
+
+def q_cross_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channels-first pooling (reference blocks_keras.py:255-261): per-window
+    stats ACROSS the V=2 channels — decomposable integer partials, one
+    groupBy shuffle, cross-channel mean derived by a single final division."""
+    from tsrollup.channels import (cross_channel_stats, melt_channels,
+                                   rollup_channels)
+
+    rolled = rollup_channels(melt_channels(_two_channel(spark, sf_dir)),
+                             window=W0, tiers={"w": 1, "w4": 4})
+    return cross_channel_stats(rolled)
+
+
 def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-(source, tier) metrics: salted two-phase aggregation of
     decomposable partials (SURVEY §4 — a Zipf-heavy source would bottleneck a
@@ -620,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_ffill": q_gapfill_ffill,
         "global_agg": q_global_agg,
         "sliding_windows": q_sliding_windows,
+        "windows_forecast": q_windows_forecast,
         "upsample": q_upsample,
         "znorm_outliers": q_znorm_outliers,
         "segment_islands": q_segment_islands,
@@ -651,8 +724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_events": q_one_hot_events,
         "softmax_window": q_softmax_window,
         "residual_add": q_residual_add,
+        "attention_gate": q_attention_gate,
+        "en_loss": q_en_loss,
         "grouping_sets": q_grouping_sets,
         "hash_split": q_hash_split,
+        "rollup_multichannel": q_rollup_multichannel,
+        "cross_channel_stats": q_cross_channel_stats,
         "per_source_stats": q_per_source_stats,
         "segment_extract": q_segment_extract,
         "windows_excluded": q_windows_excluded,
@@ -759,6 +836,27 @@ SELECT doc_id, s::BIGINT AS win_start, 8::BIGINT AS win_count,
        list_aggregate(tokens[s + 1 : s + 8], 'sum')::BIGINT AS win_sum,
        list_aggregate(tokens[s + 1 : s + 8], 'min')::BIGINT AS win_min,
        list_aggregate(tokens[s + 1 : s + 8], 'max')::BIGINT AS win_max
+FROM st
+"""
+
+    # input window [s, s+8), label window [s+8, s+12), valid pairs only
+    sqls["windows_forecast"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 11, 4)) AS s
+  FROM tok WHERE len(t) >= 12
+)
+SELECT doc_id, s::BIGINT AS win_start,
+       list_aggregate(t[s + 1 : s + 8], 'sum')::BIGINT AS in_sum,
+       list_aggregate(t[s + 1 : s + 8], 'min')::BIGINT AS in_min,
+       list_aggregate(t[s + 1 : s + 8], 'max')::BIGINT AS in_max,
+       (s + 8)::BIGINT AS label_start,
+       list_aggregate(t[s + 9 : s + 12], 'sum')::BIGINT AS label_sum,
+       list_aggregate(t[s + 9 : s + 12], 'min')::BIGINT AS label_min,
+       list_aggregate(t[s + 9 : s + 12], 'max')::BIGINT AS label_max
 FROM st
 """
 
@@ -1007,8 +1105,8 @@ SELECT doc_id, (s // 2)::BIGINT AS pos,
 FROM st
 """
 
-    # shrunk right-edge windows: missing terms contribute literal +0.0, which
-    # is exact for the non-negative partial sums these weights produce
+    # centered 'same': output pos p reads x[p-1], x[p], x[p+1] (0-based) with
+    # zeros outside — out-of-range terms are literal 0.0 ≡ Spark's padded 0·w
     sqls["conv1d_same"] = """
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1019,9 +1117,9 @@ WITH tok AS (
   FROM tok WHERE len(t) > 0
 )
 SELECT doc_id, s::BIGINT AS pos,
-       0.0 + t[s+1]::DOUBLE * 0.25
-           + CASE WHEN s + 2 <= len(t) THEN t[s+2]::DOUBLE * 0.5 ELSE 0.0 END
-           + CASE WHEN s + 3 <= len(t) THEN t[s+3]::DOUBLE * 0.25 ELSE 0.0 END
+       0.0 + CASE WHEN s >= 1 THEN t[s]::DOUBLE * 0.25 ELSE 0.0 END
+           + t[s+1]::DOUBLE * 0.5
+           + CASE WHEN s + 2 <= len(t) THEN t[s+2]::DOUBLE * 0.25 ELSE 0.0 END
          AS y
 FROM st
 """
@@ -1120,6 +1218,49 @@ WITH tok AS (
 SELECT doc_id, n_res,
        list_reduce(list_prepend(0.0, res), (acc, x) -> acc + x) AS res_sum
 FROM z
+"""
+
+    # gated_i = x_i·(x_i/Σx) + x_i — multiplication/division are IEEE-exact
+    # cross-engine; fold order identical to the Spark aggregate()
+    sqls["attention_gate"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, list_aggregate(t, 'sum')::BIGINT::DOUBLE AS s
+  FROM tok WHERE len(t) > 0
+), g AS (
+  SELECT doc_id, t,
+         list_transform(t, x -> x::DOUBLE * (x::DOUBLE / s) + x::DOUBLE)
+           AS gated
+  FROM st WHERE s > 0
+)
+SELECT doc_id, len(t)::BIGINT AS n_tok,
+       list_reduce(list_prepend(0.0, gated), (a, b) -> a + b) AS gate_sum,
+       list_aggregate(gated, 'max') AS gate_max
+FROM g
+"""
+
+    sqls["en_loss"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), terms AS (
+  SELECT doc_id,
+         list_transform(t, x -> CASE WHEN x % 2 = 1
+           THEN round(pow(-ln(least(greatest(x::DOUBLE / 100.0, 1.0e-7),
+                                    1.0 - 1.0e-7)), 0.3), 9)
+           ELSE round(pow(-ln(1.0 - least(greatest(x::DOUBLE / 100.0, 1.0e-7),
+                                          1.0 - 1.0e-7)), 0.3), 9)
+           END) AS tm
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id, len(tm)::BIGINT AS n_tok,
+       list_reduce(list_prepend(0.0, tm), (a, b) -> a + b)
+         / len(tm)::DOUBLE AS en_loss
+FROM terms
 """
 
     sqls["grouping_sets"] = """
@@ -1254,6 +1395,61 @@ SELECT source, tier, COUNT(*)::BIGINT AS n_points,
        SUM(s)::BIGINT::DOUBLE / SUM(cnt)::BIGINT::DOUBLE AS token_mean,
        MIN(mn)::BIGINT AS token_min, MAX(mx)::BIGINT AS token_max
 FROM pts GROUP BY source, tier
+"""
+
+    _TWO_CHANNEL = """
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS channel,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 1,
+         list_transform(string_split(text, ' '),
+                        w -> length(regexp_replace(w, '[^aeiou]', '', 'g')))
+  FROM documents
+"""
+
+    sqls["rollup_multichannel"] = f"""
+WITH tok AS ({_TWO_CHANNEL}), pos AS (
+  SELECT doc_id, channel, unnest(tokens) AS tk,
+         unnest(range(0, len(tokens))) AS p
+  FROM tok
+)
+SELECT doc_id, channel, (p // {W0}) * {W0} AS window_start,
+       COUNT(*)::BIGINT AS "count",
+       SUM(tk)::BIGINT AS "sum",
+       SUM(tk * tk)::BIGINT AS "sumsq",
+       MIN(tk)::BIGINT AS "min",
+       MAX(tk)::BIGINT AS "max",
+       SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS "mean",
+       SUM(tk * tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE
+         - (SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE)
+           * (SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE) AS "var"
+FROM pos GROUP BY doc_id, channel, (p // {W0})
+"""
+
+    sqls["cross_channel_stats"] = f"""
+WITH tok AS ({_TWO_CHANNEL}), pos AS (
+  SELECT doc_id, channel, unnest(tokens) AS tk,
+         unnest(range(0, len(tokens))) AS p
+  FROM tok
+), pts AS (
+  SELECT doc_id, channel, 'w' AS tier, (p // {W0}) * {W0} AS window_start,
+         COUNT(*)::BIGINT AS cnt, SUM(tk)::BIGINT AS s,
+         MIN(tk)::BIGINT AS mn, MAX(tk)::BIGINT AS mx
+  FROM pos GROUP BY doc_id, channel, p // {W0}
+  UNION ALL
+  SELECT doc_id, channel, 'w4', (p // {W0 * 4}) * {W0 * 4},
+         COUNT(*)::BIGINT, SUM(tk)::BIGINT, MIN(tk)::BIGINT, MAX(tk)::BIGINT
+  FROM pos GROUP BY doc_id, channel, p // {W0 * 4}
+)
+SELECT doc_id, tier, window_start,
+       COUNT(*)::BIGINT AS n_channels,
+       SUM(cnt)::BIGINT AS "count",
+       SUM(s)::BIGINT AS "sum",
+       MIN(mn)::BIGINT AS "min",
+       MAX(mx)::BIGINT AS "max",
+       SUM(s)::BIGINT::DOUBLE / SUM(cnt)::BIGINT::DOUBLE AS xchan_mean
+FROM pts GROUP BY doc_id, tier, window_start
 """
 
     sqls["cosine_knn"] = """

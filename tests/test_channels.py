@@ -1,0 +1,104 @@
+"""Multivariate (V>1) channel support: melted per-channel rollup must equal
+the V=1 engine run per channel, and cross-channel stats must match pandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def multi_df(spark):
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(1, 400))
+        rows.append((
+            f"d{i:03d}",
+            [rng.integers(0, 50, n).astype(int).tolist(),
+             rng.integers(0, 50, n).astype(int).tolist(),
+             rng.integers(0, 50, n).astype(int).tolist()],
+            "s"))
+    rows.append(("dempty", [[], [], []], "s"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "channels", "source"]))
+
+
+def test_melt_shapes(spark, multi_df):
+    from tsrollup.channels import melt_channels
+
+    m = melt_channels(multi_df).toPandas()
+    assert set(m["channel"]) == {0, 1, 2}
+    assert len(m) == 41 * 3
+
+
+def test_per_channel_rollup_matches_v1_engine(spark, multi_df):
+    from tsrollup.channels import melt_channels, rollup_channels
+    from tsrollup.rollup import rollup_sequences
+
+    melted = melt_channels(multi_df)
+    got = rollup_channels(melted, window=16, tiers={"w": 1, "w4": 4}) \
+        .toPandas().sort_values(["doc_id", "channel", "tier", "window_start"]) \
+        .reset_index(drop=True)
+    # V=1 engine per channel: key = (doc_id, channel) encoded in doc_id
+    flat = melted.select(
+        F.concat_ws("|", "doc_id", F.col("channel").cast("string"))
+        .alias("doc_id"), "tokens", "source")
+    ref = rollup_sequences(flat, window=16, tiers={"w": 1, "w4": 4}).toPandas()
+    ref[["doc_id", "channel"]] = ref["doc_id"].str.split("|", expand=True)
+    ref["channel"] = ref["channel"].astype("int32")
+    ref = ref.sort_values(["doc_id", "channel", "tier", "window_start"]) \
+        .reset_index(drop=True)
+    for c in got.columns:
+        av, bv = got[c].values, ref[c].values
+        if c == "band_energy":
+            av = np.stack([np.asarray(x) for x in av])
+            bv = np.stack([np.asarray(x) for x in bv])
+        assert (av == bv).all(), c
+
+
+def test_cross_channel_stats_matches_pandas(spark, multi_df):
+    from tsrollup.channels import (cross_channel_stats, melt_channels,
+                                   rollup_channels)
+
+    rolled = rollup_channels(melt_channels(multi_df), window=16,
+                             tiers={"w": 1})
+    got = cross_channel_stats(rolled).toPandas() \
+        .sort_values(["doc_id", "tier", "window_start"]).reset_index(drop=True)
+    pdf = multi_df.toPandas()
+    rows = []
+    for _, r in pdf.iterrows():
+        chans = [np.asarray(c, dtype=np.int64) for c in r["channels"]]
+        n = max((c.shape[0] for c in chans), default=0)
+        if n == 0:
+            continue
+        for ws in range(0, n, 16):
+            seg = [c[ws:ws + 16] for c in chans if c.shape[0] > ws]
+            rows.append({
+                "doc_id": r["doc_id"], "tier": "w", "window_start": ws,
+                "n_channels": len(seg),
+                "count": sum(s.shape[0] for s in seg),
+                "sum": sum(int(s.sum()) for s in seg),
+                "min": min(int(s.min()) for s in seg),
+                "max": max(int(s.max()) for s in seg),
+            })
+    want = pd.DataFrame(rows)
+    want["xchan_mean"] = want["sum"].astype(np.float64) / \
+        want["count"].astype(np.float64)
+    want = want.sort_values(["doc_id", "tier", "window_start"]) \
+        .reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_channel_rollup_plan_is_zero_shuffle(spark, multi_df):
+    from tsrollup.channels import melt_channels, rollup_channels
+
+    df = rollup_channels(melt_channels(multi_df))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan

@@ -27,22 +27,16 @@ def np_conv(x, w, stride, padding, dilation=1):
     span = (k - 1) * dilation
     if padding == "full":
         x = np.concatenate([np.zeros(span), x, np.zeros(span)])
+    elif padding == "same":  # centered (Keras) zero-padding
+        x = np.concatenate([np.zeros(span // 2), x,
+                            np.zeros(span - span // 2)])
     out = []
-    if padding == "same":
-        starts = range(0, len(x), stride)
-        for s in starts:
-            m = min(k, len(x) - s)
-            acc = 0.0
-            for i in range(m):
-                acc += x[s + i] * w[i]
-            out.append(acc)
-    else:
-        starts = range(0, len(x) - span, stride) if len(x) > span else []
-        for s in starts:
-            acc = 0.0
-            for i in range(k):
-                acc += x[s + i * dilation] * w[i]
-            out.append(acc)
+    starts = range(0, len(x) - span, stride) if len(x) > span else []
+    for s in starts:
+        acc = 0.0
+        for i in range(k):
+            acc += x[s + i * dilation] * w[i]
+        out.append(acc)
     return out
 
 
@@ -55,7 +49,8 @@ def _collect(df):
 
 @pytest.mark.parametrize("padding,stride,dilation", [
     ("valid", 1, 1), ("valid", 3, 1), ("valid", 1, 2),
-    ("same", 1, 1), ("same", 2, 1), ("full", 1, 1), ("full", 2, 2),
+    ("same", 1, 1), ("same", 2, 1), ("same", 1, 2),
+    ("full", 1, 1), ("full", 2, 2),
 ])
 def test_conv1d_matches_numpy(spark, toks_df, padding, stride, dilation):
     from tsrollup.convolve import conv1d

@@ -1,0 +1,83 @@
+"""forecast windows + attention gate + en_loss vs a NumPy reference."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def toks_df(spark):
+    rng = np.random.default_rng(17)
+    rows = [(f"d{i:03d}",
+             rng.integers(1, 30, rng.integers(1, 60)).astype(int).tolist(),
+             "t")
+            for i in range(60)]
+    rows.append(("empty", [], "t"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "tokens", "source"]))
+
+
+def test_forecast_windows_match_numpy(spark, toks_df):
+    from tsrollup.windowing import forecast_window_aggs
+
+    length, label_length, shift, stride = 8, 4, 8, 4
+    got = {(r["doc_id"], r["win_start"]): r
+           for r in forecast_window_aggs(
+               toks_df, length, label_length, shift, stride).collect()}
+    n_pairs = 0
+    for _, r in toks_df.toPandas().iterrows():
+        x = np.asarray(r["tokens"], dtype=np.int64)
+        total = max(length, shift + label_length)
+        for s in range(0, len(x) - total + 1, stride):
+            n_pairs += 1
+            g = got.pop((r["doc_id"], s))
+            xin, lab = x[s:s + length], x[s + shift:s + shift + label_length]
+            assert (g["in_sum"], g["in_min"], g["in_max"]) == \
+                (xin.sum(), xin.min(), xin.max())
+            assert g["label_start"] == s + shift
+            assert (g["label_sum"], g["label_min"], g["label_max"]) == \
+                (lab.sum(), lab.min(), lab.max())
+    assert n_pairs > 0 and not got  # no extra windows produced
+
+
+def test_attention_gate_matches_numpy(spark, toks_df):
+    from tsrollup.gating import attention_gate_features
+
+    got = {r["doc_id"]: r
+           for r in attention_gate_features(toks_df).collect()}
+    for _, r in toks_df.toPandas().iterrows():
+        x = np.asarray(r["tokens"], dtype=np.float64)
+        if not len(x):
+            assert r["doc_id"] not in got
+            continue
+        s = float(np.asarray(r["tokens"], dtype=np.int64).sum())
+        gated = x * (x / s) + x
+        acc = 0.0
+        for v in gated:
+            acc = acc + v  # pinned left fold, like the Spark aggregate
+        g = got[r["doc_id"]]
+        assert g["n_tok"] == len(x)
+        assert g["gate_sum"] == acc
+        assert g["gate_max"] == gated.max()
+
+
+def test_en_loss_matches_numpy(spark, toks_df):
+    from tsrollup.gating import en_loss
+
+    got = {r["doc_id"]: r for r in en_loss(toks_df).collect()}
+    for _, r in toks_df.toPandas().iterrows():
+        x = r["tokens"]
+        if not len(x):
+            assert r["doc_id"] not in got
+            continue
+        acc = 0.0
+        for v in x:
+            p = min(max(v / 100.0, 1.0e-7), 1.0 - 1.0e-7)
+            t = (-math.log(p)) ** 0.3 if v % 2 == 1 \
+                else (-math.log(1.0 - p)) ** 0.3
+            acc = acc + round(t, 9)
+        assert got[r["doc_id"]]["en_loss"] == acc / len(x)

@@ -11,7 +11,11 @@ same list reproduces the bits.
 
 Padding conventions (pinned, §2.4):
   'valid' — output length T−(k−1)·d (no padding; reference models_keras.py:386)
-  'same'  — output length T; window trimmed at the right edge (shrinking)
+  'same'  — output length ⌈T/stride⌉; CENTERED zero-padding — span//2 zeros
+            left, span−span//2 right (span=(k−1)·d) — matching Keras
+            Conv1D(padding='same') values exactly at stride=1 (reference
+            models_keras.py:202; for stride>1 Keras pads input-length-
+            dependently, this pads the full span — documented divergence)
   'full'  — output length T+(k−1); zero-pad k−1 both ends (reference
             utils.py:107-130 full_convolution)
 
@@ -54,27 +58,17 @@ def conv1d(df: DataFrame, weights: Sequence[float], stride: int = 1,
     if padding == "full":
         tok = F.concat(F.array_repeat(F.lit(0), span), tok,
                        F.array_repeat(F.lit(0), span))
+    elif padding == "same":
+        # centered zero-padding (Keras padding='same'): span//2 zeros left,
+        # the rest right, then the 'valid' machinery below. Padded zeros
+        # contribute literal 0·w terms to the fold — exact (+0.0 for w>0,
+        # −0.0 absorbed by the left-to-right fold).
+        tok = F.concat(F.array_repeat(F.lit(0), span // 2), tok,
+                       F.array_repeat(F.lit(0), span - span // 2))
     n = F.size(tok)
-    if padding == "same":
-        # output length ceil(T/stride); right-edge windows shrink
-        df = df.filter(F.size(F.col(tokens_col)) > 0)  # sequence(0,-1) errors
-        starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
-        win = lambda s: F.slice(tok, s + 1, F.least(  # noqa: E731
-            F.lit(span + 1), n - s))
-        wlit = F.array(*[F.lit(float(w)) for w in weights])
-        y = lambda s: F.aggregate(  # noqa: E731
-            F.zip_with(
-                F.transform(win(s), lambda x: x.cast("double")),
-                F.slice(wlit, 1, F.least(F.lit(k), n - s)),
-                lambda x, w: x * w),
-            F.lit(0.0), lambda a, x: a + x)
-        if dilation != 1:
-            raise ValueError("'same' padding supports dilation=1")
-    else:
-        starts = F.sequence(F.lit(0), n - 1 - span, F.lit(stride))
-        y = lambda s: _window_dot(tok, s, weights, dilation)  # noqa: E731
-        df = df.filter(n > span)
-    out = df.select(
+    starts = F.sequence(F.lit(0), n - 1 - span, F.lit(stride))
+    y = lambda s: _window_dot(tok, s, weights, dilation)  # noqa: E731
+    out = df.filter(n > span).select(
         "doc_id",
         F.posexplode(F.transform(starts, y)).alias("pos", "y"))
     return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "y")

@@ -1,0 +1,80 @@
+"""Attention gating and the en_loss reduction — elementwise multiply paths.
+
+* ``attention_gate_features`` ≙ the reference's RTA attention block
+  (``blocks_keras.py:201-202``: ``x = multiply([x2, attention_map]);
+  x = add([x, x1])``): an attention weight per position is multiplied onto
+  the signal and the result residual-added back. The engine's deterministic
+  attention map is linear normalization w_i = x_i / Σx (division — IEEE-exact
+  cross-engine, unlike softmax's libm exp; the exp variant is exercised by
+  the ``softmax_window`` query, rows-only for exactly that reason).
+
+* ``en_loss`` ≙ YiboGao's custom loss (``models_keras.py:1538-1550``):
+  clip → −log → pow(γ) → class-select → mean. libm log/pow differ from
+  DuckDB's in the last ulp, so each per-element term is rounded to 9 decimals
+  (verified bit-identical across both engines over the full token domain);
+  the pinned sequential fold then makes the doc-level mean hash-exact.
+
+Everything is JVM-side higher-order functions — zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def multiply_gate(tokens: Column, gate: Column) -> Column:
+    """Elementwise multiply of an attention map onto a signal
+    (reference layers.multiply, blocks_keras.py:201)."""
+    return F.zip_with(tokens, gate, lambda x, g: x.cast("double") * g)
+
+
+def attention_gate_features(df: DataFrame,
+                            tokens_col: str = "tokens") -> DataFrame:
+    """Linear-attention gate + residual add, reduced to checksum aggregates:
+    gated_i = x_i·(x_i/Σx) + x_i. Returns (doc_id, n_tok, gate_sum, gate_max).
+
+    The Σx aggregate is staged as a column FIRST (embedding it in the
+    per-element lambda would re-evaluate the fold per element — O(n²))."""
+    t = F.col(tokens_col)
+    s = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + x)
+    staged = (df.filter(F.size(t) > 0)
+              .select("doc_id", t.alias("_t"), s.alias("_s"))
+              .filter(F.col("_s") > 0))
+    sd = F.col("_s").cast("double")
+    att = F.transform("_t", lambda x: x.cast("double") / sd)
+    gated = F.zip_with(
+        multiply_gate(F.col("_t"), att), F.col("_t"),
+        lambda g, x: g + x.cast("double"))
+    return staged.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tok"),
+        F.aggregate(gated, F.lit(0.0), lambda a, x: a + x).alias("gate_sum"),
+        F.array_max(gated).alias("gate_max"))
+
+
+def en_loss(df: DataFrame, gamma: float = 0.3, eps: float = 1.0e-7,
+            scale: float = 100.0, tokens_col: str = "tokens") -> DataFrame:
+    """YiboGao en_loss over each doc's token signal
+    (models_keras.py:1538-1550): p = clip(x/scale, ε, 1−ε),
+    term = (−log p)^γ if x odd (the class-1 branch) else (−log(1−p))^γ,
+    loss = mean(term). Per-element terms rounded to 9 decimals for
+    cross-engine bit-exactness (see module doc)."""
+    t = F.col(tokens_col)
+    g = F.lit(float(gamma))
+
+    def term(x):
+        p = F.least(F.greatest(x.cast("double") / F.lit(float(scale)),
+                               F.lit(float(eps))),
+                    F.lit(1.0 - float(eps)))
+        pos = F.round(F.pow(-F.log(p), g), 9)
+        neg = F.round(F.pow(-F.log(F.lit(1.0) - p), g), 9)
+        return F.when(x % 2 == 1, pos).otherwise(neg)
+
+    staged = (df.filter(F.size(t) > 0)
+              .select("doc_id", F.transform(t, term).alias("_terms")))
+    return staged.select(
+        "doc_id",
+        F.size("_terms").cast("long").alias("n_tok"),
+        (F.aggregate("_terms", F.lit(0.0), lambda a, x: a + x)
+         / F.size("_terms").cast("double")).alias("en_loss"))

@@ -62,6 +62,49 @@ def sliding_window_aggs(df: DataFrame, length: int = 8, stride: int = 4,
     return out
 
 
+def forecast_window_aggs(df: DataFrame, length: int = 8,
+                         label_length: int = 4, shift: int = 8,
+                         stride: int = 4,
+                         tokens_col: str = "tokens") -> DataFrame:
+    """Forecast-target window split (reference WindowGenerator.split_window,
+    IGN_experiment.py:125-134; length_target/targets,
+    timeseries_batch_generator.py:58-63): each window start s yields an INPUT
+    window [s, s+length) and a LABEL window [s+shift, s+shift+label_length) —
+    the (X, y) pair of a forecasting dataset. Only fully in-bounds pairs are
+    produced ('valid'); shift ≥ length gives non-overlapping horizons,
+    shift < length overlapping ones — both supported, as in the reference.
+
+    All JVM-side higher-order functions (sequence/slice/aggregate); no Python.
+    """
+    total = max(length, shift + label_length)  # positions a pair spans
+    tok = F.col(tokens_col)
+    n = F.size(tok)
+    starts = F.sequence(F.lit(0), n - total, F.lit(stride))
+
+    def aggs(s, off, ln, pre):
+        win = F.slice(tok, s + off + 1, ln)
+        return [
+            F.aggregate(win, F.lit(0).cast("long"), lambda a, x: a + x)
+             .alias(f"{pre}_sum"),
+            F.array_min(win).cast("long").alias(f"{pre}_min"),
+            F.array_max(win).cast("long").alias(f"{pre}_max"),
+        ]
+
+    return (
+        df.filter(n >= total)
+        .select(
+            "doc_id",
+            F.explode(F.transform(starts, lambda s: F.struct(
+                s.cast("long").alias("win_start"),
+                *aggs(s, 0, length, "in"),
+                (s + shift).cast("long").alias("label_start"),
+                *aggs(s, shift, label_length, "label"),
+            ))).alias("w"))
+        .select("doc_id", "w.win_start", "w.in_sum", "w.in_min", "w.in_max",
+                "w.label_start", "w.label_sum", "w.label_min", "w.label_max")
+    )
+
+
 def upsample_repeat(df: DataFrame, factor: int = 2,
                     tokens_col: str = "tokens") -> DataFrame:
     """UpSampling1D analog (reference blocks_keras.py:153): repeat each element
