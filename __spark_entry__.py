@@ -370,12 +370,14 @@ def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed ANN (scale path; bucket membership involves a
-    sign decision at float boundaries → rows-only check)."""
+    """Banded SRP-LSH ANN (scale path): plane count scales with corpus size,
+    4-band OR-construction for recall, per-bucket top-k before the global
+    merge. Bucket membership involves a sign decision at float boundaries →
+    rows-only check; recall is pytest-asserted on planted duplicates."""
     from tsrollup.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_lsh_topk(emb, k=10, n_planes=8, dim=64)
+    return ann_lsh_topk(emb, k=10, dim=64)
 
 
 def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,29 @@ def test_kill_resume_identical(spark, sequences_path, tmp_path):
     assert lin["n_docs"].sum() == 120  # every doc in exactly one bucket
 
 
+def test_clean_run_scans_input_once(spark, sequences_path, tmp_path):
+    # the number of Spark jobs for a clean run must be a small constant,
+    # NOT proportional to n_buckets (the round-1 bug: one input scan per
+    # bucket). One write job + one metrics job + one lineage append ≈ 3-4.
+    sc = spark.sparkContext
+    counts = {}
+    for nb in (4, 16):
+        grp = f"ckpt-one-scan-{nb}"
+        sc.setJobGroup(grp, "clean checkpoint run")
+        try:
+            done = run_checkpointed(spark, sequences_path,
+                                    str(tmp_path / f"onescan{nb}"),
+                                    n_buckets=nb, run_id="onescan")
+        finally:
+            sc.setJobGroup(None, None)
+        assert done == list(range(nb))
+        counts[nb] = len(
+            spark._jsc.sc().statusTracker().getJobIdsForGroup(grp))
+    # 4x the buckets must NOT mean 4x the jobs; allow slack for AQE/commit
+    # bookkeeping jobs but fail the per-bucket-loop shape (16+ extra jobs)
+    assert counts[16] <= counts[4] + 2, counts
+
+
 def test_checkpoint_compressed_mode(spark, sequences_path, tmp_path):
     root = str(tmp_path / "packed")
     run_checkpointed(spark, sequences_path, root, n_buckets=2, compressed=True)

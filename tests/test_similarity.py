@@ -60,9 +60,32 @@ def test_lsh_finds_planted_near_duplicates(spark, emb_df):
     got = ann_lsh_topk(emb_df, k=6, n_planes=8, dim=DIM).toPandas()
     pairs = set(zip(got["id_a"], got["id_b"]))
     # near-identical vectors share every hyperplane sign → must be candidates
-    # and must outrank everything else
+    # in every band and must outrank everything else
     assert (100, 101) in pairs and (102, 103) in pairs
     assert got["cos_sim"].iloc[0] > 0.999
+
+
+def test_lsh_adaptive_planes_still_find_duplicates(spark, emb_df):
+    from tsrollup.similarity import ann_lsh_topk
+
+    # n_planes=None → scaled from corpus size (44 vecs, target 8 → 4 planes)
+    got = ann_lsh_topk(emb_df, k=6, dim=DIM, target_bucket=8).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (100, 101) in pairs and (102, 103) in pairs
+
+
+def test_lsh_plan_has_no_global_candidate_sort(spark, emb_df):
+    from tsrollup.similarity import ann_lsh_topk
+
+    df = ann_lsh_topk(emb_df, k=6, n_planes=8, dim=DIM)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # global merge is a bounded TakeOrderedAndProject, and a per-bucket
+    # window rank prunes candidates before it — never a full Sort+limit of
+    # the raw candidate pair set
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" in plan, plan
+    assert "row_number" in plan, plan
 
 
 def test_knn_ranks_are_exact(spark, emb_df):

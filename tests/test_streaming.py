@@ -166,3 +166,55 @@ def test_stateful_rolling_matches_batch_window(spark, tmp_path):
     a = got["rmean"].to_numpy(np.float64)
     b = want["rmean"].to_numpy(np.float64)
     np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_stateful_rolling_group_spanning_many_chunks(spark, tmp_path):
+    """applyInPandasWithState may deliver one group split across multiple
+    Arrow chunks with no cross-chunk ordering; the operator must sort the
+    whole group before folding (a per-chunk sort gives wrong rolling means
+    for any group bigger than one chunk)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tsrollup.streaming import stream_stateful_rolling
+
+    rng = np.random.default_rng(23)
+    n = 500  # ONE user, many rows; tiny Arrow batches force chunk splits
+    ev = pd.DataFrame({
+        "user_id": np.zeros(n, dtype=np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    src = tmp_path / "ev1"
+    src.mkdir()
+    ev.to_parquet(src / "p0.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream = (spark.readStream
+                  .schema("user_id long, event_id long, ts timestamp, "
+                          "value double")
+                  .parquet(str(src)))
+        sink = str(tmp_path / "sink1")
+        q = (stream_stateful_rolling(stream, window_n=4).writeStream
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt1"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 0))
+    want = (spark.read.parquet(str(src))
+            .select("event_id", F.avg("value").over(w).alias("rmean"))
+            .toPandas().sort_values("event_id").reset_index(drop=True))
+    assert len(got) == n
+    np.testing.assert_allclose(got["rmean"].to_numpy(np.float64),
+                               want["rmean"].to_numpy(np.float64),
+                               rtol=1e-12)

@@ -3,19 +3,23 @@
 The engine's analog of the reference's ModelCheckpoint/early-resume discipline
 (``experiments/keras_experiment.py:69``, weight reload at
 ``models_keras.py:75-77``): work is divided into hash BUCKETS of documents
-(``pmod(xxhash64(doc_id), n_buckets)``), each bucket is one atomic unit —
-rollup → overwrite its output dir → append its lineage row. A killed run
-resumes by skipping every bucket whose lineage row says ``done``; re-running a
-finished run is a no-op; outputs are bit-identical to a single clean run
-(tested in tests/test_checkpoint.py).
+(``pmod(xxhash64(doc_id), n_buckets)``), committed via dynamic partition
+overwrite of (bucket, tier) partitions + per-bucket lineage rows. A killed
+run resumes by skipping every bucket whose lineage row says ``done``;
+re-running a finished run is a no-op; outputs are bit-identical to a single
+clean run (tested in tests/test_checkpoint.py).
 
-Layout under ``output_root``:
+One call = ONE input scan: all pending buckets roll up in a single job (the
+round-1 design filtered and re-scanned the input once per bucket — thousands
+of 100 TB scans at the docstring's own target scale). The bucket remains the
+RESUME and metrics granularity; ``max_buckets`` bounds one spark-submit
+invocation, and concurrent invocations shard cleanly because buckets are
+disjoint by construction.
+
+Layout under ``output_root`` (all reads/writes via ``tsrollup.io``, so the
+parquet ⇄ Iceberg boundary is one config flag):
     data/bucket=<b>/tier=<t>/*.parquet   rolled-up points (or packed rows)
     _lineage/*.parquet                   one row per completed bucket
-At 10^12-sequence scale the same loop runs with n_buckets in the thousands —
-each bucket is a bounded, restartable unit with a commit point, and the
-driver-side loop is trivially shardable across concurrent spark-submit jobs
-(buckets are disjoint by construction).
 """
 
 from __future__ import annotations
@@ -39,9 +43,10 @@ def _bucket_col(n_buckets: int):
 
 
 def read_lineage(spark: SparkSession, output_root: str) -> DataFrame:
-    path = f"{output_root}/_lineage"
+    from .io import read_table
+
     try:
-        return spark.read.parquet(path)
+        return read_table(spark, f"{output_root}/_lineage")
     except Exception:
         return spark.createDataFrame([], LINEAGE_SCHEMA)
 
@@ -58,41 +63,62 @@ def run_checkpointed(spark: SparkSession, input_path: str, output_root: str,
                      tiers: dict[str, int] = TIER_FACTOR,
                      compressed: bool = False,
                      max_buckets: int | None = None) -> list[int]:
-    """Process all pending buckets; returns the buckets completed this call.
+    """Process all pending buckets in ONE pass; returns the buckets completed.
 
-    ``max_buckets`` limits work per call (used by tests to simulate a kill
-    mid-run; in production it bounds a single spark-submit invocation).
+    The input is scanned exactly once per call regardless of n_buckets: all
+    pending buckets roll up in a single job whose output is committed with a
+    DYNAMIC partition overwrite of just those (bucket, tier) partitions —
+    at 10^12-sequence scale this is one 100 TB scan, not one per bucket (the
+    round-1 design re-scanned per bucket). The bucket stays the RESUME unit:
+    lineage rows are per bucket, a killed call leaves its buckets pending
+    (partially-written partitions are simply overwritten on retry), and
+    ``max_buckets`` bounds one spark-submit invocation. Metrics derive from
+    one scan of the (small) committed output, which also validates the write.
     """
-    from .io import read_table
+    from .io import read_table, write_table
 
     done = completed_buckets(spark, output_root)
     pending = [b for b in range(n_buckets) if b not in done]
     if max_buckets is not None:
         pending = pending[:max_buckets]
-    src = read_table(spark, input_path).withColumn("_bucket", _bucket_col(n_buckets))
-    finished: list[int] = []
-    for b in pending:
-        t0 = time.time()
-        part = src.filter(F.col("_bucket") == b).drop("_bucket")
-        out = (rollup_compressed(part, window, tiers) if compressed
-               else rollup_sequences(part, window, tiers))
-        dest = f"{output_root}/data/bucket={b}"
-        out.write.mode("overwrite").partitionBy("tier").parquet(dest)
-        # metrics from the committed files (also validates the write)
-        written = spark.read.parquet(dest)
-        n_points = written.count() if not compressed else \
-            written.agg(F.sum("n_windows")).collect()[0][0]
-        n_docs = written.select("doc_id").distinct().count()
-        row = [(b, "done", n_docs, int(n_points or 0), run_id,
-                time.time() - t0, time.strftime("%Y-%m-%dT%H:%M:%S"))]
-        spark.createDataFrame(row, LINEAGE_SCHEMA) \
-            .write.mode("append").parquet(f"{output_root}/_lineage")
-        finished.append(b)
-    return finished
+    if not pending:
+        return []
+    t0 = time.time()
+    src = read_table(spark, input_path) \
+        .withColumn("_bucket", _bucket_col(n_buckets))
+    part = src.filter(F.col("_bucket").isin(pending)).drop("_bucket")
+    out = (rollup_compressed(part, window, tiers) if compressed
+           else rollup_sequences(part, window, tiers))
+    # bucket recomputed from doc_id post-rollup (the map drops helper cols);
+    # one cheap hash per output row, and the scan stays single-pass
+    out = out.withColumn("bucket", _bucket_col(n_buckets))
+    write_table(out, f"{output_root}/data", mode="overwrite",
+                partition_by=("bucket", "tier"), dynamic_overwrite=True)
+    wall = time.time() - t0
+
+    # per-bucket metrics from the committed files (one scan of the output)
+    written = read_table(spark, f"{output_root}/data")
+    written = written.filter(F.col("bucket").isin(pending))
+    pts = F.count("*") if not compressed else F.sum("n_windows")
+    stats = {r["bucket"]: r for r in (
+        written.groupBy("bucket")
+        .agg(pts.cast("long").alias("n_points"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .collect())}
+    now = time.strftime("%Y-%m-%dT%H:%M:%S")
+    rows = [(b, "done",
+             int(stats[b]["n_docs"]) if b in stats else 0,
+             int(stats[b]["n_points"]) if b in stats else 0,
+             run_id, wall, now) for b in pending]
+    write_table(spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                f"{output_root}/_lineage", mode="append")
+    return pending
 
 
 def read_rollup(spark: SparkSession, output_root: str) -> DataFrame:
     """Read back the full rolled-up dataset (all buckets, partition-pruned on
     bucket/tier predicates for free)."""
-    return spark.read.option("basePath", f"{output_root}/data") \
-        .parquet(f"{output_root}/data").drop("bucket")
+    from .io import read_table
+
+    return read_table(spark, f"{output_root}/data",
+                      base_path=f"{output_root}/data").drop("bucket")

@@ -20,19 +20,39 @@ def table_format() -> str:
     return os.environ.get("TSROLLUP_TABLE_FORMAT", "parquet")
 
 
-def read_table(spark: SparkSession, ident: str) -> DataFrame:
-    """``ident`` is a path (parquet) or a catalog table name (iceberg)."""
+def read_table(spark: SparkSession, ident: str,
+               base_path: str | None = None) -> DataFrame:
+    """``ident`` is a path (parquet) or a catalog table name (iceberg).
+    ``base_path`` (parquet only) keeps partition-directory columns when
+    reading a subtree of a partitioned layout."""
     if table_format() == "iceberg":
         return spark.read.format("iceberg").load(ident)
-    return spark.read.parquet(ident)
+    r = spark.read
+    if base_path is not None:
+        r = r.option("basePath", base_path)
+    return r.parquet(ident)
 
 
 def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
-                partition_by: tuple[str, ...] = ()) -> None:
-    w = df.write.mode(mode)
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    if table_format() == "iceberg":
-        w.format("iceberg").saveAsTable(ident)
-    else:
-        w.parquet(ident)
+                partition_by: tuple[str, ...] = (),
+                dynamic_overwrite: bool = False) -> None:
+    """``dynamic_overwrite=True`` replaces ONLY the partitions present in
+    ``df`` (the checkpoint commit primitive): parquet via
+    partitionOverwriteMode=dynamic (set/restored around the write), Iceberg
+    via its native dynamic overwrite behavior under the same conf."""
+    spark = df.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static") if dynamic_overwrite else None
+    try:
+        if dynamic_overwrite:
+            spark.conf.set(conf_key, "dynamic")
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if table_format() == "iceberg":
+            w.format("iceberg").saveAsTable(ident)
+        else:
+            w.parquet(ident)
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)

@@ -109,16 +109,57 @@ def _plane_dir(p: int, c: int) -> bool:
     return int(hashlib.md5(f"{p}|{c}".encode()).hexdigest()[0], 16) % 2 == 0
 
 
-def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int = 8, dim: int = 32,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN via SRP-LSH: candidates = pairs sharing a bucket (equi-join on the
-    signature), then exact cosine re-rank within candidates. Recall trades off
-    with n_planes; the bucket join replaces the O(n²) scan.
+def srp_band_signatures(df: DataFrame, bands: int = 4, n_planes: int = 8,
+                        dim: int = 32, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Banded SRP signatures (OR-construction): ``bands`` independent tables
+    of ``n_planes`` hyperplanes each; a pair is a candidate if it collides in
+    ANY band — recall 1-(1-p^b)^L instead of a single table's p^b. All
+    bands×planes projections are ONE matmul per Arrow batch; output is one
+    exploded row per (id, band) with that band's bucket."""
+    from pyspark.sql.functions import pandas_udf
 
-    Plan shape: signature + L2-normalized vector are computed ONCE per row in
-    a pre-join projection, so the per-pair work is a single dot product and
-    the big SRP expression tree never sits on a join side."""
-    sig = srp_signature(df, n_planes, dim, id_col, vec_col)
+    total = bands * n_planes
+    planes = np.array([[1.0 if _plane_dir(p, c) else -1.0
+                        for p in range(total)]
+                       for c in range(dim)])  # (dim, bands*n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(a[:dim], dtype=np.float64) for a in v])
+        bits = (x @ planes) > 0                    # (n, bands*n_planes)
+        bk = bits.reshape(len(v), bands, n_planes) @ weights  # (n, bands)
+        return pd.Series(list(bk))
+
+    sig = df.select(F.col(id_col).alias("id"),
+                    buckets(F.col(vec_col)).alias("_bks"))
+    return sig.select("id", F.posexplode("_bks").alias("band", "bucket"))
+
+
+def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
+                 dim: int = 32, bands: int = 4, target_bucket: int = 32,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN via banded SRP-LSH — the 100 TB-safe shape:
+
+    * ``n_planes`` defaults to log2(n/target_bucket) so expected bucket size
+      stays ~``target_bucket`` as the corpus grows (a FIXED plane count makes
+      candidate pairs grow ~n²/2^planes — the round-1 scale bug).
+    * ``bands`` independent hash tables (OR-construction) buy back the recall
+      a deeper signature costs: collision prob 1-(1-p^b)^L vs p^b.
+    * Per-bucket top-k (window rank over the join's own partitioning — no
+      extra exchange) bounds the global merge to ≤k rows per non-empty
+      bucket; the final orderBy().limit(k) is a TakeOrderedAndProject over
+      that bounded set, never a sort of all candidate pairs.
+
+    Exact cosine re-rank within candidates; normalized vectors computed once
+    pre-join so per-pair work is a single dot product."""
+    if n_planes is None:
+        import math
+
+        n = df.count()  # parquet metadata count — no data scan
+        n_planes = min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket))))
+    sig = srp_band_signatures(df, bands, n_planes, dim, id_col, vec_col)
     v = _as_double(F.col(vec_col))
     norm = _norm(v)
     e = (df.select(F.col(id_col).alias("id"),
@@ -126,9 +167,18 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int = 8, dim: int = 32,
          .join(sig, "id"))
     a, b = e.alias("a"), e.alias("b")
     cand = (
-        a.join(b, (F.col("a.srp_bucket") == F.col("b.srp_bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        a.hint("merge").join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select("band", "bucket",
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 _dot(F.col("a.vn"), F.col("b.vn")).alias("cos_sim"))
     )
-    return cand.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket") \
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+    pruned = (cand.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= k))
+    dedup = (pruned.groupBy("id_a", "id_b")
+             .agg(F.max("cos_sim").alias("cos_sim")))
+    return dedup.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)

@@ -94,12 +94,16 @@ def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
     "per-partition sorted ring buffer", as an applyInPandasWithState op —
     SURVEY §2.11: stateful op ≙ ring-buffer rollup state).
 
-    Within each trigger the group's rows are sorted by (ts, event_id) and the
-    rolling means are computed VECTORIZED (one sliding-window view over
-    state++batch) — no per-row Python. With in-order arrival the output is
-    bit-identical to the batch window aggregate
-    ``avg(value) OVER (PARTITION BY user ORDER BY ts ROWS window_n-1 PRECEDING)``
-    (tested), making the stream a drop-in continuous twin of the batch op.
+    Within each trigger ALL of the group's chunks are materialized and sorted
+    ONCE by (ts, event_id) before the fold — applyInPandasWithState may split
+    a large group across multiple Arrow chunks with no ordering guarantee
+    after the shuffle, so a per-chunk sort would fold rows out of ts order.
+    The rolling means are computed VECTORIZED (one cumsum-difference pass over
+    state++batch) — no per-row Python. With in-order arrival the output
+    matches the batch window aggregate ``avg(value) OVER (PARTITION BY user
+    ORDER BY ts ROWS window_n-1 PRECEDING)`` within 1e-12 (tested; the
+    cumsum-difference uses a different float summation order than the batch
+    fold, so bit equality is NOT the contract).
     """
     import numpy as np
     from pyspark.sql.streaming.state import GroupState
@@ -108,8 +112,9 @@ def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
                state: GroupState) -> Iterator[pd.DataFrame]:
         (buf,) = state.get if state.exists else ([],)
         prev = np.asarray(buf, dtype=np.float64)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts", "event_id"])
+        if len(pdf):
             vals = pdf["value"].to_numpy(np.float64)
             full = np.concatenate([prev, vals])
             # rolling mean over trailing ≤window_n values, one vector op:
@@ -146,7 +151,10 @@ def stream_minute_rollup(events: DataFrame, watermark: str = "10 minutes",
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", tier).alias("w"), "user_id")
             .agg(F.count("*").cast("long").alias("count"),
-                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 # decimal(28,10): order-independent exact sums without the
+                 # 2dp quantization a (18,2) cast would silently impose on
+                 # finer-grained value streams
+                 F.sum(F.col("value").cast("decimal(28,10)"))
                   .cast("double").alias("sum"),
                  F.min("value").alias("min"),
                  F.max("value").alias("max"))
