@@ -331,10 +331,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpinned full-corpus Jaccard with a document-frequency cap of 20 on
+    shingles — the 100 TB-safe form (no hot-key quadratic groups)."""
     from tsrollup.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
-        _docs(spark, sf_dir).filter("doc_id < 200"), n=3, threshold=0.3)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3,
+                               max_df=20)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +348,8 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_docs(spark, sf_dir), k=4, bands=2, n=3)
+    return lsh_candidate_pairs(_docs(spark, sf_dir), k=4, bands=2, n=3,
+                               max_bucket=100)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +610,32 @@ def q_pipeline_autoenc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline_features(_tokenized(spark, sf_dir), "autoenc")
 
 
+def q_pipeline_shihaotian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned pipeline ≙ ShiHaotian (models_keras.py:582-661): 3 parallel
+    conv branches (k=3/5/7) concatenated along time → global stats
+    (rows-only; NumPy parity in tests/test_pipelines.py)."""
+    from tsrollup.pipelines import pipeline_features
+
+    return pipeline_features(_tokenized(spark, sf_dir), "shihaotian")
+
+
+def q_pipeline_caiwenjuan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned pipeline ≙ CaiWenjuan DDNN (models_keras.py:1094-1166):
+    inception-style parallel branches + squeeze-excitation gating →
+    concat → global stats (rows-only)."""
+    from tsrollup.pipelines import pipeline_features
+
+    return pipeline_features(_tokenized(spark, sf_dir), "caiwenjuan")
+
+
+def q_pipeline_kimmingu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned pipeline ≙ KimMinGu CNN ensemble (models_keras.py:1169-1242):
+    3 conv→relu→pool branches averaged elementwise (rows-only)."""
+    from tsrollup.pipelines import pipeline_features
+
+    return pipeline_features(_tokenized(spark, sf_dir), "kimmingu")
+
+
 def _two_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → 2-channel signal (reference (T, V) data model,
     TSFEDL/data.py:40-43): channel 0 = word lengths (the V=1 bridge),
@@ -667,8 +696,10 @@ def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload + typed meta → mapInPandas feature
-    extraction (deterministic fake decoder; rows-only check — no SQL analog)."""
+    """Multimodal decode + features: REAL payloads (PNG/PCM16-WAV/MPNG, pure
+    stdlib+NumPy codecs in tsrollup.media_codecs) decoded inside mapInPandas,
+    then frame-sample / per-channel stats / strided thumbnail (rows-only
+    check — binary decode has no SQL analog)."""
     from tsrollup.multimodal import MEDIA_SCHEMA, extract_features, generate_media
 
     media = spark.createDataFrame(generate_media(17, 200), MEDIA_SCHEMA)
@@ -738,6 +769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "pipeline_ohshulih": q_pipeline_ohshulih,
         "pipeline_autoenc": q_pipeline_autoenc,
+        "pipeline_shihaotian": q_pipeline_shihaotian,
+        "pipeline_caiwenjuan": q_pipeline_caiwenjuan,
+        "pipeline_kimmingu": q_pipeline_kimmingu,
     }
 
 
@@ -1047,9 +1081,12 @@ FROM documents GROUP BY md5(text)
 """
 
     shingles_all = _SHINGLES.format(filt="")
-    shingles_200 = _SHINGLES.format(filt=" WHERE doc_id < 200")
+    # DF cap 20: shingles above it are dropped BEFORE the self-join and the
+    # per-doc sizes (Jaccard over the filtered sets), mirroring max_df=20
     sqls["jaccard_pairs"] = f"""
-WITH sh AS ({shingles_200}),
+WITH sh0 AS ({shingles_all}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 20),
+sh AS (SELECT doc_id, sh0.shingle FROM sh0 JOIN keep ON sh0.shingle = keep.shingle),
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared
@@ -1066,16 +1103,22 @@ WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared)::DOUBLE >= 0.3
 
     sqls["minhash_signatures"] = _MINHASH.format(shingles=shingles_all)
 
+    # bucket cap 100 per band (mirrors max_bucket=100): oversized buckets are
+    # dup clusters, excluded from pair enumeration on both engines
     sqls["lsh_pairs"] = f"""
-WITH sig AS ({_MINHASH.format(shingles=shingles_all)})
+WITH sig AS ({_MINHASH.format(shingles=shingles_all)}),
+b0 AS (SELECT mh0, mh1 FROM sig GROUP BY mh0, mh1 HAVING COUNT(*) <= 100),
+b1 AS (SELECT mh2, mh3 FROM sig GROUP BY mh2, mh3 HAVING COUNT(*) <= 100)
 SELECT DISTINCT doc_a, doc_b FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
    AND a.doc_id < b.doc_id
+  JOIN b0 ON a.mh0 = b0.mh0 AND a.mh1 = b0.mh1
   UNION ALL
   SELECT a.doc_id, b.doc_id
   FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3
    AND a.doc_id < b.doc_id
+  JOIN b1 ON a.mh2 = b1.mh2 AND a.mh3 = b1.mh3
 ) _
 """
 

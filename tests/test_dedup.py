@@ -61,3 +61,38 @@ def test_simhash_distance_tracks_similarity(spark, docs_df):
     assert sig[1] == sig[2]  # identical text → identical fingerprint
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
+
+
+def test_jaccard_df_cap_drops_hot_shingles(spark):
+    from tsrollup.dedup import ngram_jaccard_pairs
+
+    # a corpus-common boilerplate shingle ("lorem ipsum dolor") appears in
+    # every doc; with the DF cap it must not connect otherwise-unrelated docs
+    boiler = "lorem ipsum dolor"
+    rows = [(i, f"{boiler} unique{i} tail{i} words{i} here{i}")
+            for i in range(10)]
+    rows += [(100, f"{boiler} shared shared shared extra"),
+             (101, f"{boiler} shared shared shared other")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.01).toPandas()
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=5).toPandas()
+    # uncapped: the boilerplate shingle links every doc pair (quadratic)
+    assert len(uncapped) == 12 * 11 // 2
+    # capped: only the genuinely-similar 100/101 pair survives
+    pairs = set(zip(capped["doc_a"], capped["doc_b"]))
+    assert pairs == {(100, 101)}
+
+
+def test_lsh_bucket_cap_excludes_dup_clusters(spark):
+    from tsrollup.dedup import lsh_candidate_pairs
+
+    # 12 identical docs = one giant bucket (a dup CLUSTER); with the cap the
+    # cluster's ~n^2 pairs are excluded while a small dup pair still surfaces
+    rows = [(i, BASE) for i in range(12)]
+    rows += [(100, "totally different text " + "x y z " * 10),
+             (101, "totally different text " + "x y z " * 10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = set(map(tuple, lsh_candidate_pairs(
+        df, k=8, bands=4, n=3, max_bucket=5).toPandas().values))
+    assert (100, 101) in got
+    assert not any(a < 12 and b < 12 for a, b in got)

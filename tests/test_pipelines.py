@@ -16,7 +16,8 @@ def toks_df(spark):
     return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "tokens"]))
 
 
-@pytest.mark.parametrize("pipeline", ["ohshulih", "shihaotian", "autoenc"])
+@pytest.mark.parametrize("pipeline", ["ohshulih", "shihaotian", "autoenc",
+                                      "caiwenjuan", "kimmingu"])
 def test_pipeline_features_match_numpy(spark, toks_df, pipeline):
     from tsrollup.pipelines import pipeline_features, run_pipeline
 
@@ -52,3 +53,19 @@ def test_pipeline_shapes():
     assert sh.shape[0] == (80 + 2) + (80 + 4) + (80 + 6)
     ae = run_pipeline(x, "autoenc")
     assert ae.shape[0] == 80  # 80 ÷4 ×4 = 80
+    cw = run_pipeline(x, "caiwenjuan")
+    # branch concat: identity + full-conv k=3 + full-conv k=5 + maxpool/2
+    assert cw.shape[0] == 80 + (80 + 2) + (80 + 4) + 40
+    km = run_pipeline(x, "kimmingu")
+    # ensemble average trimmed to the shortest branch: (80+2)//2 = 41
+    assert km.shape[0] == 41
+
+
+def test_ewma_batch_bitwise_matches_scalar():
+    from tsrollup.pipelines import _ewma, _ewma_batch
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.standard_normal(int(n)) for n in rng.integers(1, 50, 30)]
+    batched = _ewma_batch(seqs)
+    for s, b in zip(seqs, batched):
+        assert (b == _ewma(s)).all()

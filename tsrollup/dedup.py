@@ -49,11 +49,24 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFram
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shared-shingle join: doc
     pairs only materialize if they share ≥1 shingle (never the full n² space);
-    |A∩B| from the join, |A|,|B| from per-doc counts, Jaccard derived."""
+    |A∩B| from the join, |A|,|B| from per-doc counts, Jaccard derived.
+
+    ``max_df`` drops shingles whose document frequency exceeds it BEFORE the
+    self-join — the 100 TB guard: one corpus-common shingle otherwise creates
+    a df² pair group (quadratic hot key), and a shingle shared by thousands
+    of docs carries no near-dup signal anyway. Jaccard is then computed over
+    the FILTERED shingle sets (sizes recomputed post-filter), the standard
+    convention. The DF join shuffles on the same shingle key as the pair
+    join, so it adds no new exchange pattern."""
     sh = word_shingles(df, n, text_col)
+    if max_df is not None:
+        dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") <= max_df).drop("_df"))
+        sh = sh.join(dfc, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a").join(sh.alias("b"), "shingle")
@@ -96,11 +109,18 @@ def minhash_signatures(df: DataFrame, k: int = 8, n: int = 3,
 
 
 def lsh_candidate_pairs(df: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: signature split into ``bands`` bands of
     k/bands rows; docs sharing any full band collide. Scale path: the band-key
-    groupBy is the only shuffle, and bucket sizes stay small for non-dup data
-    (salt/AQE handle pathological buckets)."""
+    groupBy is the only shuffle, and bucket sizes stay small for non-dup data.
+
+    ``max_bucket`` drops band buckets holding more than that many docs before
+    the self-join — the guard against a near-dup-heavy corpus turning one
+    bucket quadratic. A bucket that large is a dup CLUSTER, not pairs to
+    enumerate; route it to exact_dedup / clustering instead of emitting its
+    ~size² candidate pairs. The count join shuffles on the same band_key as
+    the pair join (no new exchange pattern)."""
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signatures(df, k, n, text_col)
@@ -111,6 +131,10 @@ def lsh_candidate_pairs(df: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
     ]
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    if max_bucket is not None:
+        bc = (banded.groupBy("band_key").agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_bucket).drop("_n"))
+        banded = banded.join(bc, "band_key")
     return (
         # merge hint: a broadcast self-join would compute the (md5-heavy)
         # signature subtree TWICE; sort-merge shuffles both sides on band_key

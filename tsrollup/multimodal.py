@@ -5,17 +5,18 @@ with a typed metadata struct; decode/feature-extract/resize/frame-sample run
 as Arrow-batched pandas UDFs over ``mapInPandas`` so payload bytes never cross
 a per-row Python boundary one row at a time.
 
-The container has no image/audio codecs, so the real decoder is STUBBED
-behind ``decode_media`` (raises NotImplementedError unless a library import
-succeeds), and tests exercise the full Spark-side plumbing — schema,
-partitioning, UDF signature, batch shapes — through ``fake_decode``, a
-deterministic stand-in that derives pixels/samples directly from the payload
-bytes. Swapping ``fake_decode`` for a PIL/ffmpeg call changes ONE function.
+``decode_media`` is a REAL decoder for the formats stdlib can express:
+PNG (zlib inflate + full five-filter unfiltering), PCM16 WAV, and MPNG
+(length-prefixed PNG frames — the fixture video container); see
+``tsrollup.media_codecs``. Formats that genuinely require external codec
+libraries (JPEG, H.264, …) raise NotImplementedError with the library to
+install; ``fake_decode`` remains as the plumbing-only stand-in for tests of
+the Spark-side mechanics independent of any codec.
 
 Media table schema (one row per asset):
     media_id : string
     kind     : string            -- 'image' | 'audio' | 'video'
-    payload  : binary            -- opaque encoded bytes
+    payload  : binary            -- encoded bytes (png | wav | mpng)
     meta     : struct<width:int, height:int, channels:int,
                       sample_rate:int, n_frames:int, fmt:string>
 """
@@ -54,14 +55,22 @@ THUMB = 4  # thumbnail side after strided resize
 
 
 def decode_media(payload: bytes, meta: dict) -> np.ndarray:
-    """Real decoder — requires codec libraries absent from this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; pipeline plumbing "
-            "is exercised via fake_decode (deterministic stand-in)") from None
-    raise NotImplementedError("real decode path not wired in this sandbox")
+    """Real decoder for the stdlib-expressible formats (PNG/WAV/MPNG via
+    tsrollup.media_codecs); external-codec formats raise with the dependency
+    named — the swap point for a PIL/ffmpeg-equipped cluster."""
+    from . import media_codecs as mc
+
+    fmt = meta["fmt"]
+    if fmt == "png":
+        return mc.decode_png(bytes(payload))
+    if fmt == "wav":
+        samples, _sr = mc.decode_wav(bytes(payload))
+        return samples[:, 0] if samples.shape[1] == 1 else samples
+    if fmt == "mpng":
+        return mc.decode_mpng(bytes(payload))
+    raise NotImplementedError(
+        f"format {fmt!r} needs an external codec (PIL/ffmpeg) not present "
+        "in this container")
 
 
 def fake_decode(payload: bytes, meta: dict) -> np.ndarray:
@@ -91,7 +100,7 @@ def _resize_strided(img: np.ndarray, side: int = THUMB) -> np.ndarray:
 
 
 def extract_features(df: DataFrame, frame_stride: int = 2,
-                     decoder=fake_decode) -> DataFrame:
+                     decoder=decode_media) -> DataFrame:
     """decode → (frame-sample for video) → per-channel mean/std → strided
     thumbnail, one Arrow batch at a time. The shuffle-free scale path: media
     rows are independent, so this is a pure mapInPandas over the scan."""
@@ -103,7 +112,7 @@ def extract_features(df: DataFrame, frame_stride: int = 2,
                 payload = pdf["payload"].values[i]
                 arr = decoder(payload, meta)
                 n_sampled = 0
-                if meta["fmt"] == "video":
+                if meta["fmt"] in ("video", "mpng"):
                     arr = arr[::frame_stride]          # frame sampling
                     n_sampled = arr.shape[0]
                     arr = arr.reshape((-1,) + arr.shape[2:])  # stack frames
@@ -128,8 +137,13 @@ def extract_features(df: DataFrame, frame_stride: int = 2,
              .mapInPandas(run, FEATURE_SCHEMA)
 
 
-def generate_media(seed: int, n: int) -> pd.DataFrame:
-    """Seeded synthetic media table (pipeline plumbing fixture)."""
+def generate_media(seed: int, n: int, real: bool = True) -> pd.DataFrame:
+    """Seeded synthetic media table. ``real=True`` (default) writes GENUINE
+    encoded payloads — PNG images, PCM16 WAVs, MPNG videos — that the real
+    ``decode_media`` path decodes; ``real=False`` keeps the opaque-bytes
+    plumbing fixture for codec-independent tests (``fake_decode``)."""
+    from . import media_codecs as mc
+
     rng = np.random.default_rng(seed)
     kinds = rng.choice(["image", "audio", "video"], size=n, p=[0.6, 0.2, 0.2])
     rows = []
@@ -138,23 +152,33 @@ def generate_media(seed: int, n: int) -> pd.DataFrame:
         if kind == "image":
             h, w, c = int(rng.integers(8, 64)), int(rng.integers(8, 64)), 3
             meta = {"width": w, "height": h, "channels": c, "sample_rate": 0,
-                    "n_frames": 0, "fmt": "image"}
-            nbytes = int(rng.integers(64, 4096))
+                    "n_frames": 0, "fmt": "png" if real else "image"}
+            payload = (mc.encode_png(
+                rng.integers(0, 256, (h, w, c), dtype=np.uint8)) if real
+                else rng.integers(0, 256, int(rng.integers(64, 4096)),
+                                  dtype=np.uint8).tobytes())
         elif kind == "audio":
             sr = int(rng.integers(100, 2000))
             meta = {"width": 0, "height": 0, "channels": 1, "sample_rate": sr,
-                    "n_frames": 0, "fmt": "audio"}
-            nbytes = int(rng.integers(64, 4096))
+                    "n_frames": 0, "fmt": "wav" if real else "audio"}
+            payload = (mc.encode_wav(
+                rng.integers(-2 ** 15, 2 ** 15, sr).astype(np.int16), sr)
+                if real
+                else rng.integers(0, 256, int(rng.integers(64, 4096)),
+                                  dtype=np.uint8).tobytes())
         else:
             h, w, c, nf = (int(rng.integers(4, 16)), int(rng.integers(4, 16)),
                            3, int(rng.integers(2, 12)))
             meta = {"width": w, "height": h, "channels": c, "sample_rate": 0,
-                    "n_frames": nf, "fmt": "video"}
-            nbytes = int(rng.integers(64, 4096))
+                    "n_frames": nf, "fmt": "mpng" if real else "video"}
+            payload = (mc.encode_mpng(
+                rng.integers(0, 256, (nf, h, w, c), dtype=np.uint8)) if real
+                else rng.integers(0, 256, int(rng.integers(64, 4096)),
+                                  dtype=np.uint8).tobytes())
         rows.append({
             "media_id": f"m-{seed:04d}-{i:06d}",
             "kind": kind,
-            "payload": rng.integers(0, 256, size=nbytes, dtype=np.uint8).tobytes(),
+            "payload": payload,
             "meta": meta,
         })
     return pd.DataFrame(rows)
