@@ -125,21 +125,32 @@ def q_rollup_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward-fill gap handling as a declarative plan (last ignorenulls over
-    an ordered window); gaps ≡ tokens ≤ 2. ≙ discontinuity handling,
-    reference timeseries_batch_generator.py:238-256."""
-    t = _tokenized(spark, sf_dir).select(
-        "doc_id", F.posexplode("tokens").alias("p", "tk"))
-    val = F.when(F.col("tk") > 2, F.col("tk"))
-    w = Window.partitionBy("doc_id").orderBy("p") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    filled = F.coalesce(F.last(val, ignorenulls=True).over(w), F.lit(0))
-    return (t.select("doc_id", val.alias("v"), filled.alias("f"))
-            .groupBy("doc_id")
-            .agg(F.sum("f").cast("long").alias("filled_sum"),
-                 F.count("*").cast("long").alias("n"),
-                 F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
-                  .cast("long").alias("n_gaps")))
+    """Forward-fill gap handling, gaps ≡ tokens ≤ 2. ≙ discontinuity
+    handling, reference timeseries_batch_generator.py:238-256. ZERO-shuffle
+    form: one per-row aggregate() fold carrying (sum, last-valid, gap-count)
+    — the round-1 posexplode + two ordered windows shuffled the entire token
+    space, a full-corpus exchange at 100×. All-integer state ⇒ hash-exact vs
+    the window-based SQL oracle."""
+    t = F.col("tokens")
+    acc0 = F.struct(F.lit(0).cast("long").alias("s"),
+                    F.lit(0).cast("long").alias("last"),
+                    F.lit(0).cast("long").alias("gaps"))
+
+    def step(acc, x):
+        newlast = F.when(x > 2, x.cast("long")).otherwise(acc["last"])
+        return F.struct(
+            (acc["s"] + newlast).alias("s"),
+            newlast.alias("last"),
+            (acc["gaps"] + F.when(x > 2, 0).otherwise(1).cast("long"))
+            .alias("gaps"))
+
+    r = F.aggregate(t, acc0, step)
+    return (_tokenized(spark, sf_dir)
+            .filter(F.size(t) > 0)
+            .select("doc_id",
+                    r["s"].alias("filled_sum"),
+                    F.size(t).cast("long").alias("n"),
+                    r["gaps"].alias("n_gaps")))
 
 
 def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,6 +431,24 @@ def q_pool_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool1d(_tokenized(spark, sf_dir), pool=2, stride=1, agg="max")
 
 
+def q_relu_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReLU activation checksums (≙ reference relu activations,
+    models_keras.py:27): y = max(x − 8, 0), exact integer aggregates."""
+    from tsrollup.convolve import relu_stats
+
+    return relu_stats(_tokenized(spark, sf_dir), threshold=8)
+
+
+def q_dense_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense y = Wx + b over the first 4 tokens (≙ reference layers.Dense,
+    models_keras.py:69): a 2×4 literal matmul as pinned weighted folds."""
+    from tsrollup.convolve import dense
+
+    return dense(_tokenized(spark, sf_dir),
+                 weights=[[0.5, -0.25, 0.125, 1.0], [1.0, 1.0, -1.0, 0.5]],
+                 bias=[0.1, -2.0])
+
+
 def q_ewma_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential EWMA fold ≙ LSTM seq→vector scan (return_sequences=False,
     models_keras.py:109-111); pinned fold order matches DuckDB list_reduce."""
@@ -677,6 +706,27 @@ def q_cross_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_channel_stats(rolled)
 
 
+def q_pipeline_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL 25 reference architectures (models_keras.py, full zoo — SURVEY
+    §2.13) through the spec interpreter on a 1-in-5 doc sample: per-arch
+    row-count + feature-length checksums. rows-only (np.convolve chains not
+    SQL-expressible); per-arch NumPy parity in tests/test_pipelines.py."""
+    from functools import reduce
+
+    from tsrollup.pipelines import PIPELINES, pipeline_features
+
+    t = _tokenized(spark, sf_dir) \
+        .filter(F.col("doc_id").cast("long") % 5 == 0)
+    parts = []
+    for arch in sorted(PIPELINES):
+        f = pipeline_features(t, arch).groupBy().agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("f_len").cast("long").alias("total_len"))
+        parts.append(f.select(F.lit(arch).alias("arch"), "n_docs",
+                              "total_len"))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-(source, tier) metrics: salted two-phase aggregation of
     decomposable partials (SURVEY §4 — a Zipf-heavy source would bottleneck a
@@ -751,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv1d_same": q_conv1d_same,
         "moving_average": q_moving_average,
         "pool_overlap": q_pool_overlap,
+        "relu_stats": q_relu_stats,
+        "dense_proj": q_dense_proj,
         "ewma_scan": q_ewma_scan,
         "ewma_bidir": q_ewma_bidir,
         "media_features": q_media_features,
@@ -772,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_shihaotian": q_pipeline_shihaotian,
         "pipeline_caiwenjuan": q_pipeline_caiwenjuan,
         "pipeline_kimmingu": q_pipeline_kimmingu,
+        "pipeline_zoo": q_pipeline_zoo,
     }
 
 
@@ -1196,6 +1249,34 @@ WITH tok AS (
 SELECT doc_id, s::BIGINT AS pos,
        greatest(t[s+1], t[s+2])::BIGINT AS y
 FROM st
+"""
+
+    sqls["relu_stats"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> greatest(length(w) - 8, 0)) AS act
+  FROM documents
+)
+SELECT doc_id,
+       list_aggregate(act, 'sum')::BIGINT AS relu_sum,
+       len(list_filter(act, y -> y > 0))::BIGINT AS n_active
+FROM tok
+"""
+
+    # y_j = b_j + Σ w_ji·x_i left-assoc, identical literal arithmetic
+    sqls["dense_proj"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+)
+SELECT doc_id,
+       0.1 + t[1]::DOUBLE * 0.5 + t[2]::DOUBLE * -0.25
+           + t[3]::DOUBLE * 0.125 + t[4]::DOUBLE * 1.0 AS y0,
+       -2.0 + t[1]::DOUBLE * 1.0 + t[2]::DOUBLE * 1.0
+            + t[3]::DOUBLE * -1.0 + t[4]::DOUBLE * 0.5 AS y1
+FROM tok WHERE len(t) >= 4
 """
 
     # list_reduce: init = first element, left fold, acc is the first lambda

@@ -39,9 +39,12 @@ HEADLINE = [
     "rollup_tier_reagg",
     "rollup_compressed_roundtrip",
     "rollup_spectral",
+    "rollup_multichannel",
+    "cross_channel_stats",
     "gapfill_ffill",
     "global_agg",
     "sliding_windows",
+    "windows_forecast",
     "znorm_outliers",
     "segment_islands",
     "downsample_minute",
@@ -53,7 +56,9 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "dedup_exact",
+    "jaccard_pairs",
     "minhash_signatures",
+    "lsh_pairs",
     "simhash",
     "cosine_knn",
     "ann_lsh",
@@ -61,12 +66,16 @@ HEADLINE = [
     "conv1d_same",
     "moving_average",
     "pool_overlap",
+    "relu_stats",
+    "dense_proj",
     "ewma_scan",
     "ewma_bidir",
     "media_features",
     "one_hot_events",
     "softmax_window",
     "residual_add",
+    "attention_gate",
+    "en_loss",
     "grouping_sets",
     "hash_split",
     "per_source_stats",
@@ -75,6 +84,10 @@ HEADLINE = [
     "retention",
     "pipeline_ohshulih",
     "pipeline_autoenc",
+    "pipeline_shihaotian",
+    "pipeline_caiwenjuan",
+    "pipeline_kimmingu",
+    "pipeline_zoo",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700
@@ -117,8 +130,12 @@ def main() -> int:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
 
-    # Warm the JVM + Python workers once so q1 doesn't pay the cold start.
-    _noop(spark.read.parquet(f"{SF_DIR}/nation.parquet"))
+    # Warm the JVM + Python workers and touch every input table once so no
+    # query pays another table's first-read page-cache/codegen cost (the
+    # skew otherwise lands on whichever query reads a table first).
+    for t in ("nation", "events", "lineitem", "orders", "customer",
+              "documents", "embeddings"):
+        _noop(spark.read.parquet(f"{SF_DIR}/{t}.parquet"))
 
     # Native rollup throughput on the input_hint table (BASELINE.json
     # metric) — measured FIRST, on a fresh session (min of 3 passes after a

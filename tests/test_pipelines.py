@@ -62,10 +62,45 @@ def test_pipeline_shapes():
 
 
 def test_ewma_batch_bitwise_matches_scalar():
-    from tsrollup.pipelines import _ewma, _ewma_batch
+    from tsrollup.pipelines import _ewma_batch
+
+    def scalar_ewma(x, alpha=0.125):
+        out = np.empty_like(x)
+        acc = x[0]
+        out[0] = acc
+        for i in range(1, x.shape[0]):
+            acc = alpha * x[i] + (1 - alpha) * acc
+            out[i] = acc
+        return out
 
     rng = np.random.default_rng(3)
     seqs = [rng.standard_normal(int(n)) for n in rng.integers(1, 50, 30)]
+    seqs.append(np.empty(0, np.float64))  # empty lane passes through
     batched = _ewma_batch(seqs)
-    for s, b in zip(seqs, batched):
-        assert (b == _ewma(s)).all()
+    assert batched[-1].shape[0] == 0
+    for s, b in zip(seqs[:-1], batched[:-1]):
+        assert (b == scalar_ewma(s)).all()
+
+
+def test_all_25_architectures_run_and_match(spark, toks_df):
+    """Every reference model has a spec; batched Spark path == per-doc oracle
+    for each (spot-checked on f_mean/f_len to keep runtime bounded)."""
+    from tsrollup.pipelines import PIPELINES, pipeline_features, run_pipeline
+
+    assert len(PIPELINES) == 25
+    pdf = toks_df.toPandas().head(10)
+    for arch in PIPELINES:
+        got = {r["doc_id"]: r for r in pipeline_features(
+            spark.createDataFrame(pdf), arch).collect()}
+        produced = 0
+        for _, row in pdf.iterrows():
+            h = run_pipeline(np.asarray(row["tokens"], dtype=np.float64), arch)
+            if h.shape[0] == 0:
+                assert row["doc_id"] not in got
+                continue
+            produced += 1
+            g = got[row["doc_id"]]
+            assert g["f_len"] == h.shape[0], arch
+            assert g["f_mean"] == float(h.mean()), arch
+            assert g["f_last"] == float(h[-1]), arch
+        assert produced > 0, arch

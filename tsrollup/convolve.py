@@ -74,6 +74,40 @@ def conv1d(df: DataFrame, weights: Sequence[float], stride: int = 1,
     return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "y")
 
 
+def relu_stats(df: DataFrame, threshold: int = 0,
+               tokens_col: str = "tokens") -> DataFrame:
+    """ReLU activation over each doc's signal (reference relu uses throughout,
+    e.g. models_keras.py:27): y = max(x − threshold, 0), reduced to exact
+    integer checksums (sum of activations, count of active positions)."""
+    t = F.col(tokens_col)
+    act = F.transform(t, lambda x: F.greatest(x - threshold, F.lit(0)))
+    return df.select(
+        "doc_id",
+        F.aggregate(act, F.lit(0).cast("long"), lambda a, x: a + x)
+         .alias("relu_sum"),
+        F.size(F.filter(act, lambda y: y > 0)).cast("long").alias("n_active"))
+
+
+def dense(df: DataFrame, weights: Sequence[Sequence[float]],
+          bias: Sequence[float], tokens_col: str = "tokens") -> DataFrame:
+    """Dense y = Wx + b over the first-k token window (reference
+    layers.Dense, e.g. models_keras.py:69): m literal weighted folds, one
+    output column per unit — the declarative JVM-side form of a (m×k) matmul.
+    Docs shorter than k are filtered ('valid' convention). Literal weights
+    constant-fold in Catalyst; fold order is pinned left-to-right, so doubles
+    reproduce bit-for-bit in a SQL oracle."""
+    k = len(weights[0])
+    assert all(len(w) == k for w in weights) and len(bias) == len(weights)
+    tok = F.col(tokens_col)
+    outs = []
+    for j, (w, b) in enumerate(zip(weights, bias)):
+        acc = F.lit(float(b))
+        for i, wi in enumerate(w):
+            acc = acc + F.element_at(tok, i + 1).cast("double") * F.lit(float(wi))
+        outs.append(acc.alias(f"y{j}"))
+    return df.filter(F.size(tok) >= k).select("doc_id", *outs)
+
+
 def pool1d(df: DataFrame, pool: int = 2, stride: int | None = None,
            agg: str = "max", tokens_col: str = "tokens") -> DataFrame:
     """MaxPooling1D/AveragePooling1D analog (reference models_keras.py:59,

@@ -1,32 +1,35 @@
-"""Canned feature pipelines — reference architectures as fixed operator DAGs.
+"""Canned feature pipelines — ALL 25 reference architectures as operator DAGs.
 
 SURVEY §2.13: every TSFE-DL model is (windowed weighted agg | downsample |
-normalize | gate/residual | global agg) composed in a DAG. These pipelines
-re-express five representative shapes as deterministic feature extractors
-over the same NumPy kernel vocabulary, one Arrow batch at a time
-(``mapInPandas``, no learned weights — uniform/derivative kernels stand in
-for the learned filters, cf. conv-as-filter SURVEY §2.9):
+normalize | scan | gate/residual | branch-combine) composed in a DAG. The
+whole zoo is a DATA TABLE (``ARCH_SPECS``) over a ten-op vocabulary,
+interpreted by ``_run_spec`` — deterministic feature extractors with
+uniform/derivative kernels standing in for learned filters (conv-as-filter,
+SURVEY §2.9) and EWMA scans standing in for LSTM/GRU:
 
-* ``ohshulih``  — 3×(full-pad conv → relu → maxpool/2) → EWMA scan → global
-  stats  (reference models_keras.py:13-78: conv/pool stack → LSTM → MLP)
-* ``shihaotian`` — 3 parallel conv branches (k=3/5/7) → concat(time) → global
-  stats per branch  (reference models_keras.py:582-661)
-* ``autoenc``   — downsample ×2 twice (avg-pool) → upsample back → residual
-  vs input → reconstruction-error stats  (reference YildirimOzal
-  models_keras.py:999-1091)
-* ``caiwenjuan`` — inception-style parallel branches (k=1/3/5 convs +
-  maxpool) each SE-gated by sigmoid(branch mean), concatenated
-  (reference DDNN CaiWenjuan models_keras.py:1094-1166: dense concat +
-  squeeze-excitation over channels)
-* ``kimmingu``  — ensemble of 3 conv→relu→maxpool branches averaged
-  elementwise (reference KimMinGu CNN ensemble models_keras.py:1169-1242)
+    ("conv", k)     full-pad uniform conv 1/k       ≙ Conv1D(k)
+    ("relu",)       max(x, 0)                       ≙ relu activation
+    ("pool", p)     tumbling max-pool /p            ≙ MaxPooling1D(p)
+    ("avgpool", p)  tumbling avg-pool /p            ≙ AveragePooling1D(p)
+    ("bn",)         (x−mean)/√(var+1e-5)            ≙ BatchNormalization
+    ("ewma", α)     sequential scan                 ≙ LSTM/GRU pass
+    ("bidir", α)    mean(fwd scan, bwd scan)        ≙ Bidirectional RNN
+    ("up", f)       repeat ×f                       ≙ UpSampling1D
+    ("gate",)       x·sigmoid(x) + x                ≙ attention multiply +
+                                                      residual (RTA block,
+                                                      blocks_keras.py:201-202)
+    ("se",)         x·sigmoid(mean(x))              ≙ squeeze-excitation
+    ("recon_residual",)  input[:m] − current[:m]    ≙ autoencoder recon error
+    ("branches", [spec…], "concat"|"avg")           ≙ parallel towers →
+                                                      concatenate / ensemble
 
-Execution: the per-doc conv/pool chains run in C (np.convolve / reshape
-reductions); the EWMA recurrence is batched ACROSS docs (one vectorized loop
-over the time axis of a padded (n_docs, max_len) matrix — no per-element
-Python, bit-identical to the per-doc scalar fold since the ops are
-elementwise); row assembly is columnar (preallocated arrays, one DataFrame
-per Arrow batch).
+Execution: per-doc stages run in C (np.convolve / reshape reductions); the
+EWMA/bidir scans are batched ACROSS docs (one vectorized loop over the time
+axis of a padded matrix — no per-element Python, bit-identical to the scalar
+fold since the per-step op is elementwise); row assembly is columnar.
+``run_pipeline`` (the per-doc oracle the tests compare against) and the Spark
+``pipeline_features`` path share the interpreter, so parity holds by
+construction and is still asserted per-architecture in test_pipelines.py.
 
 Output: one row per doc with a fixed-length feature struct — the engine twin
 of the reference's penultimate-layer feature vector.
@@ -43,11 +46,11 @@ from pyspark.sql import DataFrame
 PIPELINE_SCHEMA = ("doc_id string, f_mean double, f_var double, f_min double, "
                    "f_max double, f_last double, f_len int")
 
-PIPELINES = ("ohshulih", "shihaotian", "autoenc", "caiwenjuan", "kimmingu")
-
 
 def _conv_full(x: np.ndarray, w: np.ndarray) -> np.ndarray:
     """'full' convolution, reference utils.py:107-130 (zero-pad k-1 each end)."""
+    if x.shape[0] == 0:
+        return x.astype(np.float64)
     return np.convolve(x, w, mode="full")
 
 
@@ -55,150 +58,250 @@ def _relu(x: np.ndarray) -> np.ndarray:
     return np.maximum(x, 0.0)
 
 
-def _sigmoid(x: float) -> float:
-    return 1.0 / (1.0 + np.exp(-x))
-
-
-def _maxpool2(x: np.ndarray) -> np.ndarray:
-    n = (x.shape[0] // 2) * 2
+def _maxpool(x: np.ndarray, p: int = 2) -> np.ndarray:
+    n = (x.shape[0] // p) * p
     if n == 0:
         return x
-    return x[:n].reshape(-1, 2).max(axis=1)
+    return x[:n].reshape(-1, p).max(axis=1)
 
 
-def _avgpool2(x: np.ndarray) -> np.ndarray:
-    n = (x.shape[0] // 2) * 2
+def _avgpool(x: np.ndarray, p: int = 2) -> np.ndarray:
+    n = (x.shape[0] // p) * p
     if n == 0:
         return x
-    return x[:n].reshape(-1, 2).mean(axis=1)
+    return x[:n].reshape(-1, p).mean(axis=1)
 
 
-def _ewma(x: np.ndarray, alpha: float = 0.125) -> np.ndarray:
-    """Per-doc EWMA scan (the oracle form; the Spark path uses the batched
-    _ewma_batch, bit-identical — tested)."""
-    out = np.empty_like(x, dtype=np.float64)
-    acc = 0.0
-    first = True
-    for i in range(x.shape[0]):
-        acc = x[i] if first else alpha * x[i] + (1 - alpha) * acc
-        first = False
-        out[i] = acc
-    return out
+def _bn(x: np.ndarray) -> np.ndarray:
+    if x.shape[0] == 0:
+        return x
+    return (x - x.mean()) / np.sqrt(x.var() + 1e-5)
+
+
+def _gate(x: np.ndarray) -> np.ndarray:
+    """Attention multiply + residual add (RTA block, blocks_keras.py:201-202)."""
+    return x * (1.0 / (1.0 + np.exp(-x))) + x
+
+
+def _se(x: np.ndarray) -> np.ndarray:
+    """Squeeze-excitation scale (CaiWenjuan dense/SE, models_keras.py:1094)."""
+    if x.shape[0] == 0:
+        return x
+    return x * (1.0 / (1.0 + np.exp(-float(x.mean()))))
 
 
 def _ewma_batch(seqs: list[np.ndarray], alpha: float = 0.125) -> list[np.ndarray]:
     """EWMA over many ragged sequences at once: one vectorized recurrence over
     the time axis of a zero-padded (n_docs, max_len) matrix — the per-step op
     ``acc = α·x + (1−α)·acc`` is elementwise, so each doc's lane computes the
-    exact same float sequence as the scalar fold (padding lanes are sliced
-    away afterwards)."""
-    if not seqs:
-        return []
-    lens = np.array([s.shape[0] for s in seqs], dtype=np.intp)
+    exact same float sequence as a per-doc scalar fold (padding lanes are
+    sliced away). Empty sequences pass through untouched."""
+    idx = [i for i, s in enumerate(seqs) if s.shape[0]]
+    if not idx:
+        return list(seqs)
+    lens = np.array([seqs[i].shape[0] for i in idx], dtype=np.intp)
     mx = int(lens.max())
-    buf = np.zeros((len(seqs), mx), dtype=np.float64)
-    for i, s in enumerate(seqs):
-        buf[i, :lens[i]] = s
+    buf = np.zeros((len(idx), mx), dtype=np.float64)
+    for r, i in enumerate(idx):
+        buf[r, :lens[r]] = seqs[i]
     out = np.empty_like(buf)
     out[:, 0] = buf[:, 0]
     acc = buf[:, 0].copy()
     for t in range(1, mx):
         acc = alpha * buf[:, t] + (1 - alpha) * acc
         out[:, t] = acc
-    # lanes shorter than t hold garbage past their length — sliced away here;
-    # out[:, 0] is the first element for every lane, matching the scalar fold
-    return [out[i, :lens[i]] for i in range(len(seqs))]
+    res = list(seqs)
+    for r, i in enumerate(idx):
+        res[i] = out[r, :lens[r]]
+    return res
 
 
-def _pre_pipeline(x: np.ndarray, pipeline: str) -> np.ndarray:
-    """Everything before the (optional) EWMA stage — per-doc C-level ops."""
-    if pipeline == "ohshulih":
-        h = x
-        for k in (3, 3, 3):
-            h = _maxpool2(_relu(_conv_full(h, np.full(k, 1.0 / k))))
-        return h
-    if pipeline == "shihaotian":
-        branches = [_conv_full(x, np.full(k, 1.0 / k)) for k in (3, 5, 7)]
-        return np.concatenate(branches)  # concat along time axis (:645)
-    if pipeline == "autoenc":
-        code = _avgpool2(_avgpool2(x))            # encoder: ÷4
-        recon = np.repeat(np.repeat(code, 2), 2)  # decoder: ×4
-        m = min(recon.shape[0], x.shape[0])
-        return x[:m] - recon[:m]                  # residual = recon error
-    if pipeline == "caiwenjuan":
-        # inception-style parallel branches + SE gating (models_keras.py:
-        # 1094-1166: dense concat of conv paths, squeeze-excitation scale)
-        branches = [
-            x.astype(np.float64),                       # k=1 conv (identity)
-            _conv_full(x, np.full(3, 1.0 / 3)),
-            _conv_full(x, np.full(5, 1.0 / 5)),
-            _maxpool2(x.astype(np.float64)),            # pooling path
-        ]
-        gated = [b * _sigmoid(float(b.mean())) if b.shape[0] else b
-                 for b in branches]                     # SE: scale by squeeze
-        return np.concatenate(gated)
-    if pipeline == "kimmingu":
-        # CNN ensemble (models_keras.py:1169-1242): n branches of the same
-        # conv→relu→pool shape, predictions averaged
-        branches = [_maxpool2(_relu(_conv_full(x, np.full(k, 1.0 / k))))
-                    for k in (3, 5, 7)]
-        m = min(b.shape[0] for b in branches)
-        if m == 0:
-            return np.empty(0, np.float64)
-        stack = np.stack([b[:m] for b in branches])
-        return stack.mean(axis=0)                       # ensemble average
-    raise ValueError(pipeline)
+def _bidir_batch(seqs: list[np.ndarray], alpha: float) -> list[np.ndarray]:
+    fwd = _ewma_batch(seqs, alpha)
+    bwd = _ewma_batch([s[::-1] for s in seqs], alpha)
+    return [(f + b[::-1]) / 2.0 for f, b in zip(fwd, bwd)]
 
 
-_NEEDS_EWMA = {"ohshulih"}
+def _run_spec(seqs: list[np.ndarray], spec, origs: list[np.ndarray]
+              ) -> list[np.ndarray]:
+    """Interpret one architecture spec over a whole batch of ragged docs.
+    Per-doc stages are C-level NumPy; scans batch across docs."""
+    for stage in spec:
+        op = stage[0]
+        if op == "conv":
+            k = stage[1]
+            w = np.full(k, 1.0 / k)
+            seqs = [_conv_full(s, w) for s in seqs]
+        elif op == "relu":
+            seqs = [_relu(s) for s in seqs]
+        elif op == "pool":
+            seqs = [_maxpool(s, stage[1]) for s in seqs]
+        elif op == "avgpool":
+            seqs = [_avgpool(s, stage[1]) for s in seqs]
+        elif op == "bn":
+            seqs = [_bn(s) for s in seqs]
+        elif op == "up":
+            seqs = [np.repeat(s, stage[1]) for s in seqs]
+        elif op == "gate":
+            seqs = [_gate(s) for s in seqs]
+        elif op == "se":
+            seqs = [_se(s) for s in seqs]
+        elif op == "ewma":
+            seqs = _ewma_batch(seqs, stage[1])
+        elif op == "bidir":
+            seqs = _bidir_batch(seqs, stage[1])
+        elif op == "recon_residual":
+            seqs = [o[:min(o.shape[0], s.shape[0])]
+                    - s[:min(o.shape[0], s.shape[0])]
+                    for o, s in zip(origs, seqs)]
+        elif op == "branches":
+            _, subs, combine = stage
+            branch_out = [_run_spec(list(seqs), sub, origs) for sub in subs]
+            if combine == "concat":
+                seqs = [np.concatenate([b[i] for b in branch_out])
+                        for i in range(len(seqs))]
+            else:  # "avg" — ensemble mean trimmed to the shortest branch
+                merged = []
+                for i in range(len(seqs)):
+                    m = min(b[i].shape[0] for b in branch_out)
+                    if m == 0:
+                        merged.append(np.empty(0, np.float64))
+                    else:
+                        merged.append(np.stack(
+                            [b[i][:m] for b in branch_out]).mean(axis=0))
+                seqs = merged
+        else:
+            raise ValueError(op)
+    return seqs
+
+
+# One spec per reference model (file:line = models_keras.py def site).
+# Conv kernel / pool sizes follow the reference stacks; RNN stacks map to
+# chained scans (one ewma per recurrent layer, α halving per depth step);
+# Dense heads map to the global-stats row every pipeline ends in.
+ARCH_SPECS: dict[str, list] = {
+    # :13 — conv/pool ×3 → LSTM
+    "ohshulih": [("conv", 3), ("relu",), ("pool", 2)] * 3 + [("ewma", 0.125)],
+    # :81 — conv k=2 ×2 → GRU stack
+    "khanzulfiqar": [("conv", 2), ("relu",), ("conv", 2), ("relu",),
+                     ("ewma", 0.125), ("ewma", 0.25)],
+    # :155 — conv3 ×2 + BN + pool → LSTM
+    "zhengzhenyu": [("conv", 3), ("relu",), ("conv", 3), ("bn",),
+                    ("pool", 2), ("ewma", 0.125)],
+    # :225 — pure LSTM ×4 stack
+    "houboroui": [("ewma", 0.5), ("ewma", 0.25), ("ewma", 0.125)],
+    # :277 — (conv3, pool2) ×2 → LSTM ×2
+    "wangkejun": [("conv", 3), ("pool", 2), ("conv", 3), ("pool", 2),
+                  ("ewma", 0.125), ("ewma", 0.25)],
+    # :340 — conv5 + pool → LSTM ×4
+    "chenchen": [("conv", 5), ("pool", 2), ("ewma", 0.125), ("ewma", 0.25)],
+    # :403 — (conv2, pool2) ×2 → LSTM
+    "kimtaeyoung": [("conv", 2), ("pool", 2), ("conv", 2), ("pool", 2),
+                    ("ewma", 0.125)],
+    # :469 — Bidirectional ×2
+    "genminxing": [("bidir", 0.125), ("bidir", 0.25)],
+    # :523 — conv1 + pool → LSTM
+    "fujiangmeng": [("conv", 1), ("relu",), ("pool", 2), ("ewma", 0.125)],
+    # :582 — 3 parallel conv towers → time-concat (→ LSTM head)
+    "shihaotian": [("branches", [[("conv", 3)], [("conv", 5)], [("conv", 7)]],
+                    "concat")],
+    # :664 — conv5 + pool (CNN-only)
+    "huangmeiling": [("conv", 5), ("relu",), ("pool", 2)],
+    # :737 — conv7 + pool → LSTM ×2
+    "lihohshu": [("conv", 7), ("relu",), ("pool", 2), ("ewma", 0.125),
+                 ("ewma", 0.25)],
+    # :804 — LSTM ×3 stack
+    "gaojunli": [("ewma", 0.1), ("ewma", 0.3)],
+    # :861 — conv + BN + pool → LSTM ×4
+    "weixiaoyan": [("conv", 3), ("bn",), ("pool", 2), ("ewma", 0.125),
+                   ("ewma", 0.25)],
+    # :931 — conv5 + pool → LSTM ×5
+    "kongzhengmin": [("conv", 5), ("pool", 2), ("ewma", 0.125),
+                     ("ewma", 0.5)],
+    # :999 — YildirimOzal autoencoder: pool÷4 → up×4 → reconstruction error
+    "autoenc": [("avgpool", 2), ("avgpool", 2), ("up", 4),
+                ("recon_residual",)],
+    # :1094 — CaiWenjuan DDNN: inception branches, each SE-gated, concat
+    "caiwenjuan": [("branches",
+                    [[("se",)], [("conv", 3), ("se",)],
+                     [("conv", 5), ("se",)], [("pool", 2), ("se",)]],
+                    "concat")],
+    # :1169 — KimMinGu CNN ensemble: 3 towers averaged
+    "kimmingu": [("branches",
+                  [[("conv", k), ("relu",), ("pool", 2)] for k in (3, 5, 7)],
+                  "avg")],
+    # :1245 — conv + pool → hybrid bidirectional GRU/LSTM
+    "htetmyetlynn": [("conv", 3), ("pool", 2), ("bidir", 0.125)],
+    # :1331 — ZhangJin: conv+BN+relu+pool → spatial/temporal attention
+    # multiplies → bidirectional GRU
+    "zhangjin": [("conv", 3), ("bn",), ("relu",), ("pool", 3), ("gate",),
+                 ("bidir", 0.125)],
+    # :1415 — conv+BN+relu+pool → LSTM ×2
+    "yaoqihang": [("conv", 3), ("bn",), ("relu",), ("pool", 3),
+                  ("ewma", 0.125), ("ewma", 0.25)],
+    # :1487 — YiboGao RTA-CNN: attention-gated blocks + pools (→ en_loss)
+    "yibogao": [("gate",), ("pool", 2), ("gate",), ("pool", 2),
+                ("ewma", 0.125)],
+    # :1589 — (conv5, pool2)(conv3, pool2) → LSTM stack
+    "hongtan": [("conv", 5), ("pool", 2), ("conv", 3), ("pool", 2),
+                ("ewma", 0.125)],
+    # :1655 — conv5 → LSTM
+    "sharpar": [("conv", 5), ("relu",), ("ewma", 0.125)],
+    # :1723 — DaiXiLi: 5 parallel conv towers → concat (distinct widths)
+    "daixili": [("branches",
+                 [[("conv", k), ("pool", 2)] for k in (3, 5, 7, 9, 11)],
+                 "concat")],
+}
+
+PIPELINES = tuple(ARCH_SPECS)
 
 
 def run_pipeline(x: np.ndarray, pipeline: str) -> np.ndarray:
     """One doc through the named pipeline → 1-D feature sequence (the per-doc
-    oracle; tests compare the batched Spark path against this)."""
+    oracle; the Spark path batches the same interpreter)."""
     x = np.asarray(x, dtype=np.float64)
-    h = _pre_pipeline(x, pipeline)
-    return _ewma(h) if pipeline in _NEEDS_EWMA and h.shape[0] else h
+    return _run_spec([x], ARCH_SPECS[pipeline], [x])[0]
 
 
 def pipeline_features(df: DataFrame, pipeline: str = "ohshulih",
                       tokens_col: str = "tokens") -> DataFrame:
     """Per-doc global stats of the pipeline's output sequence (the engine twin
     of the reference model's feature vector). Columnar assembly + batched
-    EWMA; per-doc stats keep np.mean/np.var float semantics so the output
+    scans; per-doc stats keep np.mean/np.var float semantics so the output
     bit-matches run_pipeline."""
+    spec = ARCH_SPECS[pipeline]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hs: list[np.ndarray] = []
+            xs: list[np.ndarray] = []
             ids: list[str] = []
             for i in range(len(pdf)):
                 x = np.asarray(pdf[tokens_col].values[i], dtype=np.float64)
-                if x.shape[0] == 0:
-                    continue
-                h = _pre_pipeline(x, pipeline)
-                if h.shape[0] == 0:
-                    continue
-                hs.append(h)
-                ids.append(pdf["doc_id"].values[i])
-            if not hs:
+                if x.shape[0]:
+                    xs.append(x)
+                    ids.append(pdf["doc_id"].values[i])
+            if not xs:
                 continue
-            if pipeline in _NEEDS_EWMA:
-                hs = _ewma_batch(hs)
-            n = len(hs)
+            hs = _run_spec(xs, spec, xs)
+            keep = [i for i, h in enumerate(hs) if h.shape[0]]
+            n = len(keep)
+            if not n:
+                continue
             out = {
-                "doc_id": np.asarray(ids, dtype=object),
+                "doc_id": np.asarray([ids[i] for i in keep], dtype=object),
                 "f_mean": np.empty(n), "f_var": np.empty(n),
                 "f_min": np.empty(n), "f_max": np.empty(n),
                 "f_last": np.empty(n),
                 "f_len": np.empty(n, dtype=np.int32),
             }
-            for i, h in enumerate(hs):
-                out["f_mean"][i] = h.mean()
-                out["f_var"][i] = h.var()
-                out["f_min"][i] = h.min()
-                out["f_max"][i] = h.max()
-                out["f_last"][i] = h[-1]
-                out["f_len"][i] = h.shape[0]
+            for j, i in enumerate(keep):
+                h = hs[i]
+                out["f_mean"][j] = h.mean()
+                out["f_var"][j] = h.var()
+                out["f_min"][j] = h.min()
+                out["f_max"][j] = h.max()
+                out["f_last"][j] = h[-1]
+                out["f_len"][j] = h.shape[0]
             yield pd.DataFrame(out)
 
     return df.select("doc_id", tokens_col).mapInPandas(run, PIPELINE_SCHEMA)
