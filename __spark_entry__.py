@@ -432,11 +432,36 @@ def q_pool_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_relu_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ReLU activation checksums (≙ reference relu activations,
-    models_keras.py:27): y = max(x − 8, 0), exact integer aggregates."""
+    """ReLU + LeakyReLU activation checksums (≙ reference relu
+    models_keras.py:27, LeakyReLU :636): exact piecewise-linear maps."""
     from tsrollup.convolve import relu_stats
 
     return relu_stats(_tokenized(spark, sf_dir), threshold=8)
+
+
+def q_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine feature join (≙ reference channel concat /
+    DenseNet growth, blocks_keras.py:51): each base-tier window row joined to
+    its parent-tier row on (doc, parent window) — an equi-join of two
+    co-partitioned windowed feature frames; fine/coarse ratio derived."""
+    from tsrollup.rollup import reaggregate_tier, rollup_sequences
+
+    base = rollup_sequences(_tokenized(spark, sf_dir), window=W0,
+                            tiers={"w": 1})
+    parent = reaggregate_tier(base, "w4", 4, window=W0)
+    c = base.select("doc_id",
+                    F.col("window_start").alias("ws"),
+                    F.col("sum").alias("child_sum"),
+                    (F.col("window_start") / F.lit(W0 * 4)).cast("long")
+                    .alias("_pw"))
+    p = parent.select("doc_id",
+                      (F.col("window_start") / F.lit(W0 * 4)).cast("long")
+                      .alias("_pw"),
+                      F.col("sum").alias("parent_sum"))
+    return (c.join(p, ["doc_id", "_pw"])
+            .select("doc_id", "ws", "child_sum", "parent_sum",
+                    (F.col("child_sum").cast("double")
+                     / F.col("parent_sum").cast("double")).alias("frac")))
 
 
 def q_dense_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pool_overlap": q_pool_overlap,
         "relu_stats": q_relu_stats,
         "dense_proj": q_dense_proj,
+        "tier_join": q_tier_join,
         "ewma_scan": q_ewma_scan,
         "ewma_bidir": q_ewma_bidir,
         "media_features": q_media_features,
@@ -861,9 +887,9 @@ _MINHASH = """
 WITH sh AS ({shingles})
 SELECT doc_id,
        MIN(('0x' || substr(md5('0|' || shingle), 1, 15))::BIGINT) AS mh0,
-       MIN(('0x' || substr(md5('1|' || shingle), 1, 15))::BIGINT) AS mh1,
-       MIN(('0x' || substr(md5('2|' || shingle), 1, 15))::BIGINT) AS mh2,
-       MIN(('0x' || substr(md5('3|' || shingle), 1, 15))::BIGINT) AS mh3
+       MIN(('0x' || substr(md5('0|' || shingle), 16, 15))::BIGINT) AS mh1,
+       MIN(('0x' || substr(md5('1|' || shingle), 1, 15))::BIGINT) AS mh2,
+       MIN(('0x' || substr(md5('1|' || shingle), 16, 15))::BIGINT) AS mh3
 FROM sh GROUP BY doc_id
 """
 
@@ -1255,13 +1281,38 @@ FROM st
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_transform(string_split(text, ' '),
-                        w -> greatest(length(w) - 8, 0)) AS act
+                        w -> greatest(length(w) - 8, 0)) AS act,
+         list_transform(string_split(text, ' '),
+                        w -> CASE WHEN length(w) > 8
+                             THEN (length(w) - 8)::DOUBLE
+                             ELSE 0.01 * (length(w) - 8)::DOUBLE END) AS lk
   FROM documents
 )
 SELECT doc_id,
        list_aggregate(act, 'sum')::BIGINT AS relu_sum,
-       len(list_filter(act, y -> y > 0))::BIGINT AS n_active
+       len(list_filter(act, y -> y > 0))::BIGINT AS n_active,
+       list_reduce(list_prepend(0.0, lk), (a, b) -> a + b) AS leaky_sum
 FROM tok
+"""
+
+    sqls["tier_join"] = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+), child AS (
+  SELECT doc_id, (p // {W0}) * {W0} AS ws, SUM(tk)::BIGINT AS child_sum
+  FROM pos GROUP BY doc_id, p // {W0}
+), parent AS (
+  SELECT doc_id, p // {W0 * 4} AS pw, SUM(tk)::BIGINT AS parent_sum
+  FROM pos GROUP BY doc_id, p // {W0 * 4}
+)
+SELECT c.doc_id, c.ws::BIGINT AS ws, c.child_sum, p.parent_sum,
+       c.child_sum::DOUBLE / p.parent_sum::DOUBLE AS frac
+FROM child c JOIN parent p ON c.doc_id = p.doc_id AND c.ws // {W0 * 4} = p.pw
 """
 
     # y_j = b_j + Σ w_ji·x_i left-assoc, identical literal arithmetic

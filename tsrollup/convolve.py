@@ -74,18 +74,26 @@ def conv1d(df: DataFrame, weights: Sequence[float], stride: int = 1,
     return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "y")
 
 
-def relu_stats(df: DataFrame, threshold: int = 0,
+def relu_stats(df: DataFrame, threshold: int = 0, leaky_alpha: float = 0.01,
                tokens_col: str = "tokens") -> DataFrame:
-    """ReLU activation over each doc's signal (reference relu uses throughout,
-    e.g. models_keras.py:27): y = max(x − threshold, 0), reduced to exact
-    integer checksums (sum of activations, count of active positions)."""
+    """ReLU + LeakyReLU activations over each doc's signal (reference relu
+    throughout, e.g. models_keras.py:27; LeakyReLU models_keras.py:636):
+    y = max(x − t, 0) and leaky y = x−t if >0 else α·(x−t) — both exact
+    cross-engine (integer compare + one literal multiplication), reduced to
+    checksums."""
     t = F.col(tokens_col)
     act = F.transform(t, lambda x: F.greatest(x - threshold, F.lit(0)))
+    a = F.lit(float(leaky_alpha))
+    leaky = F.transform(
+        t, lambda x: F.when(x > threshold, (x - threshold).cast("double"))
+        .otherwise(a * (x - threshold).cast("double")))
     return df.select(
         "doc_id",
-        F.aggregate(act, F.lit(0).cast("long"), lambda a, x: a + x)
+        F.aggregate(act, F.lit(0).cast("long"), lambda a_, x: a_ + x)
          .alias("relu_sum"),
-        F.size(F.filter(act, lambda y: y > 0)).cast("long").alias("n_active"))
+        F.size(F.filter(act, lambda y: y > 0)).cast("long").alias("n_active"),
+        F.aggregate(leaky, F.lit(0.0), lambda a_, x: a_ + x)
+         .alias("leaky_sum"))
 
 
 def dense(df: DataFrame, weights: Sequence[Sequence[float]],

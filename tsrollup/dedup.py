@@ -92,16 +92,24 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 def minhash_signatures(df: DataFrame, k: int = 8, n: int = 3,
                        text_col: str = "text") -> DataFrame:
     """k-permutation MinHash signatures over word n-gram shingles:
-    sig_i(doc) = min over shingles of h60(i || shingle).
+    sig_i(doc) = min over shingles of an independent 60-bit hash.
 
     ZERO shuffle: a doc's shingle set already lives in one row, so each
     signature is array_min over a per-element hash transform — no explode,
-    no groupBy. At 100 TB this is a pure map over the scan."""
+    no groupBy. At 100 TB this is a pure map over the scan.
+
+    md5 economy: one 128-bit digest yields TWO disjoint 60-bit hashes (hex
+    slices [1..15] and [16..30]), so k signatures cost ⌈k/2⌉ md5 evaluations
+    per shingle instead of k — md5 is the dominant cost of the whole dedup
+    family (it must stay md5 for cross-engine oracle parity)."""
     staged = df.select("doc_id", shingle_array(n, text_col).alias("_sh"))
 
     def h_i(i: int):
         # NB: a two-arg lambda would make Spark pass the ARRAY INDEX as arg 2
-        return lambda s: _h60(s, i)
+        salt, off = i // 2, 1 + 15 * (i % 2)
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}|"), s)), off, 15),
+            16, 10).cast("long")
 
     sig = [F.array_min(F.transform("_sh", h_i(i))).alias(f"mh{i}")
            for i in range(k)]

