@@ -124,6 +124,57 @@ def q_rollup_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
           for b in range(N_BANDS)])
 
 
+def _scratch(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf, tag) scratch dir, cleaned at call start so the
+    query is idempotent across driver invocations."""
+    import shutil
+
+    base = os.path.join(
+        os.environ.get("TSROLLUP_BENCH_CACHE", "/tmp/tsrollup-bench"),
+        f"gate-{tag}-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def q_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable checkpointed rollup VALUE-checked end-to-end (north_rule
+    resumability): input written as a sequences table, a partial 'killed'
+    run (2 of 4 buckets) then a resume, and the read-back tier store must
+    hash-match the same SQL oracle as rollup_base — per-partition lineage
+    and dynamic-partition-overwrite commits included in the path."""
+    from tsrollup.checkpoint import read_rollup, run_checkpointed
+
+    base = _scratch(sf_dir, "ckpt")
+    inp, out = f"{base}/input", f"{base}/store"
+    _tokenized(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    run_checkpointed(spark, inp, out, n_buckets=4, window=W0,
+                     tiers={"w": 1}, max_buckets=2, run_id="gate-kill")
+    run_checkpointed(spark, inp, out, n_buckets=4, window=W0,
+                     tiers={"w": 1}, run_id="gate-resume")
+    return _rollup_cols(read_rollup(spark, out))
+
+
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming rollup VALUE-checked end-to-end (SURVEY §2.11):
+    the sequences table streamed through readStream → the same mapInPandas
+    kernels → an exactly-once parquet sink (availableNow); the sink contents
+    must hash-match the batch SQL oracle."""
+    from tsrollup.streaming import stream_rollup_sequences
+
+    base = _scratch(sf_dir, "stream")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    (_tokenized(spark, sf_dir)
+     .select("doc_id", "tokens",
+             F.size("tokens").cast("int").alias("n_tok"), "source",
+             F.lit(None).cast("array<boolean>").alias("gap_mask"))
+     .write.mode("overwrite").parquet(src))
+    q = stream_rollup_sequences(spark, src, sink, ckpt, window=W0,
+                                tiers={"w": 1}, available_now=True)
+    q.awaitTermination(300)
+    return _rollup_cols(spark.read.parquet(sink))
+
+
 def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill gap handling, gaps ≡ tokens ≤ 2. ≙ discontinuity
     handling, reference timeseries_batch_generator.py:238-256. ZERO-shuffle
@@ -839,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "en_loss": q_en_loss,
         "grouping_sets": q_grouping_sets,
         "hash_split": q_hash_split,
+        "checkpoint_rollup": q_checkpoint_rollup,
+        "stream_rollup": q_stream_rollup,
         "rollup_multichannel": q_rollup_multichannel,
         "cross_channel_stats": q_cross_channel_stats,
         "per_source_stats": q_per_source_stats,
@@ -900,6 +953,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["rollup_base"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     sqls["rollup_tier_reagg"] = _ROLLUP_ORACLE_BODY.format(span=W0 * 4)
     sqls["rollup_compressed_roundtrip"] = _ROLLUP_ORACLE_BODY.format(span=W0)
+    # kill→resume checkpointed store and the streaming sink must both equal
+    # the batch rollup oracle exactly (resumability / exactly-once contracts)
+    sqls["checkpoint_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
+    sqls["stream_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     # rollup_spectral: FFT — not SQL-expressible (rows-only check)
     # ann_lsh: sign-at-boundary sensitivity (rows-only check)
 

@@ -41,6 +41,8 @@ HEADLINE = [
     "rollup_spectral",
     "rollup_multichannel",
     "cross_channel_stats",
+    "checkpoint_rollup",
+    "stream_rollup",
     "gapfill_ffill",
     "global_agg",
     "sliding_windows",
