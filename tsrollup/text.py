@@ -34,13 +34,22 @@ def tokenize_words(df: DataFrame, text_col: str = "text") -> DataFrame:
         "tokens", F.transform(words(text_col), lambda w: F.length(w)))
 
 
+# BPE-ish tokenizer pattern: letter runs | digit runs | single punctuation —
+# the GPT-2-style pre-tokenization shape, restricted to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc token counting: whitespace tokens + a BPE-ish estimate
-    (chars/4 heuristic) + max word length."""
+    """Per-doc token counting: whitespace tokens, a real BPE-ish regex token
+    count (letter/digit/punct runs, BPE_PATTERN), the chars/4 heuristic, and
+    max word length."""
     w = words(text_col)
     return df.select(
         "doc_id",
         F.size(w).alias("n_words"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("int")
+         .alias("bpe_tokens"),
         F.length(text_col).alias("n_chars_meas"),
         (F.length(text_col) / F.lit(4.0)).alias("bpe_est"),
         F.array_max(F.transform(w, lambda x: F.length(x))).alias("max_word_len"),
