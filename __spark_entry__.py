@@ -1250,9 +1250,13 @@ FROM documents GROUP BY md5(text)
 
     shingles_all = _SHINGLES.format(filt="")
     # DF cap 20: shingles above it are dropped BEFORE the self-join and the
-    # per-doc sizes (Jaccard over the filtered sets), mirroring max_df=20
+    # per-doc sizes (Jaccard over the filtered sets), mirroring max_df=20.
+    # Shingles md5-hashed to 60-bit ints exactly like the Spark plan.
     sqls["jaccard_pairs"] = f"""
-WITH sh0 AS ({shingles_all}),
+WITH shs AS ({shingles_all}),
+sh0 AS (SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+        FROM shs),
 keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 20),
 sh AS (SELECT doc_id, sh0.shingle FROM sh0 JOIN keep ON sh0.shingle = keep.shingle),
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),

@@ -61,8 +61,14 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     of docs carries no near-dup signal anyway. Jaccard is then computed over
     the FILTERED shingle sets (sizes recomputed post-filter), the standard
     convention. The DF join shuffles on the same shingle key as the pair
-    join, so it adds no new exchange pattern."""
-    sh = word_shingles(df, n, text_col)
+    join, so it adds no new exchange pattern.
+
+    Shingles are hashed to 60-bit ints (md5 slice — identical in the DuckDB
+    oracle, so even collision behavior matches exactly) before any shuffle:
+    the self-join then exchanges/sorts 8-byte longs instead of n-gram
+    strings."""
+    sh = word_shingles(df, n, text_col) \
+        .select("doc_id", _h60(F.col("shingle")).alias("shingle"))
     if max_df is not None:
         dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") <= max_df).drop("_df"))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import BASE_WINDOW, N_BANDS, TIER_FACTOR
-from .kernels import base_window_partials, derive_stats, gap_fill, tier_chain
+from .kernels import derive_stats, gap_fill
 
 ROLLUP_SCHEMA = (
     "doc_id string, source string, tier string, window_start long, "
@@ -54,30 +54,6 @@ def _new_acc() -> dict[str, list]:
     acc: dict[str, list] = {c: [] for c in _OUT_COLS}
     acc["band_energy"] = []
     return acc
-
-
-def _acc_doc(acc: dict[str, list], doc_id: str, source: str,
-             tokens: np.ndarray, mask: np.ndarray | None, window: int,
-             tiers: dict[str, int]) -> None:
-    """Append one doc's rolled-up points (all tiers) to the batch accumulator.
-    Column arrays are concatenated ONCE per Arrow batch (_acc_frame) — building
-    a pandas frame per doc would dominate runtime at scale."""
-    filled = gap_fill(np.asarray(tokens, dtype=np.int32), mask)
-    base = base_window_partials(filled, window)
-    for tier, p in tier_chain(base, tiers).items():
-        nw = p["count"].shape[0]
-        if nw == 0:  # empty doc → no rolled-up points at any tier
-            continue
-        d = derive_stats(p)
-        acc["doc_id"].append(np.repeat(doc_id, nw))
-        acc["source"].append(np.repeat(source, nw))
-        acc["tier"].append(np.repeat(tier, nw))
-        for f in ("window_start", "count", "sum", "sumsq", "min", "max",
-                  "spec_energy", "spec_mass"):
-            acc[f].append(p[f])
-        for f in ("mean", "var", "spec_centroid"):
-            acc[f].append(d[f])
-        acc["band_energy"].append(p["band_energy"])
 
 
 def _acc_frame(acc: dict[str, list]) -> pd.DataFrame | None:
