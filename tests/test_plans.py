@@ -87,3 +87,57 @@ def test_per_source_stats_is_two_phase(spark, seqs):
     assert _n_exchanges(plan) == 2, plan
     pre = plan.split("Exchange", 1)[0]
     assert "HashAggregate" in pre  # map-side combine before the salt shuffle
+
+
+def test_chunked_rollup_is_single_shuffle_then_map(spark):
+    """Chunk reassembly must be ONE shuffle (the groupBy) feeding the same
+    MapInPandas scale path — not a per-group Python operator."""
+    import pandas as pd
+
+    from tsrollup.rollup import rollup_grouped
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [("d1", 0, [1, 2, 3], "s"), ("d1", 1, [4, 5], "s"),
+         ("d2", 0, [7] * 40, "s")],
+        columns=["doc_id", "chunk_id", "tokens", "source"]))
+    plan = _plan(rollup_grouped(df))
+    assert _n_exchanges(plan) == 1, plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # the 20x-slower shape
+
+
+def test_rollup_store_reads_prune_partitions(spark, sequences_path, tmp_path):
+    """A tier/bucket predicate on the checkpointed store must prune at the
+    PARTITION level (directory skip), never a full-store scan + filter."""
+    from tsrollup.checkpoint import run_checkpointed
+
+    root = str(tmp_path / "prunestore")
+    run_checkpointed(spark, sequences_path, root, n_buckets=4,
+                     tiers={"1m": 1, "1h": 60})
+    df = (spark.read.option("basePath", f"{root}/data")
+          .parquet(f"{root}/data")
+          .filter("tier = '1h' and bucket = 2"))
+    plan = _plan(df)
+    scan = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "tier" in scan and "bucket" in scan, plan
+
+
+def test_salted_repartition_balances_heavy_source(spark):
+    """One Zipf-heavy source must spread over many partitions after the
+    salted repartition (north_rule skew handling)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsrollup.rollup import salted_repartition
+
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(2000)],
+        "tokens": [[1, 2, 3]] * 2000,
+        "source": ["heavy"] * 1900 + ["light"] * 100,  # 95% one source
+    })
+    df = salted_repartition(spark.createDataFrame(pdf), buckets=16,
+                            num_partitions=16)
+    sizes = (df.withColumn("_pid", F.spark_partition_id())
+             .groupBy("_pid").count().toPandas())
+    assert len(sizes) >= 8  # heavy source spread over many partitions
+    assert sizes["count"].max() < 2000 * 0.5  # no partition holds the bulk
