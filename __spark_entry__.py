@@ -198,7 +198,10 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.mode("overwrite").parquet(src))
     q = stream_rollup_sequences(spark, src, sink, ckpt, window=W0,
                                 tiers={"w": 1}, available_now=True)
-    q.awaitTermination(300)
+    q.awaitTermination(600)
+    if q.isActive:  # never read a sink mid-flight — fail loudly instead
+        q.stop()
+        raise TimeoutError("stream_rollup did not finish within 600s")
     return _rollup_cols(spark.read.parquet(sink))
 
 

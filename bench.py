@@ -165,7 +165,12 @@ def main() -> int:
         os.environ.get("TSROLLUP_BENCH_CACHE", "/tmp/tsrollup-bench"),
         f"child-{SEQ_SEED}-{SEQ_DOCS}")
     if not os.path.exists(child_path):
-        rollup_sequences(seqs, tiers={"1m": 1}).write.parquet(child_path)
+        # write-then-rename so a killed run can't leave a partial dir that
+        # later runs silently reuse (same discipline as _sequences_fixture)
+        tmp = child_path + ".tmp"
+        rollup_sequences(seqs, tiers={"1m": 1}) \
+            .write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, child_path)
     stored_child = spark.read.parquet(child_path)
     _noop(reaggregate_tier(stored_child, "1h", 60))  # warm
     t0 = time.perf_counter()

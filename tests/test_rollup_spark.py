@@ -92,6 +92,35 @@ def test_rollup_grouped_chunked_docs(spark, seq_df, oracle_out):
     assert_exact_match(got, oracle_out)
 
 
+def test_rollup_grouped_mixed_null_gap_masks(spark):
+    # a writer may omit gap_mask for gapless chunks: a null chunk mask means
+    # "no gaps here" and must NOT null out the whole doc's mask (which would
+    # aggregate gap sentinels as real data)
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, BooleanType, IntegerType,
+                                   StringType, StructField, StructType)
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("chunk_id", IntegerType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("source", StringType()),
+        StructField("gap_mask", ArrayType(BooleanType())),
+    ])
+    rows = [
+        ("d", 0, [10, 999, 10, 10], "s", [False, True, False, False]),
+        ("d", 1, [10, 10, 10, 10], "s", None),  # gapless chunk, mask omitted
+    ]
+    got = rollup_grouped(
+        spark.createDataFrame(pd.DataFrame(rows, columns=schema.names),
+                              schema),
+        window=8, tiers={"w": 1}).toPandas()
+    # position 1's 999 sentinel is a gap → linear-interp to 10;
+    # a nulled-out mask would instead sum the 999 into the window
+    assert got["sum"].iloc[0] == 80
+    assert got["max"].iloc[0] == 10
+
+
 def test_maintenance_path_matches_one_pass(spark, seq_df):
     # continuous aggregate: 1h from STORED 1m, and 1d from STORED 1h, via pure
     # DataFrame expressions — must bit-match the in-pass tier chain

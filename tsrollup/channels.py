@@ -18,16 +18,12 @@ deterministic and SQL-oracle-checkable.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import BASE_WINDOW, TIER_FACTOR
-from .kernels import derive_stats
 
+# output schema of rollup_channels (ROLLUP_SCHEMA + channel int)
 CHANNEL_ROLLUP_SCHEMA = (
     "doc_id string, channel int, source string, tier string, "
     "window_start long, count long, sum long, sumsq long, min int, max int, "
@@ -47,59 +43,36 @@ def melt_channels(df: DataFrame, channels_col: str = "channels") -> DataFrame:
         "source")
 
 
+# composite-key separator: a control char that cannot appear in doc ids
+# (contract documented on rollup_channels)
+_SEP = "\x1f"
+
+
 def rollup_channels(df: DataFrame, window: int = BASE_WINDOW,
                     tiers: dict[str, int] = TIER_FACTOR) -> DataFrame:
     """Per-channel tumbling rollup of a melted multichannel table — the V>1
-    twin of ``rollup.rollup_sequences``: zero shuffle, one mapInPandas pass,
-    identical batched kernels, with (doc_id, channel) as the series key.
+    twin of ``rollup.rollup_sequences``: the channel index is folded into a
+    composite series key, the ONE engine rollup path runs unchanged (zero
+    shuffle, batched kernels — no forked accumulator code to drift), and the
+    key is split back afterwards. doc_id must not contain the 0x1f control
+    character (asserted nowhere — it is the composite-key contract).
 
     Input columns: doc_id, channel, tokens, source.
     """
-    from .kernels import batch_tier_chain, batch_window_partials
+    from .rollup import rollup_sequences
 
-    pruned = df.select("doc_id", "channel", "tokens", "source")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            toks = pdf["tokens"].values
-            sigs: list[np.ndarray] = []
-            keep = np.zeros(len(pdf), dtype=bool)
-            for i in range(len(pdf)):
-                t = np.asarray(toks[i], dtype=np.int32)
-                if t.shape[0]:
-                    sigs.append(t)
-                    keep[i] = True
-            if not sigs:
-                continue
-            base, nw = batch_window_partials(sigs, window)
-            chain = batch_tier_chain(base, nw, tiers)
-            doc_ids = pdf["doc_id"].values[keep]
-            chans = pdf["channel"].values[keep].astype(np.int32)
-            srcs = pdf["source"].values[keep]
-            cols: dict[str, list] = {k: [] for k in (
-                "doc_id", "channel", "source", "tier", "window_start",
-                "count", "sum", "sumsq", "min", "max", "mean", "var",
-                "spec_energy", "spec_mass", "spec_centroid", "band_energy")}
-            for tier, (p, tnw) in chain.items():
-                d = derive_stats(p)
-                total = int(tnw.sum())
-                cols["doc_id"].append(np.repeat(doc_ids, tnw))
-                cols["channel"].append(np.repeat(chans, tnw))
-                cols["source"].append(np.repeat(srcs, tnw))
-                cols["tier"].append(np.repeat(tier, total))
-                for f in ("window_start", "count", "sum", "sumsq", "min",
-                          "max", "spec_energy", "spec_mass"):
-                    cols[f].append(p[f])
-                for f in ("mean", "var", "spec_centroid"):
-                    cols[f].append(d[f])
-                cols["band_energy"].append(p["band_energy"])
-            data = {k: np.concatenate(v) for k, v in cols.items()
-                    if k != "band_energy"}
-            data["band_energy"] = list(
-                np.concatenate(cols["band_energy"], axis=0))
-            yield pd.DataFrame(data)
-
-    return pruned.mapInPandas(run, CHANNEL_ROLLUP_SCHEMA)
+    keyed = df.select(
+        F.concat_ws(_SEP, F.col("doc_id"),
+                    F.col("channel").cast("string")).alias("doc_id"),
+        "tokens", "source")
+    rolled = rollup_sequences(keyed, window, tiers)
+    parts = F.split(F.col("doc_id"), _SEP)
+    return rolled.select(
+        F.element_at(parts, 1).alias("doc_id"),
+        F.element_at(parts, -1).cast("int").alias("channel"),
+        "source", "tier", "window_start", "count", "sum", "sumsq",
+        "min", "max", "mean", "var",
+        "spec_energy", "spec_mass", "spec_centroid", "band_energy")
 
 
 def cross_channel_stats(rolled: DataFrame) -> DataFrame:

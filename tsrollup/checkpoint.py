@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 from . import BASE_WINDOW, TIER_FACTOR
 from .rollup import rollup_compressed, rollup_sequences
 
+# wall_time_sec is the wall clock of the COMMITTING CALL (all its pending
+# buckets roll up in one single-scan job), recorded identically on each of
+# that call's lineage rows — per-bucket wall time is not observable in a
+# single-pass commit and would be the scan cost multiplied out.
 LINEAGE_SCHEMA = (
     "bucket int, status string, n_docs long, n_points long, "
     "run_id string, wall_time_sec double, completed_at string"

@@ -39,7 +39,29 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
     """``dynamic_overwrite=True`` replaces ONLY the partitions present in
     ``df`` (the checkpoint commit primitive): parquet via
     partitionOverwriteMode=dynamic (set/restored around the write), Iceberg
-    via its native dynamic overwrite behavior under the same conf."""
+    via the V2 writer's ``overwritePartitions()`` — NOT saveAsTable, whose
+    overwrite mode replaces the whole table regardless of the conf.
+
+    Iceberg idents must be catalog table names; the checkpoint layout
+    composes path-style idents (``root/data``), so an Iceberg deployment
+    maps output_root to a namespace (``ns.data``, ``ns.lineage``) — see
+    checkpoint.py module docstring."""
+    if table_format() == "iceberg":
+        wv2 = df.writeTo(ident)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            wv2 = wv2.partitionedBy(*[F.col(c) for c in partition_by])
+        if dynamic_overwrite:
+            try:
+                wv2.overwritePartitions()
+            except Exception:  # first commit: table doesn't exist yet
+                wv2.create()
+        elif mode == "append":
+            wv2.append()
+        else:
+            wv2.createOrReplace()
+        return
     spark = df.sparkSession
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf_key, "static") if dynamic_overwrite else None
@@ -49,10 +71,7 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        if table_format() == "iceberg":
-            w.format("iceberg").saveAsTable(ident)
-        else:
-            w.parquet(ident)
+        w.parquet(ident)
     finally:
         if prev is not None:
             spark.conf.set(conf_key, prev)

@@ -149,9 +149,14 @@ def rollup_grouped(df: DataFrame, window: int = BASE_WINDOW,
         F.any_value("source").alias("source"),  # constant within a doc
     ]
     if has_mask:
+        # a null chunk mask means "no gaps in this chunk": substitute an
+        # all-False run of the chunk's length, else flatten over a null
+        # nested array would null the WHOLE doc's mask (silent corruption)
+        chunk_mask = lambda s: F.coalesce(  # noqa: E731
+            s["m"], F.array_repeat(F.lit(False), F.size(s["t"])))
         aggs.append(
             F.when(F.every(F.isnull("gap_mask")), F.lit(None))
-            .otherwise(F.flatten(F.transform(parts, lambda s: s["m"])))
+            .otherwise(F.flatten(F.transform(parts, chunk_mask)))
             .alias("gap_mask"))
     reassembled = df.groupBy("doc_id").agg(*aggs)
     return rollup_sequences(reassembled, window, tiers)
