@@ -637,6 +637,15 @@ def q_attention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attention_gate_features(_tokenized(spark, sf_dir))
 
 
+def q_activations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tanh/sigmoid activation checksums (≙ reference models_keras.py:455,
+    blocks_keras.py:167); round-9 per element, bit-verified cross-engine
+    over the integer token domain."""
+    from tsrollup.gating import activation_checksums
+
+    return activation_checksums(_tokenized(spark, sf_dir))
+
+
 def q_en_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """en_loss clip→−log→pow(γ)→mean reduction (≙ reference YiboGao custom
     loss, models_keras.py:1538-1550); per-element terms rounded to 9 decimals
@@ -917,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softmax_window": q_softmax_window,
         "residual_add": q_residual_add,
         "attention_gate": q_attention_gate,
+        "activations": q_activations,
         "en_loss": q_en_loss,
         "grouping_sets": q_grouping_sets,
         "hash_split": q_hash_split,
@@ -1513,6 +1523,28 @@ SELECT doc_id, len(t)::BIGINT AS n_tok,
        list_reduce(list_prepend(0.0, gated), (a, b) -> a + b) AS gate_sum,
        list_aggregate(gated, 'max') AS gate_max
 FROM g
+"""
+
+    # tanh via the exp form (DuckDB has no tanh); round-9 equality verified
+    # over the full integer token domain
+    sqls["activations"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), a AS (
+  SELECT doc_id,
+         list_transform(t, x -> round(
+           (1.0 - exp(-2.0 * x::DOUBLE)) / (1.0 + exp(-2.0 * x::DOUBLE)), 9))
+           AS th,
+         list_transform(t, x -> round(1.0 / (1.0 + exp(-(x::DOUBLE))), 9))
+           AS sg
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id, len(th)::BIGINT AS n_tok,
+       list_reduce(list_prepend(0.0, th), (x, y) -> x + y) AS tanh_sum,
+       list_reduce(list_prepend(0.0, sg), (x, y) -> x + y) AS sigmoid_sum
+FROM a
 """
 
     sqls["en_loss"] = """

@@ -81,6 +81,7 @@ HEADLINE = [
     "softmax_window",
     "residual_add",
     "attention_gate",
+    "activations",
     "en_loss",
     "grouping_sets",
     "hash_split",

@@ -53,6 +53,27 @@ def attention_gate_features(df: DataFrame,
         F.array_max(gated).alias("gate_max"))
 
 
+def activation_checksums(df: DataFrame,
+                         tokens_col: str = "tokens") -> DataFrame:
+    """tanh / sigmoid activations over each doc's signal (reference tanh
+    models_keras.py:455, sigmoid blocks_keras.py:167), reduced to pinned-fold
+    sums. Per-element values rounded to 9 decimals — verified bit-identical
+    across JVM and DuckDB libm over the full integer token domain (the same
+    enumerable-domain argument as en_loss; DuckDB lacks tanh, its oracle uses
+    the exp form, which agrees after rounding)."""
+    t = F.col(tokens_col)
+    th = F.transform(t, lambda x: F.round(F.tanh(x.cast("double")), 9))
+    sg = F.transform(
+        t, lambda x: F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x.cast("double"))), 9))
+    return (df.filter(F.size(t) > 0)
+            .select("doc_id",
+                    F.size(t).cast("long").alias("n_tok"),
+                    F.aggregate(th, F.lit(0.0), lambda a, x: a + x)
+                     .alias("tanh_sum"),
+                    F.aggregate(sg, F.lit(0.0), lambda a, x: a + x)
+                     .alias("sigmoid_sum")))
+
+
 def en_loss(df: DataFrame, gamma: float = 0.3, eps: float = 1.0e-7,
             scale: float = 100.0, tokens_col: str = "tokens") -> DataFrame:
     """YiboGao en_loss over each doc's token signal
