@@ -32,8 +32,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Headline queries: the engine paths (rollup/tiers/codec/spectral) plus one of
-# each operator family from SURVEY.md §2. Quadratic-ish ops run on the bounded
-# slices their queries() entries pin (jaccard<200 docs, cosine_topk<100 vecs).
+# each operator family from SURVEY.md §2. The deliberately-quadratic
+# exactness baseline (cosine_topk, pinned to <100 vecs) stays out; jaccard
+# runs UNPINNED under its document-frequency cap.
 HEADLINE = [
     "rollup_base",
     "rollup_tier_reagg",
