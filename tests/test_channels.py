@@ -102,3 +102,19 @@ def test_channel_rollup_plan_is_zero_shuffle(spark, multi_df):
         df._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_melt_with_masks_gap_fills_per_channel(spark):
+    from tsrollup.channels import melt_channels, rollup_channels
+
+    rows = [("d", [[10, 999, 10, 10], [5, 5, 5, 5]],
+             [[False, True, False, False], None], "s")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "channels", "masks", "source"]))
+    out = rollup_channels(
+        melt_channels(df, masks_col="masks"), window=8, tiers={"w": 1}) \
+        .toPandas().sort_values("channel").reset_index(drop=True)
+    # channel 0's 999 sits under a gap mask → interpolated to 10
+    assert out.loc[0, "sum"] == 40 and out.loc[0, "max"] == 10
+    # channel 1 (null mask = no gaps) untouched
+    assert out.loc[1, "sum"] == 20

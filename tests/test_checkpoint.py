@@ -76,3 +76,36 @@ def test_checkpoint_compressed_mode(spark, sequences_path, tmp_path):
 
     back = decompress_rollup(read_rollup(spark, root)).count()
     assert back > 0
+
+
+def test_store_retention_rewrites_only_policy_tiers(spark, sequences_path,
+                                                    tmp_path):
+    from pyspark.sql import functions as F
+
+    from tsrollup.checkpoint import apply_retention_to_store
+    from tsrollup.rollup import apply_retention
+
+    root = str(tmp_path / "ret")
+    run_checkpointed(spark, sequences_path, root, n_buckets=4,
+                     tiers={"1m": 1, "1h": 60})
+    before = read_rollup(spark, root).toPandas()
+    aged = apply_retention_to_store(spark, root, {"1m": 3})
+    after = read_rollup(spark, root)
+    # aged-out rows really gone; policy math matches the DataFrame operator
+    want = apply_retention(
+        spark.createDataFrame(before[before.tier == "1m"]), {"1m": 3}) \
+        .count()
+    got_1m = after.filter("tier = '1m'").count()
+    assert got_1m == want
+    assert aged == len(before[before.tier == "1m"]) - want and aged > 0
+    # the 1h tier (outside the policy) is untouched, row for row
+    b1h = before[before.tier == "1h"].sort_values(
+        ["doc_id", "window_start"]).reset_index(drop=True)
+    a1h = after.filter("tier = '1h'").toPandas().sort_values(
+        ["doc_id", "window_start"]).reset_index(drop=True)
+    assert len(a1h) == len(b1h)
+    assert (a1h["sum"].values == b1h["sum"].values).all()
+    # every doc keeps exactly its trailing ≤3 base windows
+    mx = (after.filter("tier = '1m'").groupBy("doc_id")
+          .agg(F.count("*").alias("n")).agg(F.max("n")).collect()[0][0])
+    assert mx <= 3

@@ -33,14 +33,26 @@ CHANNEL_ROLLUP_SCHEMA = (
 )
 
 
-def melt_channels(df: DataFrame, channels_col: str = "channels") -> DataFrame:
-    """(doc_id, channels: array<array<int>>, source) → one row per channel:
-    (doc_id, channel, tokens, source). posexplode keeps the channel index —
-    the Spark-native unpivot of the reference's (T, V) axis."""
-    return df.select(
-        "doc_id",
-        F.posexplode(channels_col).alias("channel", "tokens"),
-        "source")
+def melt_channels(df: DataFrame, channels_col: str = "channels",
+                  masks_col: str | None = None) -> DataFrame:
+    """(doc_id, channels: array<array<int>>, source[, masks]) → one row per
+    channel: (doc_id, channel, tokens, source[, gap_mask]). posexplode keeps
+    the channel index — the Spark-native unpivot of the reference's (T, V)
+    axis. ``masks_col`` (array<array<boolean>>, aligned with channels) melts
+    each channel's gap mask alongside its signal; a null per-channel mask
+    means that channel has no gaps."""
+    if masks_col is None:
+        return df.select(
+            "doc_id",
+            F.posexplode(channels_col).alias("channel", "tokens"),
+            "source")
+    zipped = F.arrays_zip(F.col(channels_col).alias("t"),
+                          F.col(masks_col).alias("m"))
+    return (df.select("doc_id", F.posexplode(zipped).alias("channel", "cm"),
+                      "source")
+            .select("doc_id", "channel",
+                    F.col("cm.t").alias("tokens"), "source",
+                    F.col("cm.m").alias("gap_mask")))
 
 
 # composite-key separator: a control char that cannot appear in doc ids
@@ -61,10 +73,12 @@ def rollup_channels(df: DataFrame, window: int = BASE_WINDOW,
     """
     from .rollup import rollup_sequences
 
+    passthrough = ["tokens", "source"] + \
+        (["gap_mask"] if "gap_mask" in df.columns else [])
     keyed = df.select(
         F.concat_ws(_SEP, F.col("doc_id"),
                     F.col("channel").cast("string")).alias("doc_id"),
-        "tokens", "source")
+        *passthrough)
     rolled = rollup_sequences(keyed, window, tiers)
     parts = F.split(F.col("doc_id"), _SEP)
     return rolled.select(

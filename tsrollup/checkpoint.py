@@ -119,6 +119,38 @@ def run_checkpointed(spark: SparkSession, input_path: str, output_root: str,
     return pending
 
 
+def apply_retention_to_store(spark: SparkSession, output_root: str,
+                             keep_windows: dict[str, int],
+                             n_buckets: int | None = None) -> int:
+    """Enforce a retention policy ON the checkpointed store (the third leg of
+    rollup+downsample+RETENTION as a store operation): per (doc, tier) keep
+    only the trailing ``keep_windows[tier]`` windows, rewriting ONLY the
+    (bucket, tier) partitions the policy names via dynamic partition
+    overwrite — tiers outside the policy are never touched or rewritten.
+    Returns the number of rows aged out.
+
+    At the 10^12 scale this is the periodic maintenance job: each affected
+    partition is bounded (one bucket × one tier), the rewrite is one job,
+    and untouched tiers' files are never opened (partition pruning on the
+    tier directory key — plan-guarded in tests/test_plans.py).
+    """
+    from .io import read_table, write_table
+    from .rollup import apply_retention
+
+    assert all(n >= 1 for n in keep_windows.values()), \
+        "retention must keep ≥1 window (an emptied partition would not be " \
+        "replaced by a dynamic overwrite)"
+    store = read_table(spark, f"{output_root}/data",
+                       base_path=f"{output_root}/data")
+    affected = store.filter(F.col("tier").isin(list(keep_windows.keys())))
+    before = affected.count()
+    kept = apply_retention(affected, keep_windows)
+    n_kept = kept.count()
+    write_table(kept, f"{output_root}/data", mode="overwrite",
+                partition_by=("bucket", "tier"), dynamic_overwrite=True)
+    return before - n_kept
+
+
 def read_rollup(spark: SparkSession, output_root: str) -> DataFrame:
     """Read back the full rolled-up dataset (all buckets, partition-pruned on
     bucket/tier predicates for free)."""
