@@ -58,9 +58,12 @@ HEADLINE = [
     "topk_events",
     "pricing_summary",
     "revenue_by_nation",
+    "rolling_mean_events",
+    "upsample",
     "token_stats",
     "quality_score",
     "lang_id",
+    "fingerprint",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_signatures",
