@@ -140,8 +140,9 @@ def _scratch(sf_dir: str, tag: str) -> str:
 def q_rollup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-waveform chunked ingestion (≙ reference obspy single long trace,
     IGN_experiment.py:208-211): each doc split into 3 chunk rows, reassembled
-    in chunk order inside the grouped Arrow UDF (the engine's one shuffle),
-    then the SAME kernels — must hash-match the unchunked batch oracle."""
+    in chunk order JVM-side (sort_array over collected chunks — the engine's
+    one shuffle), then the SAME zero-shuffle batched kernels — must
+    hash-match the unchunked batch oracle."""
     from tsrollup.rollup import rollup_grouped
 
     t = _tokenized(spark, sf_dir)

@@ -67,7 +67,8 @@ def rollup_channels(df: DataFrame, window: int = BASE_WINDOW,
     composite series key, the ONE engine rollup path runs unchanged (zero
     shuffle, batched kernels — no forked accumulator code to drift), and the
     key is split back afterwards. doc_id must not contain the 0x1f control
-    character (asserted nowhere — it is the composite-key contract).
+    character (enforced: a violating id raises instead of silently
+    corrupting the split-back attribution).
 
     Input columns: doc_id, channel, tokens, source.
     """
@@ -75,8 +76,13 @@ def rollup_channels(df: DataFrame, window: int = BASE_WINDOW,
 
     passthrough = ["tokens", "source"] + \
         (["gap_mask"] if "gap_mask" in df.columns else [])
+    safe_id = F.when(
+        F.col("doc_id").contains(_SEP),
+        F.raise_error(F.lit("doc_id contains the reserved 0x1f "
+                            "composite-key separator"))
+    ).otherwise(F.col("doc_id"))
     keyed = df.select(
-        F.concat_ws(_SEP, F.col("doc_id"),
+        F.concat_ws(_SEP, safe_id,
                     F.col("channel").cast("string")).alias("doc_id"),
         *passthrough)
     rolled = rollup_sequences(keyed, window, tiers)

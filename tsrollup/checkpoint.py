@@ -120,8 +120,7 @@ def run_checkpointed(spark: SparkSession, input_path: str, output_root: str,
 
 
 def apply_retention_to_store(spark: SparkSession, output_root: str,
-                             keep_windows: dict[str, int],
-                             n_buckets: int | None = None) -> int:
+                             keep_windows: dict[str, int]) -> int:
     """Enforce a retention policy ON the checkpointed store (the third leg of
     rollup+downsample+RETENTION as a store operation): per (doc, tier) keep
     only the trailing ``keep_windows[tier]`` windows, rewriting ONLY the
@@ -140,15 +139,21 @@ def apply_retention_to_store(spark: SparkSession, output_root: str,
     assert all(n >= 1 for n in keep_windows.values()), \
         "retention must keep ≥1 window (an emptied partition would not be " \
         "replaced by a dynamic overwrite)"
+    tiers = list(keep_windows.keys())
     store = read_table(spark, f"{output_root}/data",
                        base_path=f"{output_root}/data")
-    affected = store.filter(F.col("tier").isin(list(keep_windows.keys())))
-    before = affected.count()
+    affected = store.filter(F.col("tier").isin(tiers))
+    before = affected.count()          # scan 1: pre-image row count
     kept = apply_retention(affected, keep_windows)
-    n_kept = kept.count()
     write_table(kept, f"{output_root}/data", mode="overwrite",
                 partition_by=("bucket", "tier"), dynamic_overwrite=True)
-    return before - n_kept
+    # post-image count from the (much smaller) committed partitions — the
+    # same validate-from-committed-output pattern as run_checkpointed,
+    # instead of re-running the retention window a second time
+    after = read_table(spark, f"{output_root}/data",
+                       base_path=f"{output_root}/data") \
+        .filter(F.col("tier").isin(tiers)).count()
+    return before - after
 
 
 def read_rollup(spark: SparkSession, output_root: str) -> DataFrame:

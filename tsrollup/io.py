@@ -55,8 +55,15 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
         if dynamic_overwrite:
             try:
                 wv2.overwritePartitions()
-            except Exception:  # first commit: table doesn't exist yet
-                wv2.create()
+            except Exception as e:
+                # only the first-commit case falls through to create();
+                # anything else (schema drift, commit conflict, storage
+                # error) must surface with its real cause
+                msg = str(e)
+                if "TABLE_OR_VIEW_NOT_FOUND" in msg or "NoSuchTable" in msg:
+                    wv2.create()
+                else:
+                    raise
         elif mode == "append":
             wv2.append()
         else:

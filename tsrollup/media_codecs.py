@@ -94,6 +94,9 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", body)
             if depth != 8 or inter != 0:
                 raise NotImplementedError("only 8-bit non-interlaced PNG")
+            if ct not in _CHANNELS_FOR_CT:
+                raise NotImplementedError(
+                    f"PNG color type {ct} (e.g. palette) not supported")
             ch = _CHANNELS_FOR_CT[ct]
         elif typ == b"IDAT":
             idat.extend(body)

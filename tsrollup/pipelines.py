@@ -90,29 +90,49 @@ def _se(x: np.ndarray) -> np.ndarray:
     return x * (1.0 / (1.0 + np.exp(-float(x.mean()))))
 
 
+# padded-matrix cell budget per EWMA sub-batch (~512 MB of float64 incl. the
+# output copy); lanes are length-sorted so one long outlier doc can't pad the
+# whole batch to its length and OOM the Python worker
+_EWMA_CELL_BUDGET = 32_000_000
+
+
 def _ewma_batch(seqs: list[np.ndarray], alpha: float = 0.125) -> list[np.ndarray]:
     """EWMA over many ragged sequences at once: one vectorized recurrence over
     the time axis of a zero-padded (n_docs, max_len) matrix — the per-step op
     ``acc = α·x + (1−α)·acc`` is elementwise, so each doc's lane computes the
     exact same float sequence as a per-doc scalar fold (padding lanes are
-    sliced away). Empty sequences pass through untouched."""
-    idx = [i for i, s in enumerate(seqs) if s.shape[0]]
-    if not idx:
-        return list(seqs)
-    lens = np.array([seqs[i].shape[0] for i in idx], dtype=np.intp)
-    mx = int(lens.max())
-    buf = np.zeros((len(idx), mx), dtype=np.float64)
-    for r, i in enumerate(idx):
-        buf[r, :lens[r]] = seqs[i]
-    out = np.empty_like(buf)
-    out[:, 0] = buf[:, 0]
-    acc = buf[:, 0].copy()
-    for t in range(1, mx):
-        acc = alpha * buf[:, t] + (1 - alpha) * acc
-        out[:, t] = acc
+    sliced away). Empty sequences pass through untouched.
+
+    Lanes are grouped by length (sorted, then sub-batched under a padded-cell
+    budget) so padding waste is bounded: a single million-token doc next to
+    10k short docs would otherwise allocate a 10k×1M matrix."""
+    idx = sorted((i for i, s in enumerate(seqs) if s.shape[0]),
+                 key=lambda i: seqs[i].shape[0])
     res = list(seqs)
-    for r, i in enumerate(idx):
-        res[i] = out[r, :lens[r]]
+    lo = 0
+    while lo < len(idx):
+        hi = lo
+        mx = 0
+        while hi < len(idx):
+            mx_cand = max(mx, seqs[idx[hi]].shape[0])
+            if hi > lo and (hi - lo + 1) * mx_cand > _EWMA_CELL_BUDGET:
+                break
+            mx = mx_cand
+            hi += 1
+        group = idx[lo:hi]
+        lens = np.array([seqs[i].shape[0] for i in group], dtype=np.intp)
+        buf = np.zeros((len(group), mx), dtype=np.float64)
+        for r, i in enumerate(group):
+            buf[r, :lens[r]] = seqs[i]
+        out = np.empty_like(buf)
+        out[:, 0] = buf[:, 0]
+        acc = buf[:, 0].copy()
+        for t in range(1, mx):
+            acc = alpha * buf[:, t] + (1 - alpha) * acc
+            out[:, t] = acc
+        for r, i in enumerate(group):
+            res[i] = out[r, :lens[r]]
+        lo = hi
     return res
 
 
