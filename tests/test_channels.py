@@ -101,7 +101,7 @@ def test_channel_rollup_plan_is_zero_shuffle(spark, multi_df):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan, plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_melt_with_masks_gap_fills_per_channel(spark):

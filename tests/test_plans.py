@@ -32,7 +32,7 @@ def test_rollup_scale_path_has_no_exchange(spark, seqs):
 
     plan = _plan(rollup_sequences(seqs))
     assert "Exchange" not in plan, plan  # zero shuffle on the scale path
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_rollup_scan_prunes_columns(spark, seqs):
@@ -91,7 +91,7 @@ def test_per_source_stats_is_two_phase(spark, seqs):
 
 def test_chunked_rollup_is_single_shuffle_then_map(spark):
     """Chunk reassembly must be ONE shuffle (the groupBy) feeding the same
-    MapInPandas scale path — not a per-group Python operator."""
+    MapInArrow scale path — not a per-group Python operator."""
     import pandas as pd
 
     from tsrollup.rollup import rollup_grouped
@@ -102,7 +102,7 @@ def test_chunked_rollup_is_single_shuffle_then_map(spark):
         columns=["doc_id", "chunk_id", "tokens", "source"]))
     plan = _plan(rollup_grouped(df))
     assert _n_exchanges(plan) == 1, plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "FlatMapGroupsInPandas" not in plan  # the 20x-slower shape
 
 
