@@ -37,10 +37,7 @@ of the reference's penultimate-layer feature vector.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 PIPELINE_SCHEMA = ("doc_id string, f_mean double, f_var double, f_min double, "
@@ -286,20 +283,28 @@ def run_pipeline(x: np.ndarray, pipeline: str) -> np.ndarray:
 def pipeline_features(df: DataFrame, pipeline: str = "ohshulih",
                       tokens_col: str = "tokens") -> DataFrame:
     """Per-doc global stats of the pipeline's output sequence (the engine twin
-    of the reference model's feature vector). Columnar assembly + batched
-    scans; per-doc stats keep np.mean/np.var float semantics so the output
+    of the reference model's feature vector). mapInArrow with zero-copy
+    list-buffer slicing (same pattern as rollup_sequences) + batched scans;
+    per-doc stats keep np.mean/np.var float semantics so the output
     bit-matches run_pipeline."""
+    from .rollup import _arrow_list_views
+
     spec = ARCH_SPECS[pipeline]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            flat, offs, valid = _arrow_list_views(rb.column(tokens_col))
+            flat = flat.astype(np.float64, copy=False)
+            doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
             xs: list[np.ndarray] = []
             ids: list[str] = []
-            for i in range(len(pdf)):
-                x = np.asarray(pdf[tokens_col].values[i], dtype=np.float64)
-                if x.shape[0]:
-                    xs.append(x)
-                    ids.append(pdf["doc_id"].values[i])
+            for i in range(rb.num_rows):
+                if not valid[i] or offs[i + 1] == offs[i]:
+                    continue
+                xs.append(flat[offs[i]:offs[i + 1]])
+                ids.append(doc_ids[i])
             if not xs:
                 continue
             hs = _run_spec(xs, spec, xs)
@@ -307,21 +312,18 @@ def pipeline_features(df: DataFrame, pipeline: str = "ohshulih",
             n = len(keep)
             if not n:
                 continue
-            out = {
-                "doc_id": np.asarray([ids[i] for i in keep], dtype=object),
-                "f_mean": np.empty(n), "f_var": np.empty(n),
-                "f_min": np.empty(n), "f_max": np.empty(n),
-                "f_last": np.empty(n),
-                "f_len": np.empty(n, dtype=np.int32),
-            }
+            stats = np.empty((n, 5))
+            lens = np.empty(n, dtype=np.int32)
             for j, i in enumerate(keep):
                 h = hs[i]
-                out["f_mean"][j] = h.mean()
-                out["f_var"][j] = h.var()
-                out["f_min"][j] = h.min()
-                out["f_max"][j] = h.max()
-                out["f_last"][j] = h[-1]
-                out["f_len"][j] = h.shape[0]
-            yield pd.DataFrame(out)
+                stats[j] = (h.mean(), h.var(), h.min(), h.max(), h[-1])
+                lens[j] = h.shape[0]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.asarray([ids[i] for i in keep], dtype=object)),
+                 pa.array(stats[:, 0]), pa.array(stats[:, 1]),
+                 pa.array(stats[:, 2]), pa.array(stats[:, 3]),
+                 pa.array(stats[:, 4]), pa.array(lens, type=pa.int32())],
+                ["doc_id", "f_mean", "f_var", "f_min", "f_max", "f_last",
+                 "f_len"])
 
-    return df.select("doc_id", tokens_col).mapInPandas(run, PIPELINE_SCHEMA)
+    return df.select("doc_id", tokens_col).mapInArrow(run, PIPELINE_SCHEMA)
