@@ -185,7 +185,7 @@ def q_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup VALUE-checked end-to-end (SURVEY §2.11):
-    the sequences table streamed through readStream → the same mapInPandas
+    the sequences table streamed through readStream → the same mapInArrow
     kernels → an exactly-once parquet sink (availableNow); the sink contents
     must hash-match the batch SQL oracle."""
     from tsrollup.streaming import stream_rollup_sequences

@@ -7,7 +7,7 @@ two core motions for unbounded input (SURVEY §2.11):
 
 * ``stream_rollup_sequences`` — continuous ingestion of new sequence files
   (each row one complete doc, so base-tier rollup is a STATELESS streaming
-  map): ``readStream`` → the same ``mapInPandas`` kernels as batch → an
+  map): ``readStream`` → the same ``mapInArrow`` kernels as batch → an
   exactly-once parquet sink. Spark's own streaming checkpoint gives the
   resume-from-kill property (the streaming twin of ``tsrollup.checkpoint``).
   Because every doc is self-contained there is no watermark and no state
