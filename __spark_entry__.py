@@ -394,27 +394,23 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tsrollup.text import token_stats
+    """Token counting + document fingerprinting in ONE scan
+    (tsrollup.text.text_profile — the standalone token_stats and fingerprint
+    ops merged; identical column expressions, so each op's values still
+    bit-match its oracle). Merged so every oracle-backed query fits the
+    driver's 50-entry ledger window."""
+    from tsrollup.text import text_profile
 
-    return token_stats(_docs(spark, sf_dir))
+    return text_profile(_docs(spark, sf_dir))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tsrollup.text import quality_score
+    """Quality scoring + language-ID in ONE scan (tsrollup.text.quality_lang
+    — the standalone quality_score and lang_id ops merged; same ledger-window
+    rationale as q_token_stats)."""
+    from tsrollup.text import quality_lang
 
-    return quality_score(_docs(spark, sf_dir))
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tsrollup.text import lang_id
-
-    return lang_id(_docs(spark, sf_dir))
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tsrollup.text import fingerprint
-
-    return fingerprint(_docs(spark, sf_dir))
+    return quality_lang(_docs(spark, sf_dir))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,6 +492,27 @@ def q_conv1d_same(spark: SparkSession, sf_dir: str) -> DataFrame:
                   stride=1, padding="same")
 
 
+def q_conv1d_same_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided 'same'-padding conv (k=3, stride=2): Keras/TF SAME pads
+    input-length-dependently — pad_total = max((⌈T/s⌉−1)·s + k − T, 0),
+    ⌊pad/2⌋ left — now implemented exactly (reference strided same-conv,
+    models_pytorch.py:2232; closes the round-2 documented divergence)."""
+    from tsrollup.convolve import conv1d
+
+    return conv1d(_tokenized(spark, sf_dir), weights=(0.25, 0.5, 0.25),
+                  stride=2, padding="same")
+
+
+def q_conv1d_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'full'-padding conv (k−1 zeros both ends, output T+k−1) ≙ the
+    reference's full_convolution (utils.py:107-130, how OhShuLih et al.
+    pad). Same literal 0·w-term exactness argument as conv1d_same."""
+    from tsrollup.convolve import conv1d
+
+    return conv1d(_tokenized(spark, sf_dir), weights=(0.25, 0.5, 0.25),
+                  stride=1, padding="full")
+
+
 def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform-kernel conv = moving average, the literal reference op
     (IGN_experiment.py:190-205: np.convolve(x, ones(w))/w)."""
@@ -513,23 +530,24 @@ def q_pool_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool1d(_tokenized(spark, sf_dir), pool=2, stride=1, agg="max")
 
 
-def q_relu_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ReLU + LeakyReLU activation checksums (≙ reference relu
-    models_keras.py:27, LeakyReLU :636): exact piecewise-linear maps."""
-    from tsrollup.convolve import relu_stats
-
-    return relu_stats(_tokenized(spark, sf_dir), threshold=8)
-
-
 def q_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-to-fine feature join (≙ reference channel concat /
     DenseNet growth, blocks_keras.py:51): each base-tier window row joined to
     its parent-tier row on (doc, parent window) — an equi-join of two
-    co-partitioned windowed feature frames; fine/coarse ratio derived."""
+    co-partitioned windowed feature frames; fine/coarse ratio derived.
+
+    The base tier is MATERIALIZED once (the engine's continuous-aggregate
+    contract: parents derive from the stored child tier) and both join sides
+    read the store — one token scan + one windowing-kernel pass total. The
+    round-2 form joined two lazily derived frames, so the raw scan and the
+    mapInArrow kernels executed twice per query (two full corpus reads at
+    100 TB)."""
     from tsrollup.rollup import reaggregate_tier, rollup_sequences
 
-    base = rollup_sequences(_tokenized(spark, sf_dir), window=W0,
-                            tiers={"w": 1})
+    store = _scratch(sf_dir, "tierjoin")
+    rollup_sequences(_tokenized(spark, sf_dir), window=W0,
+                     tiers={"w": 1}).write.mode("overwrite").parquet(store)
+    base = spark.read.parquet(store)
     parent = reaggregate_tier(base, "w4", 4, window=W0)
     c = base.select("doc_id",
                     F.col("window_start").alias("ws"),
@@ -558,23 +576,38 @@ def q_dense_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ewma_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential EWMA fold ≙ LSTM seq→vector scan (return_sequences=False,
-    models_keras.py:109-111); pinned fold order matches DuckDB list_reduce."""
-    from tsrollup.convolve import ewma_last
+    models_keras.py:109-111) PLUS the backward fold ≙ Bidirectional(LSTM)
+    (models_keras.py:510) — both directions in one select over one scan
+    (tsrollup.convolve.ewma_scan_features; pinned fold order matches DuckDB
+    list_reduce). Merged ewma_scan + ewma_bidir for the driver's 50-entry
+    ledger window."""
+    from tsrollup.convolve import ewma_scan_features
 
-    return ewma_last(_tokenized(spark, sf_dir), alpha=0.125)
-
-
-def q_ewma_bidir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bidirectional scan ≙ Bidirectional(LSTM) (models_keras.py:510)."""
-    from tsrollup.convolve import ewma_bidir
-
-    return ewma_bidir(_tokenized(spark, sf_dir), alpha=0.125)
+    return ewma_scan_features(_tokenized(spark, sf_dir), alpha=0.125)
 
 
 def q_one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-hot encode event_type per user (≙ reference KDD one-hot,
-    experiments/utils.py:4-107) as conditional aggregates in one pass."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    """CSV scan with an EXPLICIT schema + one-hot encode event_type per user
+    (≙ reference readDataset, experiments/utils.py:4-107: csv.reader with
+    typed columns → one-hot) as conditional aggregates in one pass. The
+    events table is round-tripped through CSV once per call so the query
+    exercises spark.read.csv(schema=...) end to end; only exactly-CSV-
+    representable columns (ints, strings) are carried — the oracle runs on
+    the original parquet, so the round-trip is also value-checked."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    csv_dir = _scratch(sf_dir, "onehot-csv")
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .select(F.col("event_id").cast("long"), F.col("user_id").cast("long"),
+             "event_type")
+     .write.mode("overwrite").option("header", True).csv(csv_dir))
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ])
+    ev = spark.read.csv(csv_dir, schema=schema, header=True)
     types = ["click", "error", "purchase", "signup", "view"]
     aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
              .cast("long").alias(f"n_{t}") for t in types]
@@ -640,11 +673,14 @@ def q_attention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_activations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tanh/sigmoid activation checksums (≙ reference models_keras.py:455,
-    blocks_keras.py:167); round-9 per element, bit-verified cross-engine
-    over the integer token domain."""
-    from tsrollup.gating import activation_checksums
+    blocks_keras.py:167; round-9 per element, bit-verified cross-engine over
+    the integer token domain) PLUS ReLU/LeakyReLU checksums (≙ relu
+    models_keras.py:27, LeakyReLU :636 — exact piecewise-linear maps) in one
+    select over one scan (tsrollup.gating.activation_features). Merged
+    activations + relu_stats for the driver's 50-entry ledger window."""
+    from tsrollup.gating import activation_features
 
-    return activation_checksums(_tokenized(spark, sf_dir))
+    return activation_features(_tokenized(spark, sf_dir), threshold=8)
 
 
 def q_en_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,49 +774,6 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max").cast("long").alias("max"))
 
 
-def q_pipeline_ohshulih(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canned pipeline ≙ OhShuLih (models_keras.py:13-78): 3x(full-conv →
-    relu → maxpool/2) → EWMA scan → global stats. np.convolve chains are not
-    SQL-expressible → rows-only; NumPy parity in tests/test_pipelines.py."""
-    from tsrollup.pipelines import pipeline_features
-
-    return pipeline_features(_tokenized(spark, sf_dir), "ohshulih")
-
-
-def q_pipeline_autoenc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canned pipeline ≙ YildirimOzal autoencoder (models_keras.py:999-1091):
-    avg-pool ÷4 → upsample ×4 → reconstruction residual stats (rows-only)."""
-    from tsrollup.pipelines import pipeline_features
-
-    return pipeline_features(_tokenized(spark, sf_dir), "autoenc")
-
-
-def q_pipeline_shihaotian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canned pipeline ≙ ShiHaotian (models_keras.py:582-661): 3 parallel
-    conv branches (k=3/5/7) concatenated along time → global stats
-    (rows-only; NumPy parity in tests/test_pipelines.py)."""
-    from tsrollup.pipelines import pipeline_features
-
-    return pipeline_features(_tokenized(spark, sf_dir), "shihaotian")
-
-
-def q_pipeline_caiwenjuan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canned pipeline ≙ CaiWenjuan DDNN (models_keras.py:1094-1166):
-    inception-style parallel branches + squeeze-excitation gating →
-    concat → global stats (rows-only)."""
-    from tsrollup.pipelines import pipeline_features
-
-    return pipeline_features(_tokenized(spark, sf_dir), "caiwenjuan")
-
-
-def q_pipeline_kimmingu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canned pipeline ≙ KimMinGu CNN ensemble (models_keras.py:1169-1242):
-    3 conv→relu→pool branches averaged elementwise (rows-only)."""
-    from tsrollup.pipelines import pipeline_features
-
-    return pipeline_features(_tokenized(spark, sf_dir), "kimmingu")
-
-
 def _two_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → 2-channel signal (reference (T, V) data model,
     TSFEDL/data.py:40-43): channel 0 = word lengths (the V=1 bridge),
@@ -824,23 +817,21 @@ def q_cross_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL 25 reference architectures (models_keras.py, full zoo — SURVEY
-    §2.13) through the spec interpreter on a 1-in-5 doc sample: per-arch
-    row-count + feature-length checksums. rows-only (np.convolve chains not
-    SQL-expressible); per-arch NumPy parity in tests/test_pipelines.py."""
-    from functools import reduce
-
-    from tsrollup.pipelines import PIPELINES, pipeline_features
+    §2.13) in ONE mapInArrow pass over a 1-in-5 doc sample: each Arrow batch
+    is decoded once and every spec interpreted over it (round 2 ran 25
+    independent jobs = 25 corpus scans); per-arch row-count + feature-length
+    checksums, one tiny groupBy('arch') shuffle (≤25 rows per map task).
+    rows-only (np.convolve chains not SQL-expressible); per-arch NumPy
+    parity — including vs the single-arch path — in tests/test_pipelines.py."""
+    from tsrollup.pipelines import pipeline_features_multi
 
     t = _tokenized(spark, sf_dir) \
         .filter(F.col("doc_id").cast("long") % 5 == 0)
-    parts = []
-    for arch in sorted(PIPELINES):
-        f = pipeline_features(t, arch).groupBy().agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("f_len").cast("long").alias("total_len"))
-        parts.append(f.select(F.lit(arch).alias("arch"), "n_docs",
-                              "total_len"))
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return (pipeline_features_multi(t)
+            .groupBy("arch")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("f_len").cast("long").alias("total_len"))
+            .orderBy("arch"))
 
 
 def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,11 +874,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordering contract: the driver's CORRECTNESS ledger records the FIRST
+    50 entries, so every oracle-backed query sits in slots 1-50 (exactly 50
+    of them) and the rows-only queries (FFT / libm-ulp / sign-at-boundary /
+    binary-decode / np.convolve semantics — each pytest-value-verified) form
+    the tail. Round 2 appended new oracle-backed queries past slot 50 and
+    lost their driver rows; this ordering is the fix."""
     return {
+        # --- oracle-backed (slots 1-50) ---
         "rollup_base": q_rollup_base,
         "rollup_tier_reagg": q_rollup_tier_reagg,
         "rollup_compressed_roundtrip": q_rollup_compressed_roundtrip,
-        "rollup_spectral": q_rollup_spectral,
         "gapfill_ffill": q_gapfill_ffill,
         "global_agg": q_global_agg,
         "sliding_windows": q_sliding_windows,
@@ -903,8 +900,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -912,19 +907,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_knn": q_cosine_knn,
-        "ann_lsh": q_ann_lsh,
         "conv1d_valid": q_conv1d_valid,
         "conv1d_same": q_conv1d_same,
+        "conv1d_same_strided": q_conv1d_same_strided,
+        "conv1d_full": q_conv1d_full,
         "moving_average": q_moving_average,
         "pool_overlap": q_pool_overlap,
-        "relu_stats": q_relu_stats,
         "dense_proj": q_dense_proj,
         "tier_join": q_tier_join,
         "ewma_scan": q_ewma_scan,
-        "ewma_bidir": q_ewma_bidir,
-        "media_features": q_media_features,
         "one_hot_events": q_one_hot_events,
-        "softmax_window": q_softmax_window,
         "residual_add": q_residual_add,
         "attention_gate": q_attention_gate,
         "activations": q_activations,
@@ -940,11 +932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_extract": q_segment_extract,
         "windows_excluded": q_windows_excluded,
         "retention": q_retention,
-        "pipeline_ohshulih": q_pipeline_ohshulih,
-        "pipeline_autoenc": q_pipeline_autoenc,
-        "pipeline_shihaotian": q_pipeline_shihaotian,
-        "pipeline_caiwenjuan": q_pipeline_caiwenjuan,
-        "pipeline_kimmingu": q_pipeline_kimmingu,
+        # --- rows-only tail (pytest-value-verified; no SQL analog) ---
+        "rollup_spectral": q_rollup_spectral,
+        "softmax_window": q_softmax_window,
+        "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
         "pipeline_zoo": q_pipeline_zoo,
     }
 
@@ -1200,6 +1192,7 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+    # token_stats + fingerprint merged (one scan on the Spark side)
     sqls["token_stats"] = """
 SELECT doc_id,
        len(string_split(text, ' '))::INT AS n_words,
@@ -1208,30 +1201,16 @@ SELECT doc_id,
        length(text)::INT AS n_chars_meas,
        length(text)::DOUBLE / 4.0 AS bpe_est,
        list_max(list_transform(string_split(text, ' '), w -> length(w)))::INT
-         AS max_word_len
+         AS max_word_len,
+       md5(text) AS md5,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
 FROM documents
 """
 
     en = ", ".join(f"'{s}'" for s in
                    ("the", "of", "and", "to", "in", "is", "that", "it",
                     "was", "for"))
-    sqls["quality_score"] = f"""
-WITH q AS (
-  SELECT doc_id,
-         len(string_split(text, ' '))::INT AS n_words,
-         len(list_filter(string_split(text, ' '),
-             w -> list_contains([{en}], w)))::INT AS n_stopwords,
-         length(text) AS n_chars
-  FROM documents
-)
-SELECT doc_id, n_words, n_stopwords,
-       n_stopwords::DOUBLE / n_words::DOUBLE AS stop_ratio,
-       n_chars::DOUBLE / n_words::DOUBLE AS mean_word_len,
-       (n_stopwords::DOUBLE / n_words::DOUBLE) * 2.0
-         + 1.0 / (n_chars::DOUBLE / n_words::DOUBLE) AS quality
-FROM q
-"""
-
+    # quality_score + lang_id merged (one scan on the Spark side)
     from tsrollup.text import LANG_STOPWORDS
 
     hit_cols = []
@@ -1241,19 +1220,27 @@ FROM q
             f"SELECT doc_id, '{lang}' AS lang, len(list_filter(ws, "
             f"w -> list_contains([{lex}], w)))::INT AS hits FROM w")
     union = "\nUNION ALL\n".join(hit_cols)
-    sqls["lang_id"] = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sqls["quality_score"] = f"""
+WITH q AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::INT AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains([{en}], w)))::INT AS n_stopwords,
+         length(text) AS n_chars
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 h AS ({union}),
 r AS (SELECT doc_id, lang, hits,
         row_number() OVER (PARTITION BY doc_id
           ORDER BY hits DESC, lang DESC) AS rn FROM h)
-SELECT doc_id, lang AS pred_lang, hits AS stop_hits FROM r WHERE rn = 1
-"""
-
-    sqls["fingerprint"] = """
-SELECT doc_id, md5(text) AS md5,
-       ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
-FROM documents
+SELECT q.doc_id, q.n_words, q.n_stopwords,
+       n_stopwords::DOUBLE / n_words::DOUBLE AS stop_ratio,
+       n_chars::DOUBLE / n_words::DOUBLE AS mean_word_len,
+       (n_stopwords::DOUBLE / n_words::DOUBLE) * 2.0
+         + 1.0 / (n_chars::DOUBLE / n_words::DOUBLE) AS quality,
+       r.lang AS pred_lang, r.hits AS stop_hits
+FROM q JOIN r ON q.doc_id = r.doc_id AND r.rn = 1
 """
 
     sqls["dedup_exact"] = """
@@ -1355,6 +1342,51 @@ SELECT doc_id, s::BIGINT AS pos,
 FROM st
 """
 
+    # strided SAME (k=3, s=2): pad_total = max((⌈T/2⌉−1)·2+3−T, 0) → 2 for
+    # odd T (1 left / 1 right), 1 for even T (0 left / 1 right); L = left pad
+    # = T%2. Output p reads padded[2p..2p+2] ⇒ original 1-based j = 2p+i−L+1,
+    # zero outside [1, T] — literal 0.0 terms exactly like conv1d_same.
+    sqls["conv1d_same_strided"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, len(t) AS n, (len(t) % 2) AS L,
+         unnest(range(0, (len(t) + 1) // 2)) AS p
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id, p::BIGINT AS pos,
+       0.0 + CASE WHEN 2*p - L + 1 BETWEEN 1 AND n
+                  THEN t[2*p - L + 1]::DOUBLE * 0.25 ELSE 0.0 END
+           + CASE WHEN 2*p - L + 2 BETWEEN 1 AND n
+                  THEN t[2*p - L + 2]::DOUBLE * 0.5 ELSE 0.0 END
+           + CASE WHEN 2*p - L + 3 BETWEEN 1 AND n
+                  THEN t[2*p - L + 3]::DOUBLE * 0.25 ELSE 0.0 END AS y
+FROM st
+"""
+
+    # 'full': k−1 = 2 zeros both ends, output length T+2; output p reads
+    # original 1-based j = p+i−1 for i in 0..2, zero outside [1, T]
+    sqls["conv1d_full"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t) + 2)) AS p
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id, p::BIGINT AS pos,
+       0.0 + CASE WHEN p - 1 BETWEEN 1 AND n
+                  THEN t[p - 1]::DOUBLE * 0.25 ELSE 0.0 END
+           + CASE WHEN p BETWEEN 1 AND n
+                  THEN t[p]::DOUBLE * 0.5 ELSE 0.0 END
+           + CASE WHEN p + 1 BETWEEN 1 AND n
+                  THEN t[p + 1]::DOUBLE * 0.25 ELSE 0.0 END AS y
+FROM st
+"""
+
     sqls["moving_average"] = """
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1382,24 +1414,6 @@ WITH tok AS (
 SELECT doc_id, s::BIGINT AS pos,
        greatest(t[s+1], t[s+2])::BIGINT AS y
 FROM st
-"""
-
-    sqls["relu_stats"] = """
-WITH tok AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         list_transform(string_split(text, ' '),
-                        w -> greatest(length(w) - 8, 0)) AS act,
-         list_transform(string_split(text, ' '),
-                        w -> CASE WHEN length(w) > 8
-                             THEN (length(w) - 8)::DOUBLE
-                             ELSE 0.01 * (length(w) - 8)::DOUBLE END) AS lk
-  FROM documents
-)
-SELECT doc_id,
-       list_aggregate(act, 'sum')::BIGINT AS relu_sum,
-       len(list_filter(act, y -> y > 0))::BIGINT AS n_active,
-       list_reduce(list_prepend(0.0, lk), (a, b) -> a + b) AS leaky_sum
-FROM tok
 """
 
     sqls["tier_join"] = f"""
@@ -1439,6 +1453,7 @@ FROM tok WHERE len(t) >= 4
 
     # list_reduce: init = first element, left fold, acc is the first lambda
     # arg — identical semantics and float op order to the Spark aggregate().
+    # ewma_scan + ewma_bidir merged (one select on the Spark side).
     sqls["ewma_scan"] = """
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1450,19 +1465,7 @@ SELECT doc_id,
                    (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_last,
        list_max(t)::BIGINT AS run_max,
        list_min(t)::BIGINT AS run_min,
-       t[-1]::BIGINT AS last_tok
-FROM tok WHERE len(t) > 0
-"""
-
-    sqls["ewma_bidir"] = """
-WITH tok AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         list_transform(string_split(text, ' '), w -> length(w)) AS t
-  FROM documents
-)
-SELECT doc_id,
-       list_reduce(list_transform(t, x -> x::DOUBLE),
-                   (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_fwd,
+       t[-1]::BIGINT AS last_tok,
        list_reduce(list_transform(list_reverse(t), x -> x::DOUBLE),
                    (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_bwd
 FROM tok WHERE len(t) > 0
@@ -1527,7 +1530,8 @@ FROM g
 """
 
     # tanh via the exp form (DuckDB has no tanh); round-9 equality verified
-    # over the full integer token domain
+    # over the full integer token domain. Merged with the ReLU/LeakyReLU
+    # checksums (exact piecewise-linear maps) — one scan on the Spark side.
     sqls["activations"] = """
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1539,12 +1543,18 @@ WITH tok AS (
            (1.0 - exp(-2.0 * x::DOUBLE)) / (1.0 + exp(-2.0 * x::DOUBLE)), 9))
            AS th,
          list_transform(t, x -> round(1.0 / (1.0 + exp(-(x::DOUBLE))), 9))
-           AS sg
+           AS sg,
+         list_transform(t, x -> greatest(x - 8, 0)) AS act,
+         list_transform(t, x -> CASE WHEN x > 8 THEN (x - 8)::DOUBLE
+                                ELSE 0.01 * (x - 8)::DOUBLE END) AS lk
   FROM tok WHERE len(t) > 0
 )
 SELECT doc_id, len(th)::BIGINT AS n_tok,
        list_reduce(list_prepend(0.0, th), (x, y) -> x + y) AS tanh_sum,
-       list_reduce(list_prepend(0.0, sg), (x, y) -> x + y) AS sigmoid_sum
+       list_reduce(list_prepend(0.0, sg), (x, y) -> x + y) AS sigmoid_sum,
+       list_aggregate(act, 'sum')::BIGINT AS relu_sum,
+       len(list_filter(act, y -> y > 0))::BIGINT AS n_active,
+       list_reduce(list_prepend(0.0, lk), (a_, b) -> a_ + b) AS leaky_sum
 FROM a
 """
 

@@ -62,8 +62,6 @@ HEADLINE = [
     "upsample",
     "token_stats",
     "quality_score",
-    "lang_id",
-    "fingerprint",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_signatures",
@@ -73,13 +71,13 @@ HEADLINE = [
     "ann_lsh",
     "conv1d_valid",
     "conv1d_same",
+    "conv1d_same_strided",
+    "conv1d_full",
     "moving_average",
     "pool_overlap",
-    "relu_stats",
     "dense_proj",
     "tier_join",
     "ewma_scan",
-    "ewma_bidir",
     "media_features",
     "one_hot_events",
     "softmax_window",
@@ -93,11 +91,6 @@ HEADLINE = [
     "segment_extract",
     "windows_excluded",
     "retention",
-    "pipeline_ohshulih",
-    "pipeline_autoenc",
-    "pipeline_shihaotian",
-    "pipeline_caiwenjuan",
-    "pipeline_kimmingu",
     "pipeline_zoo",
 ]
 

@@ -27,9 +27,12 @@ def np_conv(x, w, stride, padding, dilation=1):
     span = (k - 1) * dilation
     if padding == "full":
         x = np.concatenate([np.zeros(span), x, np.zeros(span)])
-    elif padding == "same":  # centered (Keras) zero-padding
-        x = np.concatenate([np.zeros(span // 2), x,
-                            np.zeros(span - span // 2)])
+    elif padding == "same":  # Keras/TF SAME incl. stride>1
+        T = len(x)
+        out_len = -(-T // stride)
+        pad_total = max((out_len - 1) * stride + span + 1 - T, 0)
+        x = np.concatenate([np.zeros(pad_total // 2), x,
+                            np.zeros(pad_total - pad_total // 2)])
     out = []
     starts = range(0, len(x) - span, stride) if len(x) > span else []
     for s in starts:
@@ -49,7 +52,7 @@ def _collect(df):
 
 @pytest.mark.parametrize("padding,stride,dilation", [
     ("valid", 1, 1), ("valid", 3, 1), ("valid", 1, 2),
-    ("same", 1, 1), ("same", 2, 1), ("same", 1, 2),
+    ("same", 1, 1), ("same", 2, 1), ("same", 3, 1), ("same", 1, 2),
     ("full", 1, 1), ("full", 2, 2),
 ])
 def test_conv1d_matches_numpy(spark, toks_df, padding, stride, dilation):
@@ -101,5 +104,33 @@ def test_ewma_matches_numpy(spark, toks_df):
             acc = a * float(v) + (1 - a) * acc
         g = got[r["doc_id"]]
         assert g["ewma_last"] == acc
+        assert g["run_max"] == max(x) and g["run_min"] == min(x)
+        assert g["last_tok"] == x[-1]
+
+
+def test_ewma_bidir_and_scan_features_match_numpy(spark, toks_df):
+    """Single-pass bidirectional scan (no self-join) and the merged
+    ewma_scan_features both reproduce the scalar folds exactly."""
+    from tsrollup.convolve import ewma_bidir, ewma_scan_features
+
+    a = 0.125
+
+    def fold(xs):
+        acc = float(xs[0])
+        for v in xs[1:]:
+            acc = a * float(v) + (1 - a) * acc
+        return acc
+
+    bid = {r["doc_id"]: r for r in ewma_bidir(toks_df, a).collect()}
+    feat = {r["doc_id"]: r for r in ewma_scan_features(toks_df, a).collect()}
+    for _, r in toks_df.toPandas().iterrows():
+        x = list(r["tokens"])
+        if not x:
+            assert r["doc_id"] not in bid and r["doc_id"] not in feat
+            continue
+        assert bid[r["doc_id"]]["ewma_fwd"] == fold(x)
+        assert bid[r["doc_id"]]["ewma_bwd"] == fold(x[::-1])
+        g = feat[r["doc_id"]]
+        assert g["ewma_last"] == fold(x) and g["ewma_bwd"] == fold(x[::-1])
         assert g["run_max"] == max(x) and g["run_min"] == min(x)
         assert g["last_tok"] == x[-1]

@@ -104,3 +104,24 @@ def test_all_25_architectures_run_and_match(spark, toks_df):
             assert g["f_mean"] == float(h.mean()), arch
             assert g["f_last"] == float(h[-1]), arch
         assert produced > 0, arch
+
+
+def test_multi_arch_single_pass_matches_per_arch(spark, toks_df):
+    """pipeline_features_multi (ONE mapInArrow pass for the whole zoo) is
+    bit-identical per (doc, arch) to the single-arch path — the zoo query's
+    25-scans→1-scan rewrite must not change a value."""
+    from tsrollup.pipelines import PIPELINES, pipeline_features, \
+        pipeline_features_multi
+
+    multi = {(r["doc_id"], r["arch"]): r
+             for r in pipeline_features_multi(toks_df).collect()}
+    for arch in ("ohshulih", "autoenc", "caiwenjuan", "genminxing"):
+        single = {r["doc_id"]: r
+                  for r in pipeline_features(toks_df, arch).collect()}
+        assert set(single) == {d for d, a in multi if a == arch}
+        for doc_id, s in single.items():
+            m = multi[(doc_id, arch)]
+            for c in ("f_mean", "f_var", "f_min", "f_max", "f_last", "f_len"):
+                assert m[c] == s[c], (arch, doc_id, c)
+    # every arch present
+    assert {a for _, a in multi} == set(PIPELINES)

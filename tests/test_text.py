@@ -58,3 +58,29 @@ def test_fingerprint_unique_unless_equal(spark, docs_df):
     fp = fingerprint(two).toPandas()
     assert fp["md5"].nunique() == 5  # 6 rows, one duplicated text
     assert fp.groupby("md5")["fp60"].nunique().max() == 1
+
+
+def test_merged_single_pass_ops_match_standalone(spark, docs_df):
+    """text_profile == token_stats ⨝ fingerprint and quality_lang ==
+    quality_score ⨝ lang_id, column for column (the merged ops are the same
+    expressions in one select — zero drift allowed)."""
+    from tsrollup.text import (fingerprint, lang_id, quality_lang,
+                               quality_score, text_profile, token_stats)
+
+    prof = {r["doc_id"]: r for r in text_profile(docs_df).collect()}
+    for r in token_stats(docs_df).collect():
+        for c in ("n_words", "bpe_tokens", "n_chars_meas", "bpe_est",
+                  "max_word_len"):
+            assert prof[r["doc_id"]][c] == r[c]
+    for r in fingerprint(docs_df).collect():
+        assert prof[r["doc_id"]]["md5"] == r["md5"]
+        assert prof[r["doc_id"]]["fp60"] == r["fp60"]
+
+    ql = {r["doc_id"]: r for r in quality_lang(docs_df).collect()}
+    for r in quality_score(docs_df).collect():
+        for c in ("n_words", "n_stopwords", "stop_ratio", "mean_word_len",
+                  "quality"):
+            assert ql[r["doc_id"]][c] == r[c]
+    for r in lang_id(docs_df).collect():
+        assert ql[r["doc_id"]]["pred_lang"] == r["pred_lang"]
+        assert ql[r["doc_id"]]["stop_hits"] == r["stop_hits"]

@@ -11,11 +11,12 @@ same list reproduces the bits.
 
 Padding conventions (pinned, §2.4):
   'valid' — output length T−(k−1)·d (no padding; reference models_keras.py:386)
-  'same'  — output length ⌈T/stride⌉; CENTERED zero-padding — span//2 zeros
-            left, span−span//2 right (span=(k−1)·d) — matching Keras
-            Conv1D(padding='same') values exactly at stride=1 (reference
-            models_keras.py:202; for stride>1 Keras pads input-length-
-            dependently, this pads the full span — documented divergence)
+  'same'  — output length ⌈T/stride⌉; Keras/TF SAME padding exactly at EVERY
+            stride: pad_total = max((⌈T/s⌉−1)·s + (k−1)·d + 1 − T, 0),
+            ⌊pad_total/2⌋ zeros left, the rest right (input-length-dependent,
+            reference models_keras.py:202 and strided same-conv
+            models_pytorch.py:2232; at stride=1 this is the centered span//2
+            split)
   'full'  — output length T+(k−1); zero-pad k−1 both ends (reference
             utils.py:107-130 full_convolution)
 
@@ -59,12 +60,20 @@ def conv1d(df: DataFrame, weights: Sequence[float], stride: int = 1,
         tok = F.concat(F.array_repeat(F.lit(0), span), tok,
                        F.array_repeat(F.lit(0), span))
     elif padding == "same":
-        # centered zero-padding (Keras padding='same'): span//2 zeros left,
-        # the rest right, then the 'valid' machinery below. Padded zeros
-        # contribute literal 0·w terms to the fold — exact (+0.0 for w>0,
-        # −0.0 absorbed by the left-to-right fold).
-        tok = F.concat(F.array_repeat(F.lit(0), span // 2), tok,
-                       F.array_repeat(F.lit(0), span - span // 2))
+        # Keras/TF SAME semantics exactly, INCLUDING stride>1: out_len =
+        # ⌈T/s⌉, pad_total = max((out_len−1)·s + k_eff − T, 0), split
+        # left = ⌊pad_total/2⌋ (input-length-dependent — the pad amounts are
+        # Columns). At stride=1 this reduces to span//2 left / rest right
+        # (the round-2 behavior). Padded zeros contribute literal 0·w terms
+        # to the fold — exact (+0.0 for w>0, −0.0 absorbed by the
+        # left-to-right fold).
+        n0 = F.size(tok)
+        out_len = F.ceil(n0 / F.lit(stride)).cast("int")
+        pad_total = F.greatest((out_len - 1) * stride + span + 1 - n0,
+                               F.lit(0))
+        pad_left = F.floor(pad_total / 2).cast("int")
+        tok = F.concat(F.array_repeat(F.lit(0), pad_left), tok,
+                       F.array_repeat(F.lit(0), pad_total - pad_left))
     n = F.size(tok)
     starts = F.sequence(F.lit(0), n - 1 - span, F.lit(stride))
     y = lambda s: _window_dot(tok, s, weights, dilation)  # noqa: E731
@@ -164,15 +173,40 @@ def ewma_last(df: DataFrame, alpha: float = 0.125,
                     F.element_at(tok, -1).cast("long").alias("last_tok")))
 
 
+def _ewma_fold(tok: Column, alpha: float) -> Column:
+    """Strictly sequential EWMA fold over an array column (init = first
+    element) — the shared kernel of the fwd/bwd/bidir scans."""
+    first = F.element_at(tok, 1).cast("double")
+    rest = F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0)))
+    a = F.lit(float(alpha))
+    return F.aggregate(rest, first,
+                       lambda acc, x: a * x.cast("double") + (F.lit(1.0) - a) * acc)
+
+
 def ewma_bidir(df: DataFrame, alpha: float = 0.125,
                tokens_col: str = "tokens") -> DataFrame:
     """Bidirectional scan analog (reference Bidirectional(LSTM),
-    models_keras.py:510): the same fold forward and over reverse(tokens),
-    concatenated — here their final values side by side."""
-    fwd = ewma_last(df, alpha, tokens_col).select(
-        "doc_id", F.col("ewma_last").alias("ewma_fwd"))
-    bwd = ewma_last(
-        df.withColumn(tokens_col, F.reverse(F.col(tokens_col))),
-        alpha, tokens_col).select(
-        "doc_id", F.col("ewma_last").alias("ewma_bwd"))
-    return fwd.join(bwd, "doc_id")
+    models_keras.py:510): the same fold forward and over reverse(tokens) —
+    both directions in ONE select over one scan. (The previous form joined
+    two derived frames — a doc_id shuffle and a second full read of the
+    corpus at scale, for a value computable per-row.)"""
+    tok = F.col(tokens_col)
+    return (df.filter(F.size(tok) > 0)
+            .select("doc_id",
+                    _ewma_fold(tok, alpha).alias("ewma_fwd"),
+                    _ewma_fold(F.reverse(tok), alpha).alias("ewma_bwd")))
+
+
+def ewma_scan_features(df: DataFrame, alpha: float = 0.125,
+                       tokens_col: str = "tokens") -> DataFrame:
+    """ewma_last + ewma_bidir merged: forward fold, running extrema, last
+    timestep, and the backward fold — one select, one scan (the 100 TB form
+    of 'compute every scan feature in a single corpus pass')."""
+    tok = F.col(tokens_col)
+    return (df.filter(F.size(tok) > 0)
+            .select("doc_id",
+                    _ewma_fold(tok, alpha).alias("ewma_last"),
+                    F.array_max(tok).cast("long").alias("run_max"),
+                    F.array_min(tok).cast("long").alias("run_min"),
+                    F.element_at(tok, -1).cast("long").alias("last_tok"),
+                    _ewma_fold(F.reverse(tok), alpha).alias("ewma_bwd")))

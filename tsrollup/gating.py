@@ -74,6 +74,38 @@ def activation_checksums(df: DataFrame,
                      .alias("sigmoid_sum")))
 
 
+def activation_features(df: DataFrame, threshold: int = 8,
+                        leaky_alpha: float = 0.01,
+                        tokens_col: str = "tokens") -> DataFrame:
+    """tanh/sigmoid AND ReLU/LeakyReLU checksums in ONE scan — the merged form
+    of ``activation_checksums`` + ``convolve.relu_stats`` (identical column
+    expressions, so values bit-match each standalone op's oracle). One select,
+    no join: a 100 TB feature pass computes every activation family in a
+    single read of the corpus."""
+    t = F.col(tokens_col)
+    th = F.transform(t, lambda x: F.round(F.tanh(x.cast("double")), 9))
+    sg = F.transform(
+        t, lambda x: F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x.cast("double"))), 9))
+    act = F.transform(t, lambda x: F.greatest(x - threshold, F.lit(0)))
+    a = F.lit(float(leaky_alpha))
+    leaky = F.transform(
+        t, lambda x: F.when(x > threshold, (x - threshold).cast("double"))
+        .otherwise(a * (x - threshold).cast("double")))
+    return (df.filter(F.size(t) > 0)
+            .select("doc_id",
+                    F.size(t).cast("long").alias("n_tok"),
+                    F.aggregate(th, F.lit(0.0), lambda a_, x: a_ + x)
+                     .alias("tanh_sum"),
+                    F.aggregate(sg, F.lit(0.0), lambda a_, x: a_ + x)
+                     .alias("sigmoid_sum"),
+                    F.aggregate(act, F.lit(0).cast("long"), lambda a_, x: a_ + x)
+                     .alias("relu_sum"),
+                    F.size(F.filter(act, lambda y: y > 0)).cast("long")
+                     .alias("n_active"),
+                    F.aggregate(leaky, F.lit(0.0), lambda a_, x: a_ + x)
+                     .alias("leaky_sum")))
+
+
 def en_loss(df: DataFrame, gamma: float = 0.3, eps: float = 1.0e-7,
             scale: float = 100.0, tokens_col: str = "tokens") -> DataFrame:
     """YiboGao en_loss over each doc's token signal

@@ -327,3 +327,63 @@ def pipeline_features(df: DataFrame, pipeline: str = "ohshulih",
                  "f_len"])
 
     return df.select("doc_id", tokens_col).mapInArrow(run, PIPELINE_SCHEMA)
+
+
+def pipeline_features_multi(df: DataFrame, pipelines: tuple[str, ...] = PIPELINES,
+                            tokens_col: str = "tokens") -> DataFrame:
+    """ALL requested architectures in ONE mapInArrow pass: each Arrow batch is
+    decoded once (zero-copy list-buffer slicing) and every spec is interpreted
+    over the same in-memory sequences, emitting an ``arch`` column — one
+    corpus scan for the whole zoo instead of one scan per architecture
+    (25 scans ≈ 25 full corpus reads at 100 TB). Per-(doc, arch) values are
+    bit-identical to ``pipeline_features(df, arch)`` since both run the same
+    interpreter on the same float64 views."""
+    from .rollup import _arrow_list_views
+
+    archs = sorted(pipelines)
+    specs = {a: ARCH_SPECS[a] for a in archs}
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            flat, offs, valid = _arrow_list_views(rb.column(tokens_col))
+            flat = flat.astype(np.float64, copy=False)
+            doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+            xs: list[np.ndarray] = []
+            ids: list[str] = []
+            for i in range(rb.num_rows):
+                if not valid[i] or offs[i + 1] == offs[i]:
+                    continue
+                xs.append(flat[offs[i]:offs[i + 1]])
+                ids.append(doc_ids[i])
+            if not xs:
+                continue
+            out_ids, out_arch = [], []
+            stats_rows, len_rows = [], []
+            for arch in archs:
+                hs = _run_spec(list(xs), specs[arch], xs)
+                for i, h in enumerate(hs):
+                    if not h.shape[0]:
+                        continue
+                    out_ids.append(ids[i])
+                    out_arch.append(arch)
+                    stats_rows.append((h.mean(), h.var(), h.min(), h.max(),
+                                       h[-1]))
+                    len_rows.append(h.shape[0])
+            if not out_ids:
+                continue
+            stats = np.asarray(stats_rows)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.asarray(out_ids, dtype=object)),
+                 pa.array(np.asarray(out_arch, dtype=object)),
+                 pa.array(stats[:, 0]), pa.array(stats[:, 1]),
+                 pa.array(stats[:, 2]), pa.array(stats[:, 3]),
+                 pa.array(stats[:, 4]),
+                 pa.array(np.asarray(len_rows, dtype=np.int32),
+                          type=pa.int32())],
+                ["doc_id", "arch", "f_mean", "f_var", "f_min", "f_max",
+                 "f_last", "f_len"])
+
+    return df.select("doc_id", tokens_col).mapInArrow(
+        run, "doc_id string, arch string, " + PIPELINE_SCHEMA.split(", ", 1)[1])

@@ -40,44 +40,48 @@ def tokenize_words(df: DataFrame, text_col: str = "text") -> DataFrame:
 BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
-def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc token counting: whitespace tokens, a real BPE-ish regex token
-    count (letter/digit/punct runs, BPE_PATTERN), the chars/4 heuristic, and
-    max word length."""
+def _token_stat_cols(text_col: str) -> list[Column]:
     w = words(text_col)
-    return df.select(
-        "doc_id",
+    return [
         F.size(w).alias("n_words"),
         F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("int")
          .alias("bpe_tokens"),
         F.length(text_col).alias("n_chars_meas"),
         (F.length(text_col) / F.lit(4.0)).alias("bpe_est"),
         F.array_max(F.transform(w, lambda x: F.length(x))).alias("max_word_len"),
-    )
+    ]
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality scoring: stopword ratio, mean word length, and a
-    combined score — exact integer counts + pinned double arithmetic."""
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counting: whitespace tokens, a real BPE-ish regex token
+    count (letter/digit/punct runs, BPE_PATTERN), the chars/4 heuristic, and
+    max word length."""
+    return df.select("doc_id", *_token_stat_cols(text_col))
+
+
+def _quality_cols(text_col: str) -> list[Column]:
     w = words(text_col)
     en = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
     n_words = F.size(w)
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(en, x)))
     mean_wl = F.length(text_col).cast("double") / n_words.cast("double")
     stop_ratio = n_stop.cast("double") / n_words.cast("double")
-    return df.select(
-        "doc_id",
+    return [
         n_words.alias("n_words"),
         n_stop.alias("n_stopwords"),
         stop_ratio.alias("stop_ratio"),
         mean_wl.alias("mean_word_len"),
         (stop_ratio * F.lit(2.0) + F.lit(1.0) / mean_wl).alias("quality"),
-    )
+    ]
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Language-ID heuristic: most stopword hits wins; ties break by language
-    code order (deterministic greatest-of-structs trick)."""
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, mean word length, and a
+    combined score — exact integer counts + pinned double arithmetic."""
+    return df.select("doc_id", *_quality_cols(text_col))
+
+
+def _lang_cols(text_col: str) -> list[Column]:
     w = words(text_col)
     hits = []
     for lang in sorted(LANG_STOPWORDS):  # deterministic order
@@ -89,19 +93,39 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # greatest = max hits, then max lang code — invert lang for tie-break-by-
     # first: use (hits, negated-lang) ordering via greatest on (hits, lang)
     best = F.greatest(*hits)
-    return df.select(
-        "doc_id",
-        best["lang"].alias("pred_lang"),
-        best["hits"].alias("stop_hits"),
-    )
+    return [best["lang"].alias("pred_lang"), best["hits"].alias("stop_hits")]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: most stopword hits wins; ties break by language
+    code order (deterministic greatest-of-structs trick)."""
+    return df.select("doc_id", *_lang_cols(text_col))
+
+
+def _fingerprint_cols(text_col: str) -> list[Column]:
+    return [
+        F.md5(F.col(text_col)).alias("md5"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+         .cast("long").alias("fp60"),
+    ]
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of full text (exact dup key) + a 60-bit
     int fingerprint (md5-derived) usable as a shard/join key."""
-    return df.select(
-        "doc_id",
-        F.md5(F.col(text_col)).alias("md5"),
-        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
-         .cast("long").alias("fp60"),
-    )
+    return df.select("doc_id", *_fingerprint_cols(text_col))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_stats + fingerprint in ONE scan (one select, no join): at 100 TB
+    a pipeline computes every per-doc text feature in a single pass over the
+    corpus rather than one scan per feature family."""
+    return df.select("doc_id", *_token_stat_cols(text_col),
+                     *_fingerprint_cols(text_col))
+
+
+def quality_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """quality_score + lang_id in ONE scan (same single-pass rationale as
+    text_profile; the per-language stopword counters share the word split)."""
+    return df.select("doc_id", *_quality_cols(text_col),
+                     *_lang_cols(text_col))
