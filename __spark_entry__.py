@@ -465,11 +465,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SRP-LSH ANN (scale path): plane count scales with corpus size,
     4-band OR-construction for recall, per-bucket top-k before the global
     merge. Bucket membership involves a sign decision at float boundaries →
-    rows-only check; recall is pytest-asserted on planted duplicates."""
+    rows-only check; recall is pytest-asserted on planted duplicates.
+    Corpus size comes from the parquet FOOTER (pyarrow metadata read, no
+    Spark job) so building this query stays a pure lazy plan."""
+    import pyarrow.parquet as pq
+
     from tsrollup.similarity import ann_lsh_topk
 
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_lsh_topk(emb, k=10, dim=64)
+    return ann_lsh_topk(emb, k=10, dim=64, n_hint=n)
 
 
 def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,3 +109,20 @@ def test_store_retention_rewrites_only_policy_tiers(spark, sequences_path,
     mx = (after.filter("tier = '1m'").groupBy("doc_id")
           .agg(F.count("*").alias("n")).agg(F.max("n")).collect()[0][0])
     assert mx <= 3
+
+
+def test_read_lineage_missing_vs_corrupt(spark, tmp_path):
+    """Missing lineage (first run) → empty frame; a CORRUPT/unreadable
+    lineage store must raise, not silently mark every bucket pending (which
+    would rescan and rewrite the whole store and duplicate lineage rows)."""
+    import pytest
+
+    from tsrollup.checkpoint import read_lineage
+
+    root = str(tmp_path / "store")
+    assert read_lineage(spark, root).count() == 0  # PATH_NOT_FOUND → empty
+    bad = tmp_path / "store" / "_lineage"
+    bad.mkdir(parents=True)
+    (bad / "part-0.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        read_lineage(spark, root).count()

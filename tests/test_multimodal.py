@@ -109,3 +109,26 @@ def test_external_codec_formats_are_gated():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", {"fmt": "jpeg"})
+
+
+def test_wav_data_chunk_before_fmt():
+    """Spec-legal chunk order (data before fmt) decodes identically; a WAV
+    missing its fmt chunk fails with a clear parse error, not a reshape
+    crash."""
+    import struct
+
+    import pytest
+
+    from tsrollup.media_codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    stereo = rng.integers(-2000, 2000, (64, 2)).astype(np.int16)
+    std = encode_wav(stereo, 8000)
+    # std layout: RIFF(12) | fmt hdr(8)+16 | data hdr(8)+payload — swap chunks
+    fmt_chunk, data_chunk = std[12:12 + 24], std[36:]
+    swapped = std[:12] + data_chunk + fmt_chunk
+    s, sr = decode_wav(swapped)
+    assert sr == 8000 and (s == stereo).all()
+    no_fmt = std[:12] + data_chunk
+    with pytest.raises(ValueError, match="no fmt chunk"):
+        decode_wav(no_fmt)

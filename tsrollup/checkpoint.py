@@ -47,12 +47,21 @@ def _bucket_col(n_buckets: int):
 
 
 def read_lineage(spark: SparkSession, output_root: str) -> DataFrame:
+    """Empty lineage ONLY when the store genuinely doesn't exist yet (first
+    run). Any other read failure — permissions, storage blip, corrupt files —
+    re-raises: treating it as 'no lineage' would silently mark every bucket
+    pending, i.e. one full input rescan + rewrite of every partition plus
+    duplicate 'done' rows, with no signal that resume state was lost."""
     from .io import read_table
 
     try:
         return read_table(spark, f"{output_root}/_lineage")
-    except Exception:
-        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    except Exception as e:
+        msg = str(e)
+        if ("PATH_NOT_FOUND" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg
+                or "NoSuchTable" in msg):
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        raise
 
 
 def completed_buckets(spark: SparkSession, output_root: str) -> set[int]:

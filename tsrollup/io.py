@@ -65,7 +65,17 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
                 else:
                     raise
         elif mode == "append":
-            wv2.append()
+            try:
+                wv2.append()
+            except Exception as e:
+                # first append must bootstrap the table (parquet's
+                # saveAsTable-style auto-create) — e.g. the lineage store's
+                # very first commit; any other failure surfaces as-is
+                msg = str(e)
+                if "TABLE_OR_VIEW_NOT_FOUND" in msg or "NoSuchTable" in msg:
+                    wv2.create()
+                else:
+                    raise
         else:
             wv2.createOrReplace()
         return

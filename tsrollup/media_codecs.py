@@ -162,7 +162,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV")
     pos = 12
     ch = sr = 0
-    samples = None
+    raw = None
+    # buffer the data chunk and reshape AFTER the walk: a spec-legal WAV may
+    # put 'data' before 'fmt ', and reshape(-1, ch) with ch still 0 would die
+    # with an opaque ValueError instead of a clear parse error
     while pos + 8 <= len(data):
         typ = data[pos:pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -173,10 +176,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             if audio_fmt != 1 or bits != 16:
                 raise NotImplementedError("only PCM16 WAV")
         elif typ == b"data":
-            samples = np.frombuffer(body, dtype="<i2").reshape(-1, ch)
-    if samples is None:
+            raw = body
+    if raw is None:
         raise ValueError("no data chunk")
-    return samples, sr
+    if ch == 0:
+        raise ValueError("no fmt chunk")
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), sr
 
 
 def encode_mpng(frames: np.ndarray) -> bytes:

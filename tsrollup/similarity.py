@@ -139,6 +139,7 @@ def srp_band_signatures(df: DataFrame, bands: int = 4, n_planes: int = 8,
 
 def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
                  dim: int = 32, bands: int = 4, target_bucket: int = 32,
+                 n_hint: int | None = None,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """ANN via banded SRP-LSH — the 100 TB-safe shape:
 
@@ -153,11 +154,19 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
       that bounded set, never a sort of all candidate pairs.
 
     Exact cosine re-rank within candidates; normalized vectors computed once
-    pre-join so per-pair work is a single dot product."""
+    pre-join so per-pair work is a single dot product.
+
+    ``n_hint`` is the approximate corpus size used to derive ``n_planes``
+    when the latter isn't given — pass it (from catalog statistics, parquet
+    footer metadata, or a known table size; it only needs to be right to
+    within ~2×) to keep this a PURE plan builder. Only if BOTH are None does
+    the builder fall back to ``df.count()``, which runs an eager Spark job at
+    construction time (metadata-only on a bare parquet scan, a real scan on
+    filtered/derived inputs)."""
     if n_planes is None:
         import math
 
-        n = df.count()  # parquet metadata count — no data scan
+        n = n_hint if n_hint is not None else df.count()
         n_planes = min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket))))
     sig = srp_band_signatures(df, bands, n_planes, dim, id_col, vec_col)
     v = _as_double(F.col(vec_col))

@@ -104,6 +104,15 @@ def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
     ORDER BY ts ROWS window_n-1 PRECEDING)`` within 1e-12 (tested; the
     cumsum-difference uses a different float summation order than the batch
     fold, so bit equality is NOT the contract).
+
+    Peak memory is O(one trigger's backlog for the hottest key): the
+    cross-chunk sort needs the whole group in one frame (chunks carry no
+    ordering guarantee, so an incremental per-chunk fold would fold rows out
+    of ts order — the bug this design fixed). The OPERATIONAL bound is
+    therefore the trigger size: pair this operator with
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` on the source (as
+    ``read_sequences_stream`` exposes) so a cold start replaying a deep
+    backlog arrives in bounded slices instead of one giant trigger.
     """
     import numpy as np
     from pyspark.sql.streaming.state import GroupState
