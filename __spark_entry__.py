@@ -820,6 +820,19 @@ def q_cross_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_channel_stats(rolled)
 
 
+def q_cross_channel_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channels-first pooling of the spectral features across the V=2
+    channels (reference blocks_pytorch.py:430-434): summed band energies /
+    energy / mass, re-derived centroid — rows-only (FFT values are not
+    SQL-expressible); NumPy parity in tests/test_channels.py."""
+    from tsrollup.channels import (cross_channel_spectral, melt_channels,
+                                   rollup_channels)
+
+    rolled = rollup_channels(melt_channels(_two_channel(spark, sf_dir)),
+                             window=W0, tiers={"w": 1, "w4": 4})
+    return cross_channel_spectral(rolled)
+
+
 def q_pipeline_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL 25 reference architectures (models_keras.py, full zoo — SURVEY
     §2.13) in ONE mapInArrow pass over a 1-in-5 doc sample: each Arrow batch
@@ -943,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
         "pipeline_zoo": q_pipeline_zoo,
+        "cross_channel_spectral": q_cross_channel_spectral,
     }
 
 

@@ -42,6 +42,7 @@ HEADLINE = [
     "rollup_spectral",
     "rollup_multichannel",
     "cross_channel_stats",
+    "cross_channel_spectral",
     "rollup_chunked",
     # checkpoint_rollup / stream_rollup are end-to-end correctness
     # demonstrations (write input + store/sink, fixed multi-second I/O);

@@ -118,3 +118,41 @@ def test_melt_with_masks_gap_fills_per_channel(spark):
     assert out.loc[0, "sum"] == 40 and out.loc[0, "max"] == 10
     # channel 1 (null mask = no gaps) untouched
     assert out.loc[1, "sum"] == 20
+
+
+def test_cross_channel_spectral_matches_numpy(spark, multi_df):
+    """Pooled spectral features across V=3 channels == sequential NumPy fold
+    over the per-channel window partials, bit for bit (pinned channel-order
+    fold; centroid = mass/energy with the derive_stats zero convention)."""
+    from tsrollup import N_BANDS
+    from tsrollup.channels import (cross_channel_spectral, melt_channels,
+                                   rollup_channels)
+    from tsrollup.kernels import base_window_partials
+
+    W = 16
+    rolled = rollup_channels(melt_channels(multi_df), window=W, tiers={"w": 1})
+    got = {(r["doc_id"], r["window_start"]): r
+           for r in cross_channel_spectral(rolled).collect()}
+    pdf = multi_df.toPandas()
+    checked = 0
+    for _, row in pdf.iterrows():
+        chans = [np.asarray(c, dtype=np.int32) for c in row["channels"]]
+        if not chans[0].shape[0]:
+            continue
+        per = [base_window_partials(c, W) for c in chans]
+        nw = per[0]["window_start"].shape[0]
+        for wdx in range(nw):
+            e = m = 0.0
+            b = np.zeros(N_BANDS)
+            for p in per:  # channel order 0,1,2 — the pinned fold order
+                e = e + float(p["spec_energy"][wdx])
+                m = m + float(p["spec_mass"][wdx])
+                b = b + p["band_energy"][wdx]
+            g = got[(row["doc_id"], int(per[0]["window_start"][wdx]))]
+            assert g["n_channels"] == 3
+            assert g["spec_energy"] == e and g["spec_mass"] == m
+            assert g["spec_centroid"] == (m / e if e > 0.0 else 0.0)
+            for k in range(N_BANDS):
+                assert g[f"band_{k}"] == b[k]
+            checked += 1
+    assert checked > 50

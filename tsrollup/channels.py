@@ -95,6 +95,47 @@ def rollup_channels(df: DataFrame, window: int = BASE_WINDOW,
         "spec_energy", "spec_mass", "spec_centroid", "band_energy")
 
 
+def cross_channel_spectral(rolled: DataFrame, n_bands: int | None = None
+                           ) -> DataFrame:
+    """Channels-first pooling of the SPECTRAL features (reference
+    blocks_pytorch.py:430-434 pools whatever features exist — round 2 pooled
+    only the integer partials): per (doc, tier, window_start) the per-channel
+    band energies, spectral energy and mass are summed across channels, the
+    pooled centroid re-derived as mass/energy (0 when energy is 0, matching
+    kernels.derive_stats).
+
+    Float sums are order-sensitive, so channels are collected, sorted by
+    channel index, and folded SEQUENTIALLY (F.aggregate) — deterministic for
+    any V, where a bare SUM()'s combine order floats with partitioning. One
+    groupBy shuffle; V is small (≤ tens of leads), so the collected struct
+    list per group is bounded."""
+    from . import N_BANDS
+
+    nb = N_BANDS if n_bands is None else n_bands
+    st = F.struct(F.col("channel"), F.col("spec_energy"),
+                  F.col("spec_mass"), F.col("band_energy"))
+    g = (rolled.groupBy("doc_id", "tier", "window_start")
+         .agg(F.sort_array(F.collect_list(st)).alias("_cs")))
+    zero = F.struct(F.lit(0.0).alias("e"), F.lit(0.0).alias("m"),
+                    F.array_repeat(F.lit(0.0), nb).alias("b"))
+    folded = F.aggregate(
+        "_cs", zero,
+        lambda acc, s: F.struct(
+            (acc["e"] + s["spec_energy"]).alias("e"),
+            (acc["m"] + s["spec_mass"]).alias("m"),
+            F.zip_with(acc["b"], s["band_energy"],
+                       lambda x, y: x + y).alias("b")))
+    out = g.select("doc_id", "tier", "window_start",
+                   F.size("_cs").alias("n_channels"),
+                   folded.alias("_f"))
+    e, m = F.col("_f.e"), F.col("_f.m")
+    return out.select(
+        "doc_id", "tier", "window_start", "n_channels",
+        e.alias("spec_energy"), m.alias("spec_mass"),
+        F.when(e > 0.0, m / e).otherwise(F.lit(0.0)).alias("spec_centroid"),
+        *[F.element_at("_f.b", b + 1).alias(f"band_{b}") for b in range(nb)])
+
+
 def cross_channel_stats(rolled: DataFrame) -> DataFrame:
     """Channels-first pooling (reference blocks_keras.py:255-261): per
     (doc, tier, window_start), aggregate ACROSS channels. All partials are
