@@ -56,9 +56,10 @@ def conv1d(df: DataFrame, weights: Sequence[float], stride: int = 1,
     k = len(weights)
     span = (k - 1) * dilation
     tok = F.col(tokens_col)
+    padded = tok
     if padding == "full":
-        tok = F.concat(F.array_repeat(F.lit(0), span), tok,
-                       F.array_repeat(F.lit(0), span))
+        padded = F.concat(F.array_repeat(F.lit(0), span), tok,
+                          F.array_repeat(F.lit(0), span))
     elif padding == "same":
         # Keras/TF SAME semantics exactly, INCLUDING stride>1: out_len =
         # ⌈T/s⌉, pad_total = max((out_len−1)·s + k_eff − T, 0), split
@@ -72,12 +73,18 @@ def conv1d(df: DataFrame, weights: Sequence[float], stride: int = 1,
         pad_total = F.greatest((out_len - 1) * stride + span + 1 - n0,
                                F.lit(0))
         pad_left = F.floor(pad_total / 2).cast("int")
-        tok = F.concat(F.array_repeat(F.lit(0), pad_left), tok,
-                       F.array_repeat(F.lit(0), pad_total - pad_left))
-    n = F.size(tok)
+        padded = F.concat(F.array_repeat(F.lit(0), pad_left), tok,
+                          F.array_repeat(F.lit(0), pad_total - pad_left))
+    # STAGE the (possibly padded) signal as a column before the window
+    # transform: an expression referenced inside a lambda body re-evaluates
+    # per element, so an inlined concat would rebuild the padded array once
+    # per window position × tap — O(T²) per doc (measured ~4× on 'same').
+    staged = df.select("doc_id", padded.alias("_pt"))
+    pt = F.col("_pt")
+    n = F.size(pt)
     starts = F.sequence(F.lit(0), n - 1 - span, F.lit(stride))
-    y = lambda s: _window_dot(tok, s, weights, dilation)  # noqa: E731
-    out = df.filter(n > span).select(
+    y = lambda s: _window_dot(pt, s, weights, dilation)  # noqa: E731
+    out = staged.filter(n > span).select(
         "doc_id",
         F.posexplode(F.transform(starts, y)).alias("pos", "y"))
     return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "y")

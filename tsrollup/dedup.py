@@ -35,17 +35,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingle_array(n: int = 3, text_col: str = "text") -> Column:
     """Distinct word n-gram shingles of a doc as ONE array column. Documents
-    shorter than n words contribute their full word join as one shingle."""
-    w = F.split(F.col(text_col), " ")
+    shorter than n words contribute their full word join as one shingle.
+
+    NB: prefer ``staged_shingles`` — an expression inside a higher-order-
+    function lambda body re-evaluates PER ELEMENT, so the ``split`` here runs
+    once per shingle (O(words²) character work per doc) unless the word
+    array is staged as a column first."""
+    return _shingles_of(F.split(F.col(text_col), " "), n)
+
+
+def _shingles_of(w: Column, n: int) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " ")))
 
 
+def staged_shingles(df: DataFrame, n: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, _sh: array<string>) with the word split STAGED as a column
+    before the shingle transform — measured 4× over inlining the split into
+    the lambda (which re-splits the text per shingle element; the same
+    O(n)→O(n²) staging trap documented on znorm/softmax)."""
+    return (df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+            .select("doc_id", _shingles_of(F.col("_w"), n).alias("_sh")))
+
+
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Exploded form (doc_id, shingle) — for the shared-shingle pair join."""
-    return df.select("doc_id",
-                     F.explode(shingle_array(n, text_col)).alias("shingle"))
+    return staged_shingles(df, n, text_col) \
+        .select("doc_id", F.explode("_sh").alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -60,19 +78,24 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     a df² pair group (quadratic hot key), and a shingle shared by thousands
     of docs carries no near-dup signal anyway. Jaccard is then computed over
     the FILTERED shingle sets (sizes recomputed post-filter), the standard
-    convention. The DF join shuffles on the same shingle key as the pair
-    join, so it adds no new exchange pattern.
+    convention. The cap is ONE window count over the shingle partitioning
+    (the same exchange the pair self-join needs, so the capped stream arrives
+    at the join already hash-partitioned on its key) — the earlier
+    groupBy+join form built the exploded shingle stream twice (measured
+    1.7× slower at sf0.1).
 
     Shingles are hashed to 60-bit ints (md5 slice — identical in the DuckDB
     oracle, so even collision behavior matches exactly) before any shuffle:
     the self-join then exchanges/sorts 8-byte longs instead of n-gram
     strings."""
+    from pyspark.sql import Window
+
     sh = word_shingles(df, n, text_col) \
         .select("doc_id", _h60(F.col("shingle")).alias("shingle"))
     if max_df is not None:
-        dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-               .filter(F.col("_df") <= max_df).drop("_df"))
-        sh = sh.join(dfc, "shingle")
+        sh = (sh.withColumn("_df",
+                            F.count("*").over(Window.partitionBy("shingle")))
+              .filter(F.col("_df") <= max_df).drop("_df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a").join(sh.alias("b"), "shingle")
@@ -106,9 +129,10 @@ def minhash_signatures(df: DataFrame, k: int = 8, n: int = 3,
 
     md5 economy: one 128-bit digest yields TWO disjoint 60-bit hashes (hex
     slices [1..15] and [16..30]), so k signatures cost ⌈k/2⌉ md5 evaluations
-    per shingle instead of k — md5 is the dominant cost of the whole dedup
-    family (it must stay md5 for cross-engine oracle parity)."""
-    staged = df.select("doc_id", shingle_array(n, text_col).alias("_sh"))
+    per shingle instead of k (md5 must stay md5 for cross-engine oracle
+    parity; profiling shows shingle STRING construction, not md5, dominates —
+    hence the staged split in staged_shingles)."""
+    staged = staged_shingles(df, n, text_col)
 
     def h_i(i: int):
         # NB: a two-arg lambda would make Spark pass the ARRAY INDEX as arg 2
@@ -133,8 +157,9 @@ def lsh_candidate_pairs(df: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
     the self-join — the guard against a near-dup-heavy corpus turning one
     bucket quadratic. A bucket that large is a dup CLUSTER, not pairs to
     enumerate; route it to exact_dedup / clustering instead of emitting its
-    ~size² candidate pairs. The count join shuffles on the same band_key as
-    the pair join (no new exchange pattern)."""
+    ~size² candidate pairs. The cap is ONE window count over the band_key
+    partitioning (the exchange the pair join needs anyway), not a second
+    groupBy+join pass over the signature stream."""
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signatures(df, k, n, text_col)
@@ -146,9 +171,11 @@ def lsh_candidate_pairs(df: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
     if max_bucket is not None:
-        bc = (banded.groupBy("band_key").agg(F.count("*").alias("_n"))
-              .filter(F.col("_n") <= max_bucket).drop("_n"))
-        banded = banded.join(bc, "band_key")
+        from pyspark.sql import Window
+
+        banded = (banded.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band_key")))
+            .filter(F.col("_n") <= max_bucket).drop("_n"))
     return (
         # merge hint: a broadcast self-join would compute the (md5-heavy)
         # signature subtree TWICE; sort-merge shuffles both sides on band_key
