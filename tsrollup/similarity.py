@@ -170,9 +170,13 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
         n_planes = min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket))))
     sig = srp_band_signatures(df, bands, n_planes, dim, id_col, vec_col)
     v = _as_double(F.col(vec_col))
-    norm = _norm(v)
-    e = (df.select(F.col(id_col).alias("id"),
-                   F.transform(v, lambda x: x / norm).alias("vn"))
+    # stage the norm as a column BEFORE dividing: referencing the O(dim)
+    # norm fold inside the per-element lambda re-evaluates it per component
+    # (O(dim²) per row — the HOF staging trap)
+    nrm = F.col("_nrm")
+    e = (df.select(F.col(id_col).alias("id"), v.alias("_v"),
+                   _norm(v).alias("_nrm"))
+         .select("id", F.transform("_v", lambda x: x / nrm).alias("vn"))
          .join(sig, "id"))
     a, b = e.alias("a"), e.alias("b")
     cand = (

@@ -40,24 +40,28 @@ def sliding_window_aggs(df: DataFrame, length: int = 8, stride: int = 4,
         starts = F.filter(
             starts,
             lambda s: ~F.exists(b, lambda p: (p >= s) & (p <= s + span)))
-    win = lambda s: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(length - 1)),
-        lambda i: F.element_at(F.col(tokens_col), s + i * sampling_rate + 1))
+    if sampling_rate == 1:
+        win = lambda s: F.slice(F.col(tokens_col), s + 1, length)  # noqa: E731
+    else:
+        win = lambda s: F.transform(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(length - 1)),
+            lambda i: F.element_at(F.col(tokens_col),
+                                   s + i * sampling_rate + 1))
+    # Materialize each window ONCE: explode (start, window) pairs, then
+    # aggregate the staged window column — building win(s) inside each of
+    # the three agg expressions would gather the window 3× per position.
     out = (
         df.filter(limit > span + start_index)  # else sequence() is invalid
         .select(
             "doc_id",
             F.explode(F.transform(starts, lambda s: F.struct(
-                s.cast("long").alias("win_start"),
-                F.aggregate(win(s), F.lit(0).cast("long"),
-                            lambda a, x: a + x).alias("win_sum"),
-                F.array_min(win(s)).cast("long").alias("win_min"),
-                F.array_max(win(s)).cast("long").alias("win_max"),
-            ))).alias("w"),
-        )
-        .select("doc_id", "w.win_start",
+                s.cast("long").alias("ws"), win(s).alias("w")))).alias("p"))
+        .select("doc_id", F.col("p.ws").alias("win_start"),
                 F.lit(length).cast("long").alias("win_count"),
-                "w.win_sum", "w.win_min", "w.win_max")
+                F.aggregate("p.w", F.lit(0).cast("long"),
+                            lambda a, x: a + x).alias("win_sum"),
+                F.array_min("p.w").cast("long").alias("win_min"),
+                F.array_max("p.w").cast("long").alias("win_max"))
     )
     return out
 
@@ -81,27 +85,29 @@ def forecast_window_aggs(df: DataFrame, length: int = 8,
     n = F.size(tok)
     starts = F.sequence(F.lit(0), n - total, F.lit(stride))
 
-    def aggs(s, off, ln, pre):
-        win = F.slice(tok, s + off + 1, ln)
+    def aggs(col, pre):
         return [
-            F.aggregate(win, F.lit(0).cast("long"), lambda a, x: a + x)
+            F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x)
              .alias(f"{pre}_sum"),
-            F.array_min(win).cast("long").alias(f"{pre}_min"),
-            F.array_max(win).cast("long").alias(f"{pre}_max"),
+            F.array_min(col).cast("long").alias(f"{pre}_min"),
+            F.array_max(col).cast("long").alias(f"{pre}_max"),
         ]
 
+    # same staging as sliding_window_aggs: slice each window ONCE into the
+    # exploded struct, aggregate the staged arrays afterwards
     return (
         df.filter(n >= total)
         .select(
             "doc_id",
             F.explode(F.transform(starts, lambda s: F.struct(
-                s.cast("long").alias("win_start"),
-                *aggs(s, 0, length, "in"),
-                (s + shift).cast("long").alias("label_start"),
-                *aggs(s, shift, label_length, "label"),
-            ))).alias("w"))
-        .select("doc_id", "w.win_start", "w.in_sum", "w.in_min", "w.in_max",
-                "w.label_start", "w.label_sum", "w.label_min", "w.label_max")
+                s.cast("long").alias("ws"),
+                F.slice(tok, s + 1, length).alias("iw"),
+                F.slice(tok, s + shift + 1, label_length).alias("lw"),
+            ))).alias("p"))
+        .select("doc_id", F.col("p.ws").alias("win_start"),
+                *aggs(F.col("p.iw"), "in"),
+                (F.col("p.ws") + shift).cast("long").alias("label_start"),
+                *aggs(F.col("p.lw"), "label"))
     )
 
 
