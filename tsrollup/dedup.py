@@ -96,20 +96,24 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         sh = (sh.withColumn("_df",
                             F.count("*").over(Window.partitionBy("shingle")))
               .filter(F.col("_df") <= max_df).drop("_df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # carry each doc's (post-cap) set size ON the shingle rows (one more
+    # window count) instead of a separate sizes branch: the earlier
+    # sizes-groupBy + two broadcast joins re-computed the exploded/capped
+    # shingle stream two extra times — 4 corpus scans per query where the
+    # self-join's 2 is the floor
+    sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     pairs = (
         sh.alias("a").join(sh.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("_na"), F.col("b.n_sh").alias("_nb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"),
+             F.min("_na").alias("n_a"), F.min("_nb").alias("n_b"))
     )
     return (
         pairs
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-                          .withColumnRenamed("n_sh", "n_a")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-                          .withColumnRenamed("n_sh", "n_b")), "doc_b")
         .withColumn("jaccard",
                     F.col("shared").cast("double")
                     / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"))
