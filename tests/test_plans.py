@@ -141,3 +141,53 @@ def test_salted_repartition_balances_heavy_source(spark):
              .groupBy("_pid").count().toPandas())
     assert len(sizes) >= 8  # heavy source spread over many partitions
     assert sizes["count"].max() < 2000 * 0.5  # no partition holds the bulk
+
+
+def test_pipeline_zoo_is_single_scan(spark):
+    """The whole 25-architecture zoo must run as ONE corpus scan + ONE
+    mapInArrow (round 2 ran 25 independent jobs over the same input)."""
+    import re
+
+    from tsrollup.pipelines import pipeline_features_multi
+
+    df = spark.createDataFrame(
+        [("d1", [1, 2, 3, 4, 5, 6, 7, 8])], "doc_id string, tokens array<int>")
+    from pyspark.sql import functions as F
+
+    plan = _plan(pipeline_features_multi(df)
+                 .groupBy("arch").agg(F.count("*").alias("n")))
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan, re.M)) == 1, plan
+    assert _n_exchanges(plan) == 1, plan  # the tiny per-arch aggregate only
+
+
+def test_jaccard_is_two_scans(spark):
+    """Full-corpus jaccard reads the corpus exactly twice (the self-join
+    floor): sizes are carried on the shingle rows, not re-derived via extra
+    scans+broadcasts (round-2 shape: 4 scans)."""
+    import re
+
+    from tsrollup.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(d, n=3, threshold=0.3, max_df=20))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2, plan
+
+
+def test_tier_join_never_rescans_tokens(spark, seqs, tmp_path):
+    """Coarse-to-fine join against a STORED child tier: the joined plan must
+    contain no windowing-kernel pass at all — parents derive from storage
+    (round-2 shape executed the raw scan + kernels twice per query)."""
+    from pyspark.sql import functions as F
+
+    from tsrollup.rollup import reaggregate_tier, rollup_sequences
+
+    store = str(tmp_path / "base")
+    rollup_sequences(seqs, tiers={"1m": 1}).write.parquet(store)
+    base = spark.read.parquet(store)
+    parent = reaggregate_tier(base, "1h", 60)
+    joined = base.select("doc_id", "window_start", F.col("sum").alias("cs")) \
+        .join(parent.select("doc_id",
+                            F.col("window_start").alias("pw"),
+                            F.col("sum").alias("ps")), "doc_id")
+    plan = _plan(joined)
+    assert "MapInArrow" not in plan and "MapInPandas" not in plan, plan
