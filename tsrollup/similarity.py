@@ -168,16 +168,32 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
 
         n = n_hint if n_hint is not None else df.count()
         n_planes = min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket))))
-    sig = srp_band_signatures(df, bands, n_planes, dim, id_col, vec_col)
-    v = _as_double(F.col(vec_col))
-    # stage the norm as a column BEFORE dividing: referencing the O(dim)
-    # norm fold inside the per-element lambda re-evaluates it per component
-    # (O(dim²) per row — the HOF staging trap)
-    nrm = F.col("_nrm")
-    e = (df.select(F.col(id_col).alias("id"), v.alias("_v"),
-                   _norm(v).alias("_nrm"))
-         .select("id", F.transform("_v", lambda x: x / nrm).alias("vn"))
-         .join(sig, "id"))
+    from pyspark.sql.functions import pandas_udf
+
+    total = bands * n_planes
+    planes = np.array([[1.0 if _plane_dir(p, c) else -1.0
+                        for p in range(total)]
+                       for c in range(dim)])  # (dim, bands*n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    # ONE vectorized pass emits the normalized vector AND every band's
+    # bucket (the projection matmul reuses the same stacked batch) — the
+    # earlier shape computed signatures separately and equi-joined them back
+    # onto the vectors, a full shuffle of the embedding column by id.
+    @pandas_udf("struct<vn: array<double>, bks: array<long>>")
+    def vn_buckets(v: pd.Series) -> pd.DataFrame:
+        x = np.stack([np.asarray(a[:dim], dtype=np.float64) for a in v])
+        bits = (x @ planes) > 0                               # (n, total)
+        bk = bits.reshape(len(v), bands, n_planes) @ weights  # (n, bands)
+        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        nrm[nrm == 0.0] = 1.0
+        vn = x / nrm[:, None]
+        return pd.DataFrame({"vn": list(vn), "bks": list(bk)})
+
+    e = (df.select(F.col(id_col).alias("id"),
+                   vn_buckets(F.col(vec_col)).alias("_s"))
+         .select("id", F.col("_s.vn").alias("vn"),
+                 F.posexplode("_s.bks").alias("band", "bucket")))
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.hint("merge").join(b, ["band", "bucket"])
