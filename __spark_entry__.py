@@ -477,6 +477,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, k=10, dim=64, n_hint=n)
 
 
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the fifth dedup family): SRP-LSH
+    bucketed candidates → exact cosine ≥ τ edge list, no top-k cap. The
+    random corpus has no natural near-dups, so the first 50 vectors are
+    UNIONED back under shifted ids — the op must recover exactly those 50
+    planted pairs (cos = 1). Same sign-at-float-boundary caveat as ann_lsh →
+    rows-only; recall vs brute force is pytest-asserted."""
+    import pyarrow.parquet as pq
+
+    from tsrollup.similarity import cosine_near_dups
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dups = emb.filter("vec_id < 50").select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    return cosine_near_dups(emb.unionByName(dups), threshold=0.9, dim=64,
+                            n_hint=n + 50)
+
+
 def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted rolling aggregate ≙ Conv1D(k=3, stride=2, 'valid')
     (reference models_keras.py:386; SURVEY §2.4 'the heart of the mapping')."""
@@ -957,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "pipeline_zoo": q_pipeline_zoo,
         "cross_channel_spectral": q_cross_channel_spectral,
+        "embed_near_dups": q_embed_near_dups,
     }
 
 

@@ -70,6 +70,7 @@ HEADLINE = [
     "simhash",
     "cosine_knn",
     "ann_lsh",
+    "embed_near_dups",
     "conv1d_valid",
     "conv1d_same",
     "conv1d_same_strided",

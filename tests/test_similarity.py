@@ -96,3 +96,44 @@ def test_knn_ranks_are_exact(spark, emb_df):
     assert list(got["rank"]) == [1, 2, 3]
     # nearest two must be its duplicate cluster: source 0 and twin 101
     assert set(got["id"].iloc[:2]) == {0, 101}
+
+
+def test_cosine_near_dups_finds_planted(spark):
+    """Embedding-cosine near-dup dedup: planted near-identical vectors are
+    recovered (recall ≥ 0.9 vs brute force at cos ≥ 0.95) and every emitted
+    pair really clears the threshold (no false positives by construction —
+    exact cosine re-check inside the op)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsrollup.similarity import cosine_near_dups
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.normal(size=(120, dim))
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    planted = []
+    for j in range(25):  # near-dup of vector j with tiny noise
+        v = base[j] + rng.normal(scale=0.01, size=dim)
+        rows.append((1000 + j, v.tolist()))
+        planted.append((j, 1000 + j))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    got = {(r["id_a"], r["id_b"])
+           for r in cosine_near_dups(emb, threshold=0.95, dim=dim,
+                                     n_hint=len(rows)).collect()}
+    # brute-force truth
+    x = np.array([r[1] for r in rows])
+    ids = [r[0] for r in rows]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    truth = {(ids[i], ids[j])
+             for i in range(len(ids)) for j in range(len(ids))
+             if ids[i] < ids[j] and sims[i, j] >= 0.95}
+    assert truth, "fixture must plant real near-dups"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(got))
+    for r in cosine_near_dups(emb, threshold=0.95, dim=dim,
+                              n_hint=len(rows)).collect():
+        assert r["cos_sim"] >= 0.95

@@ -137,6 +137,75 @@ def srp_band_signatures(df: DataFrame, bands: int = 4, n_planes: int = 8,
     return sig.select("id", F.posexplode("_bks").alias("band", "bucket"))
 
 
+def cosine_near_dups(df: DataFrame, threshold: float = 0.9,
+                     n_planes: int | None = None, dim: int = 32,
+                     bands: int = 4, target_bucket: int = 32,
+                     n_hint: int | None = None,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs (the dedup-family twin of
+    ``ann_lsh_topk``): every pair with exact cosine ≥ ``threshold``, found
+    via the banded SRP-LSH candidate join — no global top-k cap, the output
+    is the near-dup edge list a dedup pass clusters on. Same scale shape as
+    the ANN path (bucketed self-join is the only pair generator, plane count
+    scales with corpus size, OR-construction bands for recall); pairs
+    colliding in several bands are deduped with one groupBy. High-threshold
+    recall of SRP: P(bit agrees) = 1 − θ/π, so e.g. cos ≥ 0.9 ⇒ ≥ 0.86/bit
+    ⇒ ≥ 1−(1−0.86^p)^4 per the OR-construction — pytest-asserted against
+    brute force on planted near-dups."""
+    cand = _srp_candidates(df, n_planes, dim, bands, target_bucket, n_hint,
+                           id_col, vec_col)
+    return (cand.filter(F.col("cos_sim") >= threshold)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cos_sim").alias("cos_sim")))
+
+
+def _srp_candidates(df: DataFrame, n_planes: int | None, dim: int,
+                    bands: int, target_bucket: int, n_hint: int | None,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """Shared SRP-LSH candidate generator: one vectorized pass emits each
+    row's normalized vector + per-band buckets, then a bucket self-join
+    scores exact cosine per candidate pair (see ann_lsh_topk for the scale
+    rationale)."""
+    if n_planes is None:
+        import math
+
+        n = n_hint if n_hint is not None else df.count()
+        n_planes = min(24, max(4, math.ceil(
+            math.log2(max(n, 2) / target_bucket))))
+
+    from pyspark.sql.functions import pandas_udf
+
+    total = bands * n_planes
+    planes = np.array([[1.0 if _plane_dir(p, c) else -1.0
+                        for p in range(total)]
+                       for c in range(dim)])
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("struct<vn: array<double>, bks: array<long>>")
+    def vn_buckets(v: pd.Series) -> pd.DataFrame:
+        x = np.stack([np.asarray(a[:dim], dtype=np.float64) for a in v])
+        bits = (x @ planes) > 0
+        bk = bits.reshape(len(v), bands, n_planes) @ weights
+        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        nrm[nrm == 0.0] = 1.0
+        vn = x / nrm[:, None]
+        return pd.DataFrame({"vn": list(vn), "bks": list(bk)})
+
+    e = (df.select(F.col(id_col).alias("id"),
+                   vn_buckets(F.col(vec_col)).alias("_s"))
+         .select("id", F.col("_s.vn").alias("vn"),
+                 F.posexplode("_s.bks").alias("band", "bucket")))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.hint("merge").join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select("band", "bucket",
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                _dot(F.col("a.vn"), F.col("b.vn")).alias("cos_sim"))
+    )
+
+
 def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
                  dim: int = 32, bands: int = 4, target_bucket: int = 32,
                  n_hint: int | None = None,
@@ -154,7 +223,10 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
       that bounded set, never a sort of all candidate pairs.
 
     Exact cosine re-rank within candidates; normalized vectors computed once
-    pre-join so per-pair work is a single dot product.
+    pre-join so per-pair work is a single dot product. Candidate generation
+    (one vectorized pass emitting normalized vector + per-band buckets, then
+    the bucket self-join) is shared with ``cosine_near_dups`` via
+    ``_srp_candidates``.
 
     ``n_hint`` is the approximate corpus size used to derive ``n_planes``
     when the latter isn't given — pass it (from catalog statistics, parquet
@@ -163,45 +235,8 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
     the builder fall back to ``df.count()``, which runs an eager Spark job at
     construction time (metadata-only on a bare parquet scan, a real scan on
     filtered/derived inputs)."""
-    if n_planes is None:
-        import math
-
-        n = n_hint if n_hint is not None else df.count()
-        n_planes = min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket))))
-    from pyspark.sql.functions import pandas_udf
-
-    total = bands * n_planes
-    planes = np.array([[1.0 if _plane_dir(p, c) else -1.0
-                        for p in range(total)]
-                       for c in range(dim)])  # (dim, bands*n_planes)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-
-    # ONE vectorized pass emits the normalized vector AND every band's
-    # bucket (the projection matmul reuses the same stacked batch) — the
-    # earlier shape computed signatures separately and equi-joined them back
-    # onto the vectors, a full shuffle of the embedding column by id.
-    @pandas_udf("struct<vn: array<double>, bks: array<long>>")
-    def vn_buckets(v: pd.Series) -> pd.DataFrame:
-        x = np.stack([np.asarray(a[:dim], dtype=np.float64) for a in v])
-        bits = (x @ planes) > 0                               # (n, total)
-        bk = bits.reshape(len(v), bands, n_planes) @ weights  # (n, bands)
-        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
-        nrm[nrm == 0.0] = 1.0
-        vn = x / nrm[:, None]
-        return pd.DataFrame({"vn": list(vn), "bks": list(bk)})
-
-    e = (df.select(F.col(id_col).alias("id"),
-                   vn_buckets(F.col(vec_col)).alias("_s"))
-         .select("id", F.col("_s.vn").alias("vn"),
-                 F.posexplode("_s.bks").alias("band", "bucket")))
-    a, b = e.alias("a"), e.alias("b")
-    cand = (
-        a.hint("merge").join(b, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select("band", "bucket",
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                _dot(F.col("a.vn"), F.col("b.vn")).alias("cos_sim"))
-    )
+    cand = _srp_candidates(df, n_planes, dim, bands, target_bucket, n_hint,
+                           id_col, vec_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket") \
