@@ -218,3 +218,44 @@ def test_stateful_rolling_group_spanning_many_chunks(spark, tmp_path):
     np.testing.assert_allclose(got["rmean"].to_numpy(np.float64),
                                want["rmean"].to_numpy(np.float64),
                                rtol=1e-12)
+
+
+def test_hour_tier_from_streamed_minute_sink(spark, tmp_path):
+    """Coarse-tier maintenance over the STREAMED minute output: hour points
+    re-aggregated from the 1m partials equal aggregating the raw events
+    directly — the decomposability contract that lets tier maintenance never
+    re-read the stream."""
+    from pyspark.sql import functions as F
+
+    from tsrollup.streaming import reaggregate_time_tier, stream_minute_rollup
+
+    rng = np.random.default_rng(11)
+    n = 800
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n).astype(np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 4 * 3600, n)), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev.to_parquet(src / "p0.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    events = spark.read.parquet(str(src))
+    minute = stream_minute_rollup(events)  # watermark no-op on batch frame
+    got = reaggregate_time_tier(minute, "hour").toPandas()
+
+    want = (events
+            .groupBy("user_id",
+                     F.date_trunc("hour", "ts").alias("window_start"))
+            .agg(F.count("*").cast("long").alias("count"),
+                 F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                  .alias("sum"),
+                 F.min("value").alias("min"),
+                 F.max("value").alias("max"))).toPandas()
+    key = ["user_id", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in ("count", "sum", "min", "max"):
+        assert (got[c].values == want[c].values).all(), c

@@ -170,3 +170,22 @@ def stream_minute_rollup(events: DataFrame, watermark: str = "10 minutes",
             .select("user_id",
                     F.col("w.start").alias("window_start"),
                     "count", "sum", "min", "max"))
+
+
+def reaggregate_time_tier(points: DataFrame,
+                          tier: str = "hour") -> DataFrame:
+    """Batch maintenance over the STREAMED minute tier: re-aggregate the
+    stored 1m partials to a coarser time tier (count/sum/min/max are
+    decomposable, so hour points derive from the minute sink without any
+    re-read of the raw event stream — the streaming twin of
+    rollup.reaggregate_tier, tested equal to aggregating the raw events
+    directly). ``tier`` is any date_trunc unit coarser than a minute."""
+    return (points
+            .groupBy("user_id",
+                     F.date_trunc(tier, F.col("window_start"))
+                     .alias("window_start"))
+            .agg(F.sum("count").cast("long").alias("count"),
+                 F.sum(F.col("sum").cast("decimal(28,10)")).cast("double")
+                  .alias("sum"),
+                 F.min("min").alias("min"),
+                 F.max("max").alias("max")))
