@@ -137,3 +137,35 @@ def test_cosine_near_dups_finds_planted(spark):
     for r in cosine_near_dups(emb, threshold=0.95, dim=dim,
                               n_hint=len(rows)).collect():
         assert r["cos_sim"] >= 0.95
+
+
+def test_near_dup_recall_near_threshold(spark):
+    """Recall-driven band count: pairs sitting just ABOVE the cosine
+    threshold (planted at exact cos 0.97 via u·cosθ + w⊥·sinθ) are still
+    recovered at high rate — the property the auto-derived L protects as the
+    corpus-scaled plane count grows."""
+    import numpy as np
+    import pandas as pd
+
+    from tsrollup.similarity import cosine_near_dups
+
+    rng = np.random.default_rng(23)
+    dim = 32
+    c = 0.97
+    base = rng.normal(size=(150, dim))
+    rows = [(i, base[i].tolist()) for i in range(150)]
+    for j in range(40):
+        u = base[j] / np.linalg.norm(base[j])
+        r = rng.normal(size=dim)
+        w = r - (r @ u) * u
+        w /= np.linalg.norm(w)
+        v = c * u + np.sqrt(1 - c * c) * w  # exact cosine c with base[j]
+        rows.append((2000 + j, v.tolist()))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = {(r["id_a"], r["id_b"])
+           for r in cosine_near_dups(emb, threshold=0.95, dim=dim,
+                                     n_hint=len(rows)).collect()}
+    planted = {(j, 2000 + j) for j in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, recall

@@ -139,7 +139,8 @@ def srp_band_signatures(df: DataFrame, bands: int = 4, n_planes: int = 8,
 
 def cosine_near_dups(df: DataFrame, threshold: float = 0.9,
                      n_planes: int | None = None, dim: int = 32,
-                     bands: int = 4, target_bucket: int = 32,
+                     bands: int | None = None, target_bucket: int = 32,
+                     target_recall: float = 0.95,
                      n_hint: int | None = None,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -149,10 +150,29 @@ def cosine_near_dups(df: DataFrame, threshold: float = 0.9,
     is the near-dup edge list a dedup pass clusters on. Same scale shape as
     the ANN path (bucketed self-join is the only pair generator, plane count
     scales with corpus size, OR-construction bands for recall); pairs
-    colliding in several bands are deduped with one groupBy. High-threshold
-    recall of SRP: P(bit agrees) = 1 − θ/π, so e.g. cos ≥ 0.9 ⇒ ≥ 0.86/bit
-    ⇒ ≥ 1−(1−0.86^p)^4 per the OR-construction — pytest-asserted against
-    brute force on planted near-dups."""
+    colliding in several bands are deduped with one groupBy.
+
+    ``bands`` defaults to the RECALL-DRIVEN count: SRP bit-agreement
+    probability for a pair at exactly ``threshold`` is p = 1 − acos(τ)/π, a
+    band collides with prob p^n_planes, and L OR'd bands recall
+    1 − (1 − p^n_planes)^L — so L is solved from ``target_recall``. This
+    matters at scale: the plane count GROWS with the corpus (to keep buckets
+    bounded), which shrinks per-band collision probability, so a fixed L
+    would silently lose recall exactly when the corpus gets large. Cost is
+    linear in L (one wider matmul + L exploded rows per vector).
+    Pytest-asserted against brute force on planted near-dups."""
+    import math
+
+    if n_planes is None:
+        n = n_hint if n_hint is not None else df.count()
+        n_planes = min(24, max(4, math.ceil(
+            math.log2(max(n, 2) / target_bucket))))
+    if bands is None:
+        p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        p_band = max(p_bit ** n_planes, 1e-9)
+        bands = min(64, max(1, math.ceil(
+            math.log(max(1.0 - target_recall, 1e-12))
+            / math.log(max(1.0 - p_band, 1e-12)))))
     cand = _srp_candidates(df, n_planes, dim, bands, target_bucket, n_hint,
                            id_col, vec_col)
     return (cand.filter(F.col("cos_sim") >= threshold)
