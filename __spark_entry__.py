@@ -497,6 +497,20 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                             n_hint=n + 50)
 
 
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (the inverted-file twin of the SRP-LSH path — the
+    brief's 'IVF or LSH' pair, both provided): bounded driver-side Lloyd
+    quantizer, one argmax-matmul assignment pass, broadcast (qid, cell)
+    probes, exact cosine re-rank. rows-only (quantizer cells are not
+    SQL-expressible); recall vs brute force pytest-asserted."""
+    from tsrollup.similarity import ivf_topk_for_queries
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    return ivf_topk_for_queries(emb, emb.filter("vec_id < 3"), k=5,
+                                n_centroids=16, nprobe=4, dim=64)
+
+
 def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted rolling aggregate ≙ Conv1D(k=3, stride=2, 'valid')
     (reference models_keras.py:386; SURVEY §2.4 'the heart of the mapping')."""
@@ -978,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_zoo": q_pipeline_zoo,
         "cross_channel_spectral": q_cross_channel_spectral,
         "embed_near_dups": q_embed_near_dups,
+        "ivf_knn": q_ivf_knn,
     }
 
 

@@ -71,6 +71,7 @@ HEADLINE = [
     "cosine_knn",
     "ann_lsh",
     "embed_near_dups",
+    "ivf_knn",
     "conv1d_valid",
     "conv1d_same",
     "conv1d_same_strided",

@@ -169,3 +169,62 @@ def test_near_dup_recall_near_threshold(spark):
     planted = {(j, 2000 + j) for j in range(40)}
     recall = len(got & planted) / len(planted)
     assert recall >= 0.8, recall
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF-Flat ANN (the inverted-file twin of the LSH path): per-query
+    top-k from nprobe probed cells overlaps the exact brute-force top-k, and
+    emitted cosines are exact (same _dot re-rank)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsrollup.similarity import (cosine_topk_for_queries,
+                                     ivf_topk_for_queries)
+
+    rng = np.random.default_rng(3)
+    dim = 32
+    # clustered corpus: IVF's natural regime (8 gaussian blobs)
+    centers = rng.normal(size=(8, dim)) * 3
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.normal(size=dim)).tolist()))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = emb.filter("vec_id < 4")
+
+    got = ivf_topk_for_queries(emb, q, k=5, n_centroids=8, nprobe=3,
+                               dim=dim).toPandas()
+    want = cosine_topk_for_queries(emb, q, k=5).toPandas()
+    assert set(got["qid"]) == set(want["qid"]) == {0, 1, 2, 3}
+    total_overlap = 0
+    for qid in range(4):
+        g = set(got[got["qid"] == qid]["id"])
+        w = set(want[want["qid"] == qid]["id"])
+        assert len(g) == 5
+        total_overlap += len(g & w)
+    assert total_overlap >= 14, total_overlap  # ≥70% of 20 exact neighbours
+
+    # exact cosine on emitted pairs: spot-check one against NumPy
+    pdf = emb.toPandas().set_index("vec_id")["embedding"]
+    r0 = got[got["qid"] == 0].iloc[0]
+    a = np.asarray(pdf[0], dtype=np.float64)
+    b = np.asarray(pdf[int(r0["id"])], dtype=np.float64)
+    a, b = a / np.linalg.norm(a), b / np.linalg.norm(b)
+    assert abs(float(r0["cos_sim"]) - float(a @ b)) < 1e-9
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+    import pandas as pd
+
+    from tsrollup.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(4)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    c1 = train_ivf_centroids(emb, n_centroids=6, dim=16)
+    c2 = train_ivf_centroids(emb, n_centroids=6, dim=16)
+    assert (c1 == c2).all()
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-12)

@@ -266,3 +266,107 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
     dedup = (pruned.groupBy("id_a", "id_b")
              .agg(F.max("cos_sim").alias("cos_sim")))
     return dedup.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
+
+
+def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 32,
+                        sample_cap: int = 20_000, iters: int = 10,
+                        seed: int = 7, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd iterations over a BOUNDED, hash-picked
+    sample collected to the driver (standard IVF practice — the quantizer is
+    tiny and training it distributed buys nothing; the sample bound keeps the
+    driver safe at any corpus size). Deterministic: the sample is chosen by
+    md5-hash order of ids (not monotonic ids, so a sorted corpus can't bias
+    it) and the init is seeded. Returns (n_centroids, dim) float64,
+    L2-normalized rows (cosine IVF assigns by max dot with unit centroids).
+    """
+    sample = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .orderBy(F.md5(F.col("id").cast("string")))
+              .limit(sample_cap).collect())
+    x = np.stack([np.asarray(r["v"][:dim], dtype=np.float64) for r in sample])
+    nrm = np.linalg.norm(x, axis=1)
+    x = x[nrm > 0] / nrm[nrm > 0, None]
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]),
+                        replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)          # cosine assignment
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk_for_queries(df: DataFrame, queries: DataFrame, k: int = 5,
+                         n_centroids: int = 16, nprobe: int = 4,
+                         dim: int = 32, centroids: np.ndarray | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat ANN for a (small) query set — the inverted-file twin of the
+    SRP-LSH path, completing the brief's "IVF or LSH" pair:
+
+    * coarse quantizer: ``centroids`` (pass a stored one, or it is trained
+      once via ``train_ivf_centroids`` — bounded driver-side Lloyd);
+    * cell assignment: ONE vectorized argmax-matmul per Arrow batch (pure
+      map — the corpus never shuffles for indexing);
+    * probing: each query's ``nprobe`` nearest cells form a broadcast
+      (qid, cell) list; candidates are the scan rows whose cell matches —
+      one broadcast-hash join, so the only data movement is candidate rows;
+    * exact cosine re-rank + per-query window top-k (same bounded merge as
+      the LSH path).
+
+    At 1000 executors the cell assignment scales embarrassingly; candidate
+    volume per query is ~nprobe/n_centroids of the corpus, so n_centroids
+    scales with corpus size exactly like the LSH plane count."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_centroids, dim,
+                                        id_col=id_col, vec_col=vec_col)
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("struct<vn: array<double>, cell: int>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        x = np.stack([np.asarray(a[:dim], dtype=np.float64) for a in v])
+        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        nrm[nrm == 0.0] = 1.0
+        vn = x / nrm[:, None]
+        return pd.DataFrame({"vn": list(vn),
+                             "cell": (vn @ cent.T).argmax(axis=1)
+                             .astype(np.int32)})
+
+    scan = (df.select(F.col(id_col).alias("id"),
+                      assign(F.col(vec_col)).alias("_s"))
+            .select("id", F.col("_s.vn").alias("vn"),
+                    F.col("_s.cell").alias("cell")))
+
+    # driver-side probe list: queries are small by contract (same as
+    # cosine_topk_for_queries broadcasts them)
+    qrows = queries.select(F.col(id_col).alias("qid"),
+                           F.col(vec_col).alias("qv")).collect()
+    probes, qvecs = [], []
+    for r in qrows:
+        qv = np.asarray(r["qv"][:dim], dtype=np.float64)
+        n = np.linalg.norm(qv)
+        qvn = qv / n if n > 0 else qv
+        cells = np.argsort(-(cent @ qvn))[:nprobe]
+        qvecs.append((r["qid"], qvn.tolist()))
+        probes.extend((r["qid"], int(c)) for c in cells)
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(probes, "qid long, cell int")
+    qvec_df = spark.createDataFrame(qvecs, "qid long, qvn array<double>")
+
+    cand = (scan.join(F.broadcast(probe_df), "cell")
+            .filter(F.col("id") != F.col("qid"))
+            .join(F.broadcast(qvec_df), "qid")
+            .select("qid", "id",
+                    _dot(F.col("qvn"), F.col("vn")).alias("cos_sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "id", "cos_sim", "rank"))
