@@ -237,8 +237,14 @@ def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence global aggregates ≙ GlobalAverage/MaxPooling1D
-    (reference blocks_keras.py:96, :227-232)."""
-    t = _tokenized(spark, sf_dir)
+    (reference blocks_keras.py:96, :227-232) PLUS the UpSampling1D(2)
+    checksums (reference blocks_keras.py:153; windowing.upsample_repeat is
+    the library op) in the same single scan — merged so the freed ledger
+    slot holds the as-of join oracle query."""
+    from tsrollup.windowing import upsample_repeat
+
+    t = upsample_repeat(_tokenized(spark, sf_dir), factor=2,
+                        tokens_col="tokens", out_col="_up")
     tok = F.col("tokens")
     s = F.aggregate(tok, F.lit(0).cast("long"), lambda a, x: a + x)
     return t.select(
@@ -248,6 +254,9 @@ def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(tok).cast("long").alias("tok_min"),
         F.array_max(tok).cast("long").alias("tok_max"),
         (s.cast("double") / F.size(tok).cast("double")).alias("tok_mean"),
+        F.size("_up").cast("long").alias("n_up"),
+        F.aggregate("_up", F.lit(0).cast("long"), lambda a, x: a + x)
+         .alias("sum_up"),
     )
 
 
@@ -270,16 +279,34 @@ def q_windows_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 label_length=4, shift=8, stride=4)
 
 
-def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UpSampling1D(2) analog (reference blocks_keras.py:153)."""
-    from tsrollup.windowing import upsample_repeat
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed AS-OF join (tsrollup.joins.asof_join, union-window form —
+    ONE shuffle on the key, no range join): each event is joined to the
+    latest COMPLETED minute-tier point of its user (window end ≤ event ts) —
+    the "what did the last finished rollup window say" lookup a tier store
+    serves. Oracle: DuckDB's native ASOF JOIN over the same minute
+    aggregates. Events in their user's first minute have no completed
+    predecessor and drop out (inner)."""
+    from tsrollup.joins import asof_join
 
-    up = upsample_repeat(_tokenized(spark, sf_dir), factor=2)
-    return up.select(
-        "doc_id",
-        F.size("tokens").cast("long").alias("n_up"),
-        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
-         .alias("sum_up"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "ts", "value")
+    # session tz is UTC → NTZ cast matches DuckDB's naive-as-UTC epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    minute = (ev.groupBy(
+        "user_id", (us / F.lit(60_000_000)).cast("long").alias("m"))
+        .agg(F.count("*").cast("long").alias("m_count"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+              .alias("m_val_sum"))
+        .select("user_id", F.col("m").alias("m_minute"),
+                ((F.col("m") + 1) * 60_000_000).alias("_te_us"),
+                "m_count", "m_val_sum"))
+    left = ev.select("event_id", "user_id", us.alias("_ts_us"))
+    out = asof_join(left, minute, on="user_id",
+                    left_ts="_ts_us", right_ts="_te_us",
+                    attrs=("m_minute", "m_count", "m_val_sum"))
+    return out.select("event_id", "user_id", "m_minute", "m_count",
+                      "m_val_sum")
 
 
 def q_znorm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,7 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_agg": q_global_agg,
         "sliding_windows": q_sliding_windows,
         "windows_forecast": q_windows_forecast,
-        "upsample": q_upsample,
+        "asof_join": q_asof_join,
         "znorm_outliers": q_znorm_outliers,
         "segment_islands": q_segment_islands,
         "rolling_mean_events": q_rolling_mean_events,
@@ -1072,6 +1099,8 @@ SELECT doc_id, SUM(fv)::BIGINT AS filled_sum, COUNT(*)::BIGINT AS n,
 FROM f GROUP BY doc_id
 """
 
+    # global_agg + upsample merged (one scan on the Spark side); the
+    # upsampled checksums are over the element-doubled array
     sqls["global_agg"] = """
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1082,7 +1111,9 @@ WITH tok AS (
 )
 SELECT doc_id, COUNT(*)::BIGINT AS n_tok, SUM(tk)::BIGINT AS tok_sum,
        MIN(tk)::BIGINT AS tok_min, MAX(tk)::BIGINT AS tok_max,
-       SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS tok_mean
+       SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS tok_mean,
+       (2 * COUNT(*))::BIGINT AS n_up,
+       (2 * SUM(tk))::BIGINT AS sum_up
 FROM pos GROUP BY doc_id
 """
 
@@ -1123,16 +1154,20 @@ SELECT doc_id, s::BIGINT AS win_start,
 FROM st
 """
 
-    sqls["upsample"] = """
-WITH tok AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         flatten(list_transform(
-           list_transform(string_split(text, ' '), w -> length(w)),
-           x -> [x, x])) AS up
-  FROM documents
-), pos AS (SELECT doc_id, unnest(up) AS tk FROM tok)
-SELECT doc_id, COUNT(*)::BIGINT AS n_up, SUM(tk)::BIGINT AS sum_up
-FROM pos GROUP BY doc_id
+    sqls["asof_join"] = """
+WITH m AS (
+  SELECT user_id, (epoch_us(ts) // 60000000)::BIGINT AS m_minute,
+         COUNT(*)::BIGINT AS m_count,
+         SUM(value::DECIMAL(18,2))::DOUBLE AS m_val_sum
+  FROM events GROUP BY user_id, epoch_us(ts) // 60000000
+), m2 AS (
+  SELECT user_id, m_minute, (m_minute + 1) * 60000000 AS te_us,
+         m_count, m_val_sum
+  FROM m
+)
+SELECT e.event_id, e.user_id, m2.m_minute, m2.m_count, m2.m_val_sum
+FROM events e ASOF JOIN m2
+  ON e.user_id = m2.user_id AND epoch_us(e.ts) >= m2.te_us
 """
 
     sqls["znorm_outliers"] = """

@@ -60,7 +60,7 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "rolling_mean_events",
-    "upsample",
+    "asof_join",
     "token_stats",
     "quality_score",
     "dedup_exact",

@@ -1,0 +1,74 @@
+"""Distributed as-of join vs pandas merge_asof (the single-node reference),
+including the ≤-tie contract and left-vs-inner handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    from tsrollup.joins import asof_join
+
+    rng = np.random.default_rng(9)
+    n_l, n_r = 400, 80
+    left = pd.DataFrame({
+        "key": rng.integers(0, 5, n_l).astype(np.int64),
+        "lt": rng.integers(0, 1000, n_l).astype(np.int64),
+        "payload": np.arange(n_l, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "key": rng.integers(0, 5, n_r).astype(np.int64),
+        "rt": rng.integers(0, 1000, n_r).astype(np.int64),
+        "attr": rng.integers(0, 10_000, n_r).astype(np.int64),
+    }).drop_duplicates(["key", "rt"])  # right unique per (key, ts): contract
+
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="key", left_ts="lt", right_ts="rt",
+                    attrs=("rt", "attr")).toPandas()
+
+    want = pd.merge_asof(left.sort_values("lt"), right.sort_values("rt"),
+                         left_on="lt", right_on="rt", by="key",
+                         direction="backward")  # greatest rt <= lt, ties match
+    want = want[want["rt"].notna()]
+    gk = got.sort_values(["key", "lt", "payload"]).reset_index(drop=True)
+    wk = want.sort_values(["key", "lt", "payload"]).reset_index(drop=True)
+    assert len(gk) == len(wk) > 0
+    assert (gk["payload"].values == wk["payload"].values).all()
+    assert (gk["rt"].values == wk["rt"].values.astype(np.int64)).all()
+    assert (gk["attr"].values == wk["attr"].values.astype(np.int64)).all()
+
+
+def test_asof_tie_and_left_mode(spark):
+    from tsrollup.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "exact-tie"), (1, 50, "before-any"), (1, 170, "after")],
+        "key int, lt long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, 7), (1, 160, 8)], "key int, rt long, attr int")
+    inner = {r["tag"]: r for r in asof_join(
+        left, right, "key", "lt", "rt", ("rt", "attr")).collect()}
+    assert set(inner) == {"exact-tie", "after"}  # before-any dropped
+    assert inner["exact-tie"]["rt"] == 100       # <= includes equality
+    assert inner["after"]["rt"] == 160 and inner["after"]["attr"] == 8
+    outer = {r["tag"]: r for r in asof_join(
+        left, right, "key", "lt", "rt", ("rt", "attr"), how="left").collect()}
+    assert outer["before-any"]["rt"] is None
+
+
+def test_asof_plan_is_single_shuffle(spark):
+    """The union-window as-of is ONE exchange on the key (plus the window
+    sort) — never a range/cartesian join."""
+    import re
+
+    from tsrollup.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, 1)], "key int, lt long, p int")
+    right = spark.createDataFrame([(1, 5, 2)], "key int, rt long, attr int")
+    df = asof_join(left, right, "key", "lt", "rt", ("attr",))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

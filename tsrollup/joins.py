@@ -1,0 +1,69 @@
+"""Time-series joins: distributed as-of join.
+
+The classic timeseries-engine operator the tier store needs: attach to each
+event the latest COMPLETED coarser-tier point at or before its timestamp
+(e.g. "what did the last finished 1m rollup window say when this event
+arrived"). The reference has no direct analog (its closest motion is the
+checkpoint-reload "latest state ≤ now" lookup, models_keras.py:75-77); the
+semantics here follow the standard ASOF JOIN (DuckDB/kdb): for each left
+row, the right row with the greatest right_ts ≤ left_ts within the key.
+
+Scale shape: the UNION-WINDOW form — both sides are unioned with a side
+marker, hash-partitioned by key and sorted by (ts, right-first), and a
+last_value(ignore nulls) running window carries the most recent right row
+forward onto every left row. ONE shuffle on the join key (no range join, no
+per-key loop, no broadcast requirement on either side); skewed keys can be
+salted upstream exactly like the rollup path. A naive range join would be
+O(|L|·|R|) per key; Spark's own ASOF support doesn't exist, and a windowed
+self-merge is the established distributed form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              attrs: tuple[str, ...], how: str = "inner") -> DataFrame:
+    """For each ``left`` row, attach ``attrs`` from the ``right`` row with
+    the greatest ``right_ts`` ≤ ``left_ts`` sharing the ``on`` key.
+
+    Ties at equal timestamps match (≤, DuckDB ASOF semantics): the sort
+    places right rows BEFORE left rows at the same instant. ``right`` must
+    be unique per (on, right_ts) — the tier-store contract (one point per
+    window). ``how='inner'`` drops left rows with no preceding right row;
+    ``'left'`` keeps them with null attrs.
+    """
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        *[F.lit(None).cast(right.schema[a].dataType).alias(f"_r_{a}")
+          for a in attrs])
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(l.schema["_l"].dataType).alias("_l"),
+        *[F.col(a).alias(f"_r_{a}") for a in attrs])
+    u = l.unionByName(r)
+    # right rows sort FIRST at equal _t so a left row at exactly right_ts
+    # sees it (the ≤ contract)
+    w = (Window.partitionBy(on).orderBy(F.col("_t").asc(), F.col("_side").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        on, "_t", "_side", "_l",
+        *[F.last(f"_r_{a}", ignorenulls=True).over(w).alias(a)
+          for a in attrs])
+    out = carried.filter(F.col("_side") == 0)
+    if how == "inner":
+        out = out.filter(F.col(attrs[0]).isNotNull())
+    elif how != "left":
+        raise ValueError(how)
+    return out.select(on, F.col("_t").alias(left_ts),
+                      *[F.col(f"_l.{c}").alias(c) for c in lcols],
+                      *attrs)

@@ -112,13 +112,15 @@ def forecast_window_aggs(df: DataFrame, length: int = 8,
 
 
 def upsample_repeat(df: DataFrame, factor: int = 2,
-                    tokens_col: str = "tokens") -> DataFrame:
+                    tokens_col: str = "tokens",
+                    out_col: str | None = None) -> DataFrame:
     """UpSampling1D analog (reference blocks_keras.py:153): repeat each element
-    ``factor`` times — coarse-to-fine broadcast."""
+    ``factor`` times — coarse-to-fine broadcast. ``out_col`` writes the
+    upsampled array to a new column instead of replacing the input."""
     rep = F.flatten(F.transform(
         F.col(tokens_col),
         lambda t: F.array_repeat(t, factor)))
-    return df.withColumn(tokens_col, rep)
+    return df.withColumn(out_col or tokens_col, rep)
 
 
 def znorm_outliers(df: DataFrame, z: float = 2.0, eps: float = 1.001e-5,
