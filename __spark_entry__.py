@@ -318,21 +318,42 @@ def q_znorm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands segmentation: runs of consecutive equal event_type per
-    user ≙ reference get_mit_bih_segments run grouping (data.py:50-57)."""
+    """Gaps-and-islands segmentation (runs of consecutive equal event_type ≙
+    reference get_mit_bih_segments run grouping, data.py:50-57) MERGED with
+    10-min-gap sessionization (gap detection ≙ get_indices_change,
+    timeseries_batch_generator.py:125-141): BOTH running sums come out of
+    the same ordered window pass over one events scan — the change flag and
+    the inactivity flag are two columns of the same frame. The level-1
+    aggregate groups by the (island, session) intersection segments; islands
+    and sessions re-derive from those small partials, then join per user.
+    Merged to free an oracle slot for range_join."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     chg = F.when(
         F.lag("event_type").over(w).isNull()
         | (F.lag("event_type").over(w) != F.col("event_type")), 1).otherwise(0)
-    runs = (ev.withColumn("chg", chg)
-            .withColumn("island", F.sum("chg").over(
-                w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (runs.groupBy("user_id", "island", "event_type")
-            .agg(F.count("*").alias("run_len"))
-            .groupBy("user_id")
-            .agg(F.count("*").cast("long").alias("n_islands"),
-                 F.max("run_len").cast("long").alias("longest_run")))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gap = F.when(
+        F.lag("ts").over(w).isNull() | ((us - prev_us) > 600_000_000),
+        1).otherwise(0)
+    seg = (ev.withColumn("island", F.sum(chg).over(run))
+           .withColumn("sess_id", F.sum(gap).over(run))
+           .groupBy("user_id", "island", "sess_id")
+           .agg(F.count("*").alias("n")))
+    islands = (seg.groupBy("user_id", "island")
+               .agg(F.sum("n").alias("run_len"))
+               .groupBy("user_id")
+               .agg(F.count("*").cast("long").alias("n_islands"),
+                    F.max("run_len").cast("long").alias("longest_run")))
+    sessions = (seg.groupBy("user_id", "sess_id")
+                .agg(F.sum("n").alias("n_events"))
+                .groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("n_sessions"),
+                     F.max("n_events").cast("long")
+                     .alias("max_session_events")))
+    return islands.join(sessions, "user_id")
 
 
 def q_rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,24 +379,26 @@ def q_downsample_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("value").alias("val_max")))
 
 
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (10-min inactivity gap) — the streaming-window analog in
-    batch; gap detection ≙ get_indices_change (timeseries_batch_generator.py:125-141)."""
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment RANGE join (tsrollup.joins.range_join,
+    bucketized equi-join — no per-key nested loop): each event joined to
+    every OTHER event type's activity extent [min_ts, max_ts+1) of the same
+    user that contains it. Oracle: the plain inequality join in DuckDB —
+    bucketize-then-filter must reproduce it exactly."""
+    from tsrollup.joins import range_join
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
-    gap = F.when(
-        F.lag("ts").over(w).isNull() | ((us - prev_us) > 600_000_000),
-        1).otherwise(0)
-    sess = (ev.withColumn("new_sess", gap)
-            .withColumn("sess_id", F.sum("new_sess").over(
-                w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (sess.groupBy("user_id", "sess_id")
-            .agg(F.count("*").alias("n_events"))
-            .groupBy("user_id")
-            .agg(F.count("*").cast("long").alias("n_sessions"),
-                 F.max("n_events").cast("long").alias("max_session_events")))
+    pts = ev.select("event_id", "user_id", "event_type", us.alias("_us"))
+    iv = (pts.groupBy("user_id", F.col("event_type").alias("itype"))
+          .agg(F.min("_us").alias("i_start"),
+               (F.max("_us") + 1).alias("i_end")))
+    joined = range_join(pts, iv, on="user_id", point_ts="_us",
+                        start_col="i_start", end_col="i_end",
+                        bucket_width=6 * 3600 * 1_000_000,
+                        attrs=("itype", "i_start", "i_end"))
+    return (joined.filter(F.col("itype") != F.col("event_type"))
+            .select("event_id", "user_id", "itype", "i_start", "i_end"))
 
 
 def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,7 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_islands": q_segment_islands,
         "rolling_mean_events": q_rolling_mean_events,
         "downsample_minute": q_downsample_minute,
-        "sessionize": q_sessionize,
+        "range_join": q_range_join,
         "topk_events": q_topk_events,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1192,26 +1215,45 @@ FROM stats s JOIN pos p ON s.doc_id = p.doc_id
 GROUP BY s.doc_id, s.n_tok, s.mean, s.var
 """
 
+    # gaps-and-islands MERGED with 10-min-gap sessionization (one ordered
+    # window pass on the Spark side; the oracle computes both chains and
+    # joins per user)
     sqls["segment_islands"] = """
 WITH r AS (
   SELECT user_id, event_type,
          CASE WHEN lag(event_type) OVER w IS NULL
                 OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+              THEN 1 ELSE 0 END AS new_sess,
          row_number() OVER w AS rowid
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), isl AS (
-  SELECT user_id, event_type,
+), seg AS (
+  SELECT user_id,
          SUM(chg) OVER (PARTITION BY user_id ORDER BY rowid
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY rowid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
   FROM r
 ), runs AS (
-  SELECT user_id, island, event_type, COUNT(*) AS run_len
-  FROM isl GROUP BY user_id, island, event_type
+  SELECT user_id, island, COUNT(*) AS run_len
+  FROM seg GROUP BY user_id, island
+), isl_u AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_islands,
+         MAX(run_len)::BIGINT AS longest_run
+  FROM runs GROUP BY user_id
+), per AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events
+  FROM seg GROUP BY user_id, sess_id
+), sess_u AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+         MAX(n_events)::BIGINT AS max_session_events
+  FROM per GROUP BY user_id
 )
-SELECT user_id, COUNT(*)::BIGINT AS n_islands,
-       MAX(run_len)::BIGINT AS longest_run
-FROM runs GROUP BY user_id
+SELECT i.user_id, i.n_islands, i.longest_run,
+       s.n_sessions, s.max_session_events
+FROM isl_u i JOIN sess_u s ON i.user_id = s.user_id
 """
 
     sqls["rolling_mean_events"] = """
@@ -1229,26 +1271,17 @@ SELECT user_id, (epoch_us(ts) // 60000000)::BIGINT AS minute,
 FROM events GROUP BY user_id, (epoch_us(ts) // 60000000)
 """
 
-    sqls["sessionize"] = """
-WITH g AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
-              THEN 1 ELSE 0 END AS new_sess,
-         row_number() OVER w AS rn
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT user_id,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY rn
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-  FROM g
-), per AS (
-  SELECT user_id, sess_id, COUNT(*) AS n_events FROM s GROUP BY user_id, sess_id
+    sqls["range_join"] = """
+WITH p AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+), iv AS (
+  SELECT user_id, event_type AS itype,
+         MIN(us)::BIGINT AS i_start, (MAX(us) + 1)::BIGINT AS i_end
+  FROM p GROUP BY user_id, event_type
 )
-SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
-       MAX(n_events)::BIGINT AS max_session_events
-FROM per GROUP BY user_id
+SELECT p.event_id, p.user_id, iv.itype, iv.i_start, iv.i_end
+FROM p JOIN iv ON p.user_id = iv.user_id AND iv.itype <> p.event_type
+  AND p.us >= iv.i_start AND p.us < iv.i_end
 """
 
     sqls["topk_events"] = """

@@ -55,7 +55,7 @@ HEADLINE = [
     "znorm_outliers",
     "segment_islands",
     "downsample_minute",
-    "sessionize",
+    "range_join",
     "topk_events",
     "pricing_summary",
     "revenue_by_nation",

@@ -72,3 +72,57 @@ def test_asof_plan_is_single_shuffle(spark):
         df._jdf.queryExecution(), "formatted")
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_range_join_matches_brute_force(spark):
+    from tsrollup.joins import range_join
+
+    rng = np.random.default_rng(17)
+    pts = pd.DataFrame({
+        "key": rng.integers(0, 4, 300).astype(np.int64),
+        "pt": rng.integers(0, 500, 300).astype(np.int64),
+        "pid": np.arange(300, dtype=np.int64),
+    })
+    ivs = []
+    for i in range(40):
+        s = int(rng.integers(0, 480))
+        ivs.append((int(rng.integers(0, 4)), s,
+                    s + int(rng.integers(1, 120)), i))
+    ivs = pd.DataFrame(ivs, columns=["key", "s", "e", "iid"])
+    for bw in (7, 64, 1000):  # narrower / comparable / wider than intervals
+        got = range_join(spark.createDataFrame(pts),
+                         spark.createDataFrame(ivs),
+                         on="key", point_ts="pt", start_col="s",
+                         end_col="e", bucket_width=bw,
+                         attrs=("iid",)).toPandas()
+        want = {(int(p.pid), int(i.iid))
+                for p in pts.itertuples()
+                for i in ivs.itertuples()
+                if p.key == i.key and i.s <= p.pt < i.e}
+        assert set(zip(got["pid"], got["iid"])) == want, bw
+        assert len(got) == len(want)  # no duplicate matches from bucketing
+
+
+def test_range_join_boundary_semantics(spark):
+    from tsrollup.joins import range_join
+
+    pts = spark.createDataFrame([(1, 10, 0), (1, 20, 1)],
+                                "key int, pt long, pid int")
+    ivs = spark.createDataFrame([(1, 10, 20, 0)],
+                                "key int, s long, e long, iid int")
+    got = range_join(pts, ivs, "key", "pt", "s", "e", 5,
+                     ("iid",)).toPandas()
+    # [start, end): 10 in, 20 out
+    assert list(got["pid"]) == [0]
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    from tsrollup.joins import range_join
+
+    pts = spark.createDataFrame([(1, 10, 0)], "key int, pt long, pid int")
+    ivs = spark.createDataFrame([(1, 5, 15, 0)],
+                                "key int, s long, e long, iid int")
+    df = range_join(pts, ivs, "key", "pt", "s", "e", 5, ("iid",))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan

@@ -67,3 +67,40 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return out.select(on, F.col("_t").alias(left_ts),
                       *[F.col(f"_l.{c}").alias(c) for c in lcols],
                       *attrs)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: str,
+               point_ts: str, start_col: str, end_col: str,
+               bucket_width: int, attrs: tuple[str, ...]) -> DataFrame:
+    """Interval-containment join: attach ``attrs`` from every interval
+    [start, end) containing each point's timestamp (same key). Half-open on
+    the right, closed on the left — a point AT ``start`` matches, at ``end``
+    does not.
+
+    Scale shape — the BUCKETIZED equi-join: a raw ``p.ts >= i.start AND
+    p.ts < i.end`` predicate forces Spark into a per-key nested loop
+    (O(|P|·|I|) per key). Instead each interval explodes to the time buckets
+    of width ``bucket_width`` it overlaps, points map to their single
+    bucket, and the join is a plain equi-join on (key, bucket) + a residual
+    containment filter — candidate volume per point is only the intervals
+    overlapping its bucket. Pick ``bucket_width`` ≈ the typical interval
+    length: shorter explodes long intervals into many rows, longer makes
+    buckets catch unrelated intervals. An interval emits
+    ⌈span/bucket_width⌉+1 rows — bounded and linear in its length.
+
+    ``intervals`` should be unique per (key, start); duplicate matches are
+    impossible because each (point, interval) pair meets in exactly one
+    bucket (the point's)."""
+    b = F.lit(int(bucket_width))
+    iv = intervals.select(
+        F.col(on),
+        F.col(start_col).alias("_is"), F.col(end_col).alias("_ie"),
+        *[F.col(a) for a in attrs],
+        F.explode(F.sequence(F.floor(F.col(start_col) / b),
+                             F.floor((F.col(end_col) - 1) / b)))
+        .alias("_bk"))
+    pt = points.withColumn("_bk", F.floor(F.col(point_ts) / b))
+    return (pt.join(iv, [on, "_bk"])
+            .filter((F.col(point_ts) >= F.col("_is"))
+                    & (F.col(point_ts) < F.col("_ie")))
+            .drop("_bk", "_is", "_ie"))
