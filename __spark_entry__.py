@@ -553,12 +553,15 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer, one argmax-matmul assignment pass, broadcast (qid, cell)
     probes, exact cosine re-rank. rows-only (quantizer cells are not
     SQL-expressible); recall vs brute force pytest-asserted."""
+    import pyarrow.parquet as pq
+
     from tsrollup.similarity import ivf_topk_for_queries
 
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
     return ivf_topk_for_queries(emb, emb.filter("vec_id < 3"), k=5,
-                                n_centroids=16, nprobe=4, dim=64)
+                                n_centroids=16, nprobe=4, dim=64, n_hint=n)
 
 
 def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -270,19 +270,28 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
 
 def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 32,
                         sample_cap: int = 20_000, iters: int = 10,
-                        seed: int = 7, id_col: str = "vec_id",
+                        seed: int = 7, n_hint: int | None = None,
+                        id_col: str = "vec_id",
                         vec_col: str = "embedding") -> np.ndarray:
     """Coarse quantizer for IVF: Lloyd iterations over a BOUNDED, hash-picked
     sample collected to the driver (standard IVF practice — the quantizer is
     tiny and training it distributed buys nothing; the sample bound keeps the
-    driver safe at any corpus size). Deterministic: the sample is chosen by
-    md5-hash order of ids (not monotonic ids, so a sorted corpus can't bias
-    it) and the init is seeded. Returns (n_centroids, dim) float64,
-    L2-normalized rows (cosine IVF assigns by max dot with unit centroids).
-    """
-    sample = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-              .orderBy(F.md5(F.col("id").cast("string")))
-              .limit(sample_cap).collect())
+    driver safe at any corpus size). Deterministic: the sample is the id-hash
+    RESIDUE CLASS ``h60(id) % k == 0`` with k sized from the corpus (a pure
+    filter pushed at the scan — no global sort/shuffle of the vectors, which
+    an order-by-hash top-N would cost) and the init is seeded. Returns
+    (n_centroids, dim) float64, L2-normalized rows (cosine IVF assigns by
+    max dot with unit centroids)."""
+    n = n_hint if n_hint is not None else df.count()
+    k = max(1, int(n) // sample_cap)
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    # no limit: the residue class is tightly concentrated around n/k ≈
+    # sample_cap (ids are unique), and dropping it keeps the sample fully
+    # deterministic regardless of partition order
+    sample = (df.filter(F.pmod(h, F.lit(k)) == 0)
+              .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .collect())
     x = np.stack([np.asarray(r["v"][:dim], dtype=np.float64) for r in sample])
     nrm = np.linalg.norm(x, axis=1)
     x = x[nrm > 0] / nrm[nrm > 0, None]
@@ -304,6 +313,7 @@ def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 32,
 def ivf_topk_for_queries(df: DataFrame, queries: DataFrame, k: int = 5,
                          n_centroids: int = 16, nprobe: int = 4,
                          dim: int = 32, centroids: np.ndarray | None = None,
+                         n_hint: int | None = None,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """IVF-Flat ANN for a (small) query set — the inverted-file twin of the
@@ -326,7 +336,7 @@ def ivf_topk_for_queries(df: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.functions import pandas_udf
 
     if centroids is None:
-        centroids = train_ivf_centroids(df, n_centroids, dim,
+        centroids = train_ivf_centroids(df, n_centroids, dim, n_hint=n_hint,
                                         id_col=id_col, vec_col=vec_col)
     cent = np.asarray(centroids, dtype=np.float64)
 
