@@ -321,39 +321,44 @@ def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands segmentation (runs of consecutive equal event_type ≙
     reference get_mit_bih_segments run grouping, data.py:50-57) MERGED with
     10-min-gap sessionization (gap detection ≙ get_indices_change,
-    timeseries_batch_generator.py:125-141): BOTH running sums come out of
-    the same ordered window pass over one events scan — the change flag and
-    the inactivity flag are two columns of the same frame. The level-1
-    aggregate groups by the (island, session) intersection segments; islands
-    and sessions re-derive from those small partials, then join per user.
-    Merged to free an oracle slot for range_join."""
+    timeseries_batch_generator.py:125-141) — ONE scan, ONE exchange: both
+    boundary flags come from one ordered window pass, each run's length is
+    the rowid distance to the NEXT boundary (min-over-following-frame of the
+    conditional boundary rowid — no per-island re-partitioning, no second
+    derivation of the lineage; the earlier two-branch form re-ran the scan
+    and window twice, plan-guarded now), and one final groupBy(user) folds
+    boundary counts and max run lengths. Merged to free an oracle slot for
+    range_join."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    chg = F.when(
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type")), 1).otherwise(0)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
-    gap = F.when(
-        F.lag("ts").over(w).isNull() | ((us - prev_us) > 600_000_000),
-        1).otherwise(0)
-    seg = (ev.withColumn("island", F.sum(chg).over(run))
-           .withColumn("sess_id", F.sum(gap).over(run))
-           .groupBy("user_id", "island", "sess_id")
-           .agg(F.count("*").alias("n")))
-    islands = (seg.groupBy("user_id", "island")
-               .agg(F.sum("n").alias("run_len"))
-               .groupBy("user_id")
-               .agg(F.count("*").cast("long").alias("n_islands"),
-                    F.max("run_len").cast("long").alias("longest_run")))
-    sessions = (seg.groupBy("user_id", "sess_id")
-                .agg(F.sum("n").alias("n_events"))
-                .groupBy("user_id")
-                .agg(F.count("*").cast("long").alias("n_sessions"),
-                     F.max("n_events").cast("long")
-                     .alias("max_session_events")))
-    return islands.join(sessions, "user_id")
+    flagged = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("rowid"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_user"),
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")), 1)
+        .otherwise(0).alias("chg"),
+        F.when(F.lag("ts").over(w).isNull() | ((us - prev_us) > 600_000_000),
+               1).otherwise(0).alias("new_sess"),
+        "ts", "event_id")
+    fol = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(1, Window.unboundedFollowing))
+    runs = flagged.select(
+        "user_id", "rowid", "chg", "new_sess",
+        (F.coalesce(F.min(F.when(F.col("chg") == 1, F.col("rowid"))).over(fol),
+                    F.col("n_user") + 1) - F.col("rowid")).alias("run_len"),
+        (F.coalesce(F.min(F.when(F.col("new_sess") == 1,
+                                 F.col("rowid"))).over(fol),
+                    F.col("n_user") + 1) - F.col("rowid")).alias("sess_len"))
+    return (runs.groupBy("user_id")
+            .agg(F.sum("chg").cast("long").alias("n_islands"),
+                 F.max(F.when(F.col("chg") == 1, F.col("run_len")))
+                  .cast("long").alias("longest_run"),
+                 F.sum("new_sess").cast("long").alias("n_sessions"),
+                 F.max(F.when(F.col("new_sess") == 1, F.col("sess_len")))
+                  .cast("long").alias("max_session_events")))
 
 
 def q_rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -191,3 +191,17 @@ def test_tier_join_never_rescans_tokens(spark, seqs, tmp_path):
                             F.col("sum").alias("ps")), "doc_id")
     plan = _plan(joined)
     assert "MapInArrow" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_segment_islands_is_single_scan_single_exchange(spark):
+    """Merged islands+sessionization: ONE events scan and ONE exchange (the
+    user partitioning) — run lengths come from next-boundary rowid distances
+    inside the same window pass, never a second lineage derivation."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["segment_islands"](
+        spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert _n_exchanges(plan) == 1, plan
