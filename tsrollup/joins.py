@@ -36,6 +36,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     window). ``how='inner'`` drops left rows with no preceding right row;
     ``'left'`` keeps them with null attrs.
     """
+    if not attrs:
+        raise ValueError("asof_join needs at least one right attr "
+                         "(the first is also the inner-match probe)")
     lcols = [c for c in left.columns if c not in (on, left_ts)]
     l = left.select(
         F.col(on),
@@ -91,6 +94,8 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
     ``intervals`` should be unique per (key, start); duplicate matches are
     impossible because each (point, interval) pair meets in exactly one
     bucket (the point's)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
     b = F.lit(int(bucket_width))
     iv = intervals.select(
         F.col(on),
