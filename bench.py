@@ -108,6 +108,18 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_probe() -> float:
+    """Seconds for a fixed single-core Python loop — a box-speed reference
+    printed alongside the timings. The sandbox's effective core speed varies
+    several-fold with invisible co-tenant load (observed 0.8–2.9 s for this
+    probe), so cross-round wall-clock comparisons need this context."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _sequences_fixture() -> str:
     """Seeded F1 fixture parquet, cached across runs (same seed ⇒ same bytes)."""
     from tsrollup.datagen import write_sequences
@@ -128,6 +140,7 @@ def main() -> int:
     from tsrollup.rollup import rollup_sequences
     from tsrollup.session import get_spark
 
+    probe_start = _cpu_probe()
     seq_path = _sequences_fixture()
     spark = get_spark("tsrollup-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(8, CPUS))
@@ -202,6 +215,8 @@ def main() -> int:
         "tier_maint_from_stored_sec": round(maint_s, 3),
         "rollup_n_docs": SEQ_DOCS,
         "cpus": CPUS,
+        "cpu_probe_sec_start": probe_start,
+        "cpu_probe_sec_end": _cpu_probe(),
     }))
     spark.stop()
     return 0
