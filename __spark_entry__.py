@@ -711,30 +711,6 @@ def q_one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(*aggs)
 
 
-def q_softmax_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Max-subtracted softmax over each doc's token signal (≙ reference
-    softmax head, models_keras.py:70): elementwise exp / sequential-fold sum.
-    Returns the entropy of the distribution per doc."""
-    t = F.col("tokens")
-    mx = F.array_max(t).cast("double")
-    # Stage the O(n) intermediates as columns: embedding `z` (itself a fold
-    # over `ex`) inside the per-element prob lambda would re-evaluate the
-    # whole fold per element (O(n²)) — same trap as znorm_outliers.
-    staged = (_tokenized(spark, sf_dir)
-              .filter(F.size(t) > 0)
-              .select("doc_id",
-                      F.transform(t, lambda x: F.exp(x.cast("double") - mx))
-                      .alias("_ex"))
-              .select("doc_id", "_ex",
-                      F.aggregate("_ex", F.lit(0.0), lambda a, x: a + x)
-                      .alias("z")))
-    z = F.col("z")
-    ent = -F.aggregate(
-        F.transform("_ex", lambda e: (e / z) * F.log(e / z)),
-        F.lit(0.0), lambda a, x: a + x)
-    return staged.select("doc_id", "z", ent.alias("entropy"))
-
-
 def q_residual_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual add of a coarse branch (avg-pool/2 → upsample×2 → crop) onto
     the input ≙ reference residual blocks with pad/crop alignment
@@ -761,11 +737,15 @@ def q_residual_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_attention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attention multiply-gate + residual add (≙ reference RTA block,
     blocks_keras.py:201-202): linear-attention weights (x_i/Σx — IEEE-exact
-    cross-engine, unlike exp) multiplied onto the signal, residual-added,
-    checksum-aggregated."""
-    from tsrollup.gating import attention_gate_features
+    cross-engine) multiplied onto the signal, residual-added, checksum-
+    aggregated — MERGED with the softmax head (models_keras.py:70) in the
+    same scan: max-subtracted exponent args are INTEGERS, so round-9 exp is
+    bit-verified cross-engine and the partition function z / max-probability
+    p_max are hash-exact (see gating.attention_softmax_features; this
+    upgrades softmax from a rows-only check to a full value oracle)."""
+    from tsrollup.gating import attention_softmax_features
 
-    return attention_gate_features(_tokenized(spark, sf_dir))
+    return attention_softmax_features(_tokenized(spark, sf_dir))
 
 
 def q_activations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,7 +1024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         # --- rows-only tail (pytest-value-verified; no SQL analog) ---
         "rollup_spectral": q_rollup_spectral,
-        "softmax_window": q_softmax_window,
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
         "pipeline_zoo": q_pipeline_zoo,
@@ -1602,8 +1581,6 @@ SELECT doc_id,
 FROM tok WHERE len(t) > 0
 """
     # media_features: binary decode plumbing — no SQL analog (rows-only)
-    # softmax_window: exp/log differ in the last ulp between the JVM and
-    # DuckDB libm (measured 29/145 values) — rows-only check
 
     sqls["one_hot_events"] = """
 SELECT user_id,
@@ -1639,25 +1616,35 @@ FROM z
 """
 
     # gated_i = x_i·(x_i/Σx) + x_i — multiplication/division are IEEE-exact
-    # cross-engine; fold order identical to the Spark aggregate()
+    # cross-engine; fold order identical to the Spark aggregate(). Softmax
+    # head: exp args are integers after max subtraction → round-9 exp is
+    # bit-verified cross-engine; z is a pinned fold, p_max an exact division.
     sqls["attention_gate"] = """
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_transform(string_split(text, ' '), w -> length(w)) AS t
   FROM documents
 ), st AS (
-  SELECT doc_id, t, list_aggregate(t, 'sum')::BIGINT::DOUBLE AS s
+  SELECT doc_id, t, list_aggregate(t, 'sum')::BIGINT::DOUBLE AS s,
+         list_max(t) AS mx
   FROM tok WHERE len(t) > 0
 ), g AS (
   SELECT doc_id, t,
          list_transform(t, x -> x::DOUBLE * (x::DOUBLE / s) + x::DOUBLE)
-           AS gated
+           AS gated,
+         list_transform(t, x -> round(exp((x - mx)::DOUBLE), 9)) AS ex
   FROM st WHERE s > 0
+), z AS (
+  SELECT doc_id, t, gated, ex,
+         list_reduce(list_prepend(0.0, ex), (a, b) -> a + b) AS softmax_z
+  FROM g
 )
 SELECT doc_id, len(t)::BIGINT AS n_tok,
        list_reduce(list_prepend(0.0, gated), (a, b) -> a + b) AS gate_sum,
-       list_aggregate(gated, 'max') AS gate_max
-FROM g
+       list_aggregate(gated, 'max') AS gate_max,
+       softmax_z,
+       list_aggregate(ex, 'max') / softmax_z AS softmax_pmax
+FROM z
 """
 
     # tanh via the exp form (DuckDB has no tanh); round-9 equality verified

@@ -83,7 +83,6 @@ HEADLINE = [
     "ewma_scan",
     "media_features",
     "one_hot_events",
-    "softmax_window",
     "residual_add",
     "attention_gate",
     "activations",

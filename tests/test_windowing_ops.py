@@ -81,3 +81,33 @@ def test_en_loss_matches_numpy(spark, toks_df):
                 else (-math.log(1.0 - p)) ** 0.3
             acc = acc + round(t, 9)
         assert got[r["doc_id"]]["en_loss"] == acc / len(x)
+
+
+def test_attention_softmax_features_match_numpy(spark, toks_df):
+    """Merged attention+softmax head: z = Σ round9(exp(x−max)) and
+    p_max = max(e)/z reproduce the scalar reference exactly (integer
+    exponent domain ⇒ round-9 exp is the pinned convention)."""
+    import numpy as np
+
+    from tsrollup.gating import attention_softmax_features
+
+    got = {r["doc_id"]: r
+           for r in attention_softmax_features(toks_df).collect()}
+    for _, row in toks_df.toPandas().iterrows():
+        x = np.asarray(row["tokens"], dtype=np.int64)
+        if x.size == 0 or x.sum() <= 0:
+            assert row["doc_id"] not in got
+            continue
+        e = np.round(np.exp((x - x.max()).astype(np.float64)), 9)
+        z = 0.0
+        for v in e:  # pinned left fold
+            z = z + v
+        g = got[row["doc_id"]]
+        assert g["softmax_z"] == z
+        assert g["softmax_pmax"] == float(e.max() / z)
+        att = x / x.sum()
+        gated = x * att + x
+        s = 0.0
+        for v in gated:
+            s = s + v
+        assert g["gate_sum"] == s and g["gate_max"] == gated.max()

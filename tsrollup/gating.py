@@ -74,6 +74,48 @@ def activation_checksums(df: DataFrame,
                      .alias("sigmoid_sum")))
 
 
+def attention_softmax_features(df: DataFrame,
+                               tokens_col: str = "tokens") -> DataFrame:
+    """attention_gate_features MERGED with an oracle-checkable softmax head
+    (models_keras.py:70) in ONE scan. The softmax trick: after max
+    subtraction the exponent arguments d = x − max(x) are INTEGERS, so
+    per-element exp(d) lives on an enumerable domain and the round-9
+    convention applies (same argument as tanh/sigmoid/en_loss — verified
+    bit-identical JVM↔DuckDB); the partition function z is then a pinned
+    fold of exact values and p_max = max(e)/z one exact IEEE division —
+    softmax normalization becomes hash-exact cross-engine. (The entropy form
+    needs a final ln of continuous z — libm-ulp-unsafe — so the head reports
+    z and p_max.) Both the Σx and max(x) aggregates are STAGED as columns —
+    inside the per-element lambdas they would re-evaluate per element
+    (O(n²), the HOF staging trap; the round-2 softmax query had exactly
+    that bug on its max)."""
+    t = F.col(tokens_col)
+    staged = (df.filter(F.size(t) > 0)
+              .select("doc_id", t.alias("_t"),
+                      F.aggregate(t, F.lit(0).cast("long"),
+                                  lambda a, x: a + x).alias("_s"),
+                      F.array_max(t).alias("_mx"))
+              .filter(F.col("_s") > 0))
+    sd = F.col("_s").cast("double")
+    mx = F.col("_mx")
+    att = F.transform("_t", lambda x: x.cast("double") / sd)
+    gated = F.zip_with(
+        multiply_gate(F.col("_t"), att), F.col("_t"),
+        lambda g, x: g + x.cast("double"))
+    ex = F.transform(
+        "_t", lambda x: F.round(F.exp((x - mx).cast("double")), 9))
+    staged2 = staged.select(
+        "doc_id", "_t", "_s", gated.alias("_g"), ex.alias("_ex"),
+        F.aggregate(ex, F.lit(0.0), lambda a, x: a + x).alias("softmax_z"))
+    return staged2.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tok"),
+        F.aggregate("_g", F.lit(0.0), lambda a, x: a + x).alias("gate_sum"),
+        F.array_max("_g").alias("gate_max"),
+        "softmax_z",
+        (F.array_max("_ex") / F.col("softmax_z")).alias("softmax_pmax"))
+
+
 def activation_features(df: DataFrame, threshold: int = 8,
                         leaky_alpha: float = 0.01,
                         tokens_col: str = "tokens") -> DataFrame:
