@@ -323,11 +323,14 @@ def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-min-gap sessionization (gap detection ≙ get_indices_change,
     timeseries_batch_generator.py:125-141) — ONE scan, ONE exchange: both
     boundary flags come from one ordered window pass, each run's length is
-    the rowid distance to the NEXT boundary (min-over-following-frame of the
-    conditional boundary rowid — no per-island re-partitioning, no second
-    derivation of the lineage; the earlier two-branch form re-ran the scan
-    and window twice, plan-guarded now), and one final groupBy(user) folds
-    boundary counts and max run lengths. Merged to free an oracle slot for
+    the rowid distance to the NEXT boundary — computed as a RUNNING min over
+    a DESCENDING-ordered frame (unboundedPreceding..-1), which Spark
+    evaluates incrementally; a (1, unboundedFollowing) frame would
+    re-aggregate to partition end per row, O(n²) exactly on the hot users
+    the engine designs for — and one final groupBy(user) folds boundary
+    counts and max run lengths. No per-island re-partitioning, no second
+    derivation of the lineage (the earlier two-branch form re-ran the scan
+    and window twice; plan-guarded). Merged to free an oracle slot for
     range_join."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -343,8 +346,11 @@ def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.lag("ts").over(w).isNull() | ((us - prev_us) > 600_000_000),
                1).otherwise(0).alias("new_sess"),
         "ts", "event_id")
-    fol = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-           .rowsBetween(1, Window.unboundedFollowing))
+    # rows after the current one (ascending) are the PRECEDING rows of the
+    # descending order, so unboundedPreceding..-1 is a growing frame Spark
+    # maintains incrementally (one running min, no per-row re-aggregation)
+    fol = (Window.partitionBy("user_id").orderBy(F.col("rowid").desc())
+           .rowsBetween(Window.unboundedPreceding, -1))
     runs = flagged.select(
         "user_id", "rowid", "chg", "new_sess",
         (F.coalesce(F.min(F.when(F.col("chg") == 1, F.col("rowid"))).over(fol),

@@ -111,3 +111,32 @@ def test_attention_softmax_features_match_numpy(spark, toks_df):
         for v in gated:
             s = s + v
         assert g["gate_sum"] == s and g["gate_max"] == gated.max()
+
+
+def test_merged_gating_ops_match_standalone(spark, toks_df):
+    """activation_features == activation_checksums ⨝ relu_stats and
+    attention_softmax_features ⊇ attention_gate_features, column for column
+    — the merged single-scan ops must stay bit-identical to the standalone
+    operators their oracles were verified against (same guard text.py has
+    for its merged ops)."""
+    from tsrollup.convolve import relu_stats
+    from tsrollup.gating import (activation_checksums, activation_features,
+                                 attention_gate_features,
+                                 attention_softmax_features)
+
+    merged = {r["doc_id"]: r
+              for r in activation_features(toks_df, threshold=8).collect()}
+    for r in activation_checksums(toks_df).collect():
+        for c in ("n_tok", "tanh_sum", "sigmoid_sum"):
+            assert merged[r["doc_id"]][c] == r[c], c
+    for r in relu_stats(toks_df, threshold=8).collect():
+        if r["doc_id"] not in merged:  # empty docs filtered by the merged op
+            continue
+        for c in ("relu_sum", "n_active", "leaky_sum"):
+            assert merged[r["doc_id"]][c] == r[c], c
+
+    msf = {r["doc_id"]: r
+           for r in attention_softmax_features(toks_df).collect()}
+    for r in attention_gate_features(toks_df).collect():
+        for c in ("n_tok", "gate_sum", "gate_max"):
+            assert msf[r["doc_id"]][c] == r[c], c

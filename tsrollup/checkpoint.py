@@ -58,8 +58,14 @@ def read_lineage(spark: SparkSession, output_root: str) -> DataFrame:
         return read_table(spark, f"{output_root}/_lineage")
     except Exception as e:
         msg = str(e)
-        if ("PATH_NOT_FOUND" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg
-                or "NoSuchTable" in msg):
+        # UNABLE_TO_INFER_SCHEMA covers the killed-first-commit case: the
+        # _lineage dir exists but holds only _temporary/ (no committed
+        # files) — semantically still "no lineage yet", and treating it as
+        # an error would brick resume until manual cleanup. "Path does not
+        # exist" is the pre-error-class missing-path message.
+        if any(tag in msg for tag in (
+                "PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND", "NoSuchTable",
+                "UNABLE_TO_INFER_SCHEMA", "Path does not exist")):
             return spark.createDataFrame([], LINEAGE_SCHEMA)
         raise
 

@@ -167,14 +167,9 @@ def ewma_last(df: DataFrame, alpha: float = 0.125,
     (return_sequences=False, models_keras.py:109-111). Strictly sequential
     F.aggregate fold ⇒ float order is pinned and SQL-oracle-reproducible."""
     tok = F.col(tokens_col)
-    first = F.element_at(tok, 1).cast("double")
-    rest = F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0)))
-    a = F.lit(float(alpha))
-    ew = F.aggregate(rest, first,
-                     lambda acc, x: a * x.cast("double") + (F.lit(1.0) - a) * acc)
     return (df.filter(F.size(tok) > 0)
             .select("doc_id",
-                    ew.alias("ewma_last"),
+                    _ewma_fold(tok, alpha).alias("ewma_last"),
                     F.array_max(tok).cast("long").alias("run_max"),
                     F.array_min(tok).cast("long").alias("run_min"),
                     F.element_at(tok, -1).cast("long").alias("last_tok")))

@@ -5,8 +5,10 @@
   x = add([x, x1])``): an attention weight per position is multiplied onto
   the signal and the result residual-added back. The engine's deterministic
   attention map is linear normalization w_i = x_i / Σx (division — IEEE-exact
-  cross-engine, unlike softmax's libm exp; the exp variant is exercised by
-  the ``softmax_window`` query, rows-only for exactly that reason).
+  cross-engine). ``attention_softmax_features`` adds the softmax head in the
+  same scan: max-subtracted exponent args are integers, so round-9 exp is
+  bit-verified cross-engine and the partition function / max probability are
+  hash-exact (the one libm-unsafe piece, ln(z) for entropy, is omitted).
 
 * ``en_loss`` ≙ YiboGao's custom loss (``models_keras.py:1538-1550``):
   clip → −log → pow(γ) → class-select → mean. libm log/pow differ from
@@ -29,6 +31,34 @@ def multiply_gate(tokens: Column, gate: Column) -> Column:
     return F.zip_with(tokens, gate, lambda x, g: x.cast("double") * g)
 
 
+def _gated_arr(t: Column, sd: Column) -> Column:
+    """gated_i = x_i·(x_i/Σx) + x_i — the shared attention-gate expression
+    (any edit here changes the standalone and merged ops together, keeping
+    both bit-matched to the same oracle)."""
+    att = F.transform(t, lambda x: x.cast("double") / sd)
+    return F.zip_with(multiply_gate(t, att), t,
+                      lambda g, x: g + x.cast("double"))
+
+
+def _tanh_arr(t: Column) -> Column:
+    return F.transform(t, lambda x: F.round(F.tanh(x.cast("double")), 9))
+
+
+def _sigmoid_arr(t: Column) -> Column:
+    return F.transform(
+        t, lambda x: F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x.cast("double"))), 9))
+
+
+def _relu_arrs(t: Column, threshold: int, leaky_alpha: float
+               ) -> tuple[Column, Column]:
+    act = F.transform(t, lambda x: F.greatest(x - threshold, F.lit(0)))
+    a = F.lit(float(leaky_alpha))
+    leaky = F.transform(
+        t, lambda x: F.when(x > threshold, (x - threshold).cast("double"))
+        .otherwise(a * (x - threshold).cast("double")))
+    return act, leaky
+
+
 def attention_gate_features(df: DataFrame,
                             tokens_col: str = "tokens") -> DataFrame:
     """Linear-attention gate + residual add, reduced to checksum aggregates:
@@ -41,11 +71,7 @@ def attention_gate_features(df: DataFrame,
     staged = (df.filter(F.size(t) > 0)
               .select("doc_id", t.alias("_t"), s.alias("_s"))
               .filter(F.col("_s") > 0))
-    sd = F.col("_s").cast("double")
-    att = F.transform("_t", lambda x: x.cast("double") / sd)
-    gated = F.zip_with(
-        multiply_gate(F.col("_t"), att), F.col("_t"),
-        lambda g, x: g + x.cast("double"))
+    gated = _gated_arr(F.col("_t"), F.col("_s").cast("double"))
     return staged.select(
         "doc_id",
         F.size("_t").cast("long").alias("n_tok"),
@@ -62,9 +88,7 @@ def activation_checksums(df: DataFrame,
     enumerable-domain argument as en_loss; DuckDB lacks tanh, its oracle uses
     the exp form, which agrees after rounding)."""
     t = F.col(tokens_col)
-    th = F.transform(t, lambda x: F.round(F.tanh(x.cast("double")), 9))
-    sg = F.transform(
-        t, lambda x: F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x.cast("double"))), 9))
+    th, sg = _tanh_arr(t), _sigmoid_arr(t)
     return (df.filter(F.size(t) > 0)
             .select("doc_id",
                     F.size(t).cast("long").alias("n_tok"),
@@ -96,12 +120,8 @@ def attention_softmax_features(df: DataFrame,
                                   lambda a, x: a + x).alias("_s"),
                       F.array_max(t).alias("_mx"))
               .filter(F.col("_s") > 0))
-    sd = F.col("_s").cast("double")
     mx = F.col("_mx")
-    att = F.transform("_t", lambda x: x.cast("double") / sd)
-    gated = F.zip_with(
-        multiply_gate(F.col("_t"), att), F.col("_t"),
-        lambda g, x: g + x.cast("double"))
+    gated = _gated_arr(F.col("_t"), F.col("_s").cast("double"))
     ex = F.transform(
         "_t", lambda x: F.round(F.exp((x - mx).cast("double")), 9))
     staged2 = staged.select(
@@ -125,14 +145,8 @@ def activation_features(df: DataFrame, threshold: int = 8,
     no join: a 100 TB feature pass computes every activation family in a
     single read of the corpus."""
     t = F.col(tokens_col)
-    th = F.transform(t, lambda x: F.round(F.tanh(x.cast("double")), 9))
-    sg = F.transform(
-        t, lambda x: F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x.cast("double"))), 9))
-    act = F.transform(t, lambda x: F.greatest(x - threshold, F.lit(0)))
-    a = F.lit(float(leaky_alpha))
-    leaky = F.transform(
-        t, lambda x: F.when(x > threshold, (x - threshold).cast("double"))
-        .otherwise(a * (x - threshold).cast("double")))
+    th, sg = _tanh_arr(t), _sigmoid_arr(t)
+    act, leaky = _relu_arrs(t, threshold, leaky_alpha)
     return (df.filter(F.size(t) > 0)
             .select("doc_id",
                     F.size(t).cast("long").alias("n_tok"),

@@ -35,24 +35,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     be unique per (on, right_ts) — the tier-store contract (one point per
     window). ``how='inner'`` drops left rows with no preceding right row;
     ``'left'`` keeps them with null attrs.
+
+    The matched right row is carried as ONE struct (a single
+    last(ignorenulls) over the whole attr tuple): carrying attrs in
+    separate last() columns would backfill a NULL attr of the true match
+    from an OLDER right row — stitching together a row that never existed.
+    Right rows with a NULL ``right_ts`` are dropped up front (a null
+    timestamp matches nothing under ts ≤, but NULLS-FIRST ordering would
+    otherwise carry such a row onto every left row that precedes all real
+    right rows); left rows with NULL ``left_ts`` match nothing (dropped by
+    'inner', null attrs under 'left').
     """
     if not attrs:
-        raise ValueError("asof_join needs at least one right attr "
-                         "(the first is also the inner-match probe)")
+        raise ValueError("asof_join needs at least one right attr")
     lcols = [c for c in left.columns if c not in (on, left_ts)]
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("_t"),
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
-        *[F.lit(None).cast(right.schema[a].dataType).alias(f"_r_{a}")
-          for a in attrs])
-    r = right.select(
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(a) for a in attrs]).alias("_r"))
+            .schema["_r"].dataType).alias("_r"))
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(l.schema["_l"].dataType).alias("_l"),
-        *[F.col(a).alias(f"_r_{a}") for a in attrs])
+        F.struct(*[F.col(a) for a in attrs]).alias("_r"))
     u = l.unionByName(r)
     # right rows sort FIRST at equal _t so a left row at exactly right_ts
     # sees it (the ≤ contract)
@@ -60,16 +70,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
         on, "_t", "_side", "_l",
-        *[F.last(f"_r_{a}", ignorenulls=True).over(w).alias(a)
-          for a in attrs])
+        F.last("_r", ignorenulls=True).over(w).alias("_m"))
     out = carried.filter(F.col("_side") == 0)
     if how == "inner":
-        out = out.filter(F.col(attrs[0]).isNotNull())
+        out = out.filter(F.col("_m").isNotNull())
     elif how != "left":
         raise ValueError(how)
     return out.select(on, F.col("_t").alias(left_ts),
                       *[F.col(f"_l.{c}").alias(c) for c in lcols],
-                      *attrs)
+                      *[F.col(f"_m.{a}").alias(a) for a in attrs])
 
 
 def range_join(points: DataFrame, intervals: DataFrame, on: str,
@@ -97,6 +106,11 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     b = F.lit(int(bucket_width))
+    # empty/inverted intervals (end ≤ start) match nothing by the [s, e)
+    # contract — filtered up front, since sequence(floor(s/b), floor((e-1)/b))
+    # on an inverted interval would otherwise count DOWN and explode one bad
+    # row into up to |span| bucket rows
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.select(
         F.col(on),
         F.col(start_col).alias("_is"), F.col(end_col).alias("_ie"),

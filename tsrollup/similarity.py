@@ -137,6 +137,17 @@ def srp_band_signatures(df: DataFrame, bands: int = 4, n_planes: int = 8,
     return sig.select("id", F.posexplode("_bks").alias("band", "bucket"))
 
 
+def _derive_n_planes(df: DataFrame, n_hint: int | None,
+                     target_bucket: int) -> int:
+    """Corpus-scaled SRP depth: log2(n/target_bucket) keeps expected bucket
+    size ~constant as n grows. Shared by ann_lsh_topk and cosine_near_dups
+    so both always bucket identically for the same corpus."""
+    import math
+
+    n = n_hint if n_hint is not None else df.count()
+    return min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket))))
+
+
 def cosine_near_dups(df: DataFrame, threshold: float = 0.9,
                      n_planes: int | None = None, dim: int = 32,
                      bands: int | None = None, target_bucket: int = 32,
@@ -164,9 +175,7 @@ def cosine_near_dups(df: DataFrame, threshold: float = 0.9,
     import math
 
     if n_planes is None:
-        n = n_hint if n_hint is not None else df.count()
-        n_planes = min(24, max(4, math.ceil(
-            math.log2(max(n, 2) / target_bucket))))
+        n_planes = _derive_n_planes(df, n_hint, target_bucket)
     if bands is None:
         p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
         p_band = max(p_bit ** n_planes, 1e-9)
@@ -188,11 +197,7 @@ def _srp_candidates(df: DataFrame, n_planes: int | None, dim: int,
     scores exact cosine per candidate pair (see ann_lsh_topk for the scale
     rationale)."""
     if n_planes is None:
-        import math
-
-        n = n_hint if n_hint is not None else df.count()
-        n_planes = min(24, max(4, math.ceil(
-            math.log2(max(n, 2) / target_bucket))))
+        n_planes = _derive_n_planes(df, n_hint, target_bucket)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -292,6 +297,10 @@ def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 32,
     sample = (df.filter(F.pmod(h, F.lit(k)) == 0)
               .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
               .collect())
+    # collect() order follows partition layout — sort by id so the seeded
+    # init indexes a layout-independent sequence (determinism across
+    # environments, not just repeat runs in one session)
+    sample.sort(key=lambda r: str(r["id"]))
     x = np.stack([np.asarray(r["v"][:dim], dtype=np.float64) for r in sample])
     nrm = np.linalg.norm(x, axis=1)
     x = x[nrm > 0] / nrm[nrm > 0, None]
@@ -304,9 +313,9 @@ def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 32,
             m = assign == c
             if m.any():
                 v = x[m].mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[c] = v / n
+                vn = np.linalg.norm(v)
+                if vn > 0:
+                    cent[c] = v / vn
     return cent
 
 
