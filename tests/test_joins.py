@@ -126,3 +126,86 @@ def test_range_join_plan_has_no_nested_loop(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_asof_property_random_instances(spark):
+    """Property-style sweep: many seeded random (left, right) instances —
+    including duplicate left timestamps, right rows with NULL attrs (the
+    atomic-struct carry must NOT backfill them from older rows), and keys
+    present on only one side — always match pandas merge_asof row for row.
+    (Spark-session tests keep hypothesis out of the hot loop: one session,
+    seeded instances instead of example shrinking.)"""
+    from tsrollup.joins import asof_join
+
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        nl, nr = int(rng.integers(5, 120)), int(rng.integers(1, 40))
+        left = pd.DataFrame({
+            "key": rng.integers(0, 4, nl).astype(np.int64),
+            "lt": rng.integers(0, 200, nl).astype(np.int64),  # heavy ties
+            "pid": np.arange(nl, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "key": rng.integers(0, 6, nr).astype(np.int64),  # extra keys
+            "rt": rng.integers(0, 200, nr).astype(np.int64),
+            "a": rng.integers(0, 100, nr).astype(np.int64),
+            # nullable second attr: ~1/3 NULL
+            "b": [None if rng.random() < 0.33 else int(v)
+                  for v in rng.integers(0, 100, nr)],
+        }).drop_duplicates(["key", "rt"])
+
+        got = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right, "key long, rt long, a long, b long"),
+            on="key", left_ts="lt", right_ts="rt",
+            attrs=("rt", "a", "b")).toPandas()
+        want = pd.merge_asof(
+            left.sort_values(["lt", "pid"]), right.sort_values("rt"),
+            left_on="lt", right_on="rt", by="key", direction="backward")
+        want = want[want["rt"].notna()]
+        gk = got.sort_values(["key", "lt", "pid"]).reset_index(drop=True)
+        wk = want.sort_values(["key", "lt", "pid"]).reset_index(drop=True)
+        assert len(gk) == len(wk), seed
+        assert (gk["pid"].values == wk["pid"].values).all(), seed
+        assert (gk["rt"].values == wk["rt"].values.astype(np.int64)).all(), seed
+        assert (gk["a"].values == wk["a"].values.astype(np.int64)).all(), seed
+        # NULL b of the true match stays NULL (no backfill from older rows)
+        gb = gk["b"].isna().values
+        wb = wk["b"].isna().values
+        assert (gb == wb).all(), seed
+        ok = ~gb
+        assert (gk["b"].values[ok].astype(np.int64)
+                == wk["b"].values[ok].astype(np.int64)).all(), seed
+
+
+def test_range_join_property_random_instances(spark):
+    """Seeded random interval sets (incl. zero-length and inverted intervals,
+    which must match nothing) vs brute force, at several bucket widths."""
+    from tsrollup.joins import range_join
+
+    for seed in range(4):
+        rng = np.random.default_rng(50 + seed)
+        np_, ni = int(rng.integers(5, 100)), int(rng.integers(1, 30))
+        pts = pd.DataFrame({
+            "key": rng.integers(0, 3, np_).astype(np.int64),
+            "pt": rng.integers(0, 300, np_).astype(np.int64),
+            "pid": np.arange(np_, dtype=np.int64),
+        })
+        s = rng.integers(0, 300, ni).astype(np.int64)
+        spans = rng.integers(-20, 80, ni).astype(np.int64)  # some inverted
+        ivs = pd.DataFrame({
+            "key": rng.integers(0, 3, ni).astype(np.int64),
+            "s": s, "e": s + spans,
+            "iid": np.arange(ni, dtype=np.int64),
+        })
+        want = {(int(p.pid), int(i.iid))
+                for p in pts.itertuples() for i in ivs.itertuples()
+                if p.key == i.key and i.s <= p.pt < i.e}
+        bw = int(rng.integers(3, 200))
+        got = range_join(spark.createDataFrame(pts),
+                         spark.createDataFrame(ivs),
+                         on="key", point_ts="pt", start_col="s",
+                         end_col="e", bucket_width=bw,
+                         attrs=("iid",)).toPandas()
+        assert set(zip(got["pid"], got["iid"])) == want, (seed, bw)
+        assert len(got) == len(want), (seed, bw)
