@@ -126,3 +126,15 @@ def test_read_lineage_missing_vs_corrupt(spark, tmp_path):
     (bad / "part-0.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         read_lineage(spark, root).count()
+
+
+def test_read_lineage_uncommitted_dir_recovers(spark, tmp_path):
+    """A killed FIRST lineage commit leaves _lineage/ holding only
+    _temporary/ — that is 'no lineage yet' and must recover as first-run,
+    while a dir with committed files plus a schema failure still raises
+    (covered by the corrupt-file test above)."""
+    from tsrollup.checkpoint import read_lineage
+
+    root = tmp_path / "store2"
+    (root / "_lineage" / "_temporary").mkdir(parents=True)
+    assert read_lineage(spark, str(root)).count() == 0

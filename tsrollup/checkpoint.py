@@ -58,16 +58,37 @@ def read_lineage(spark: SparkSession, output_root: str) -> DataFrame:
         return read_table(spark, f"{output_root}/_lineage")
     except Exception as e:
         msg = str(e)
-        # UNABLE_TO_INFER_SCHEMA covers the killed-first-commit case: the
-        # _lineage dir exists but holds only _temporary/ (no committed
-        # files) — semantically still "no lineage yet", and treating it as
-        # an error would brick resume until manual cleanup. "Path does not
-        # exist" is the pre-error-class missing-path message.
         if any(tag in msg for tag in (
                 "PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND", "NoSuchTable",
-                "UNABLE_TO_INFER_SCHEMA", "Path does not exist")):
+                "Path does not exist")):
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        # UNABLE_TO_INFER_SCHEMA is ambiguous: a killed FIRST commit leaves
+        # _lineage holding only _temporary/ (genuinely "no lineage yet"),
+        # but the same error fires when committed lineage FILES were lost
+        # while data partitions survive — silently treating that as
+        # first-run would rescan the full input and duplicate 'done' rows.
+        # Distinguish via the filesystem: recover only if the dir holds no
+        # committed (non-underscore/dot) entries.
+        if "UNABLE_TO_INFER_SCHEMA" in msg and _is_uncommitted_dir(
+                spark, f"{output_root}/_lineage"):
             return spark.createDataFrame([], LINEAGE_SCHEMA)
         raise
+
+
+def _is_uncommitted_dir(spark: SparkSession, ident: str) -> bool:
+    """True iff ``ident`` is missing or contains only temporary/hidden
+    entries (``_``/``.`` prefixes) — checked through the Hadoop FileSystem
+    API so any scheme Spark can read (file://, s3a://, …) works."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(ident)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return True
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return False
+    return True
 
 
 def completed_buckets(spark: SparkSession, output_root: str) -> set[int]:

@@ -33,17 +33,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_array(n: int = 3, text_col: str = "text") -> Column:
-    """Distinct word n-gram shingles of a doc as ONE array column. Documents
-    shorter than n words contribute their full word join as one shingle.
-
-    NB: prefer ``staged_shingles`` — an expression inside a higher-order-
-    function lambda body re-evaluates PER ELEMENT, so the ``split`` here runs
-    once per shingle (O(words²) character work per doc) unless the word
-    array is staged as a column first."""
-    return _shingles_of(F.split(F.col(text_col), " "), n)
-
-
 def _shingles_of(w: Column, n: int) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     return F.array_distinct(

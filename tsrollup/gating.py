@@ -124,9 +124,15 @@ def attention_softmax_features(df: DataFrame,
     gated = _gated_arr(F.col("_t"), F.col("_s").cast("double"))
     ex = F.transform(
         "_t", lambda x: F.round(F.exp((x - mx).cast("double")), 9))
-    staged2 = staged.select(
-        "doc_id", "_t", "_s", gated.alias("_g"), ex.alias("_ex"),
-        F.aggregate(ex, F.lit(0.0), lambda a, x: a + x).alias("softmax_z"))
+    # stage _ex FIRST, aggregate the staged column: embedding the transform
+    # in both the column and the fold would evaluate the exp array twice per
+    # row (HOF expressions are CodegenFallback — no guaranteed CSE)
+    staged2 = (staged
+               .select("doc_id", "_t", "_s", gated.alias("_g"),
+                       ex.alias("_ex"))
+               .select("doc_id", "_t", "_s", "_g", "_ex",
+                       F.aggregate("_ex", F.lit(0.0), lambda a, x: a + x)
+                       .alias("softmax_z")))
     return staged2.select(
         "doc_id",
         F.size("_t").cast("long").alias("n_tok"),

@@ -49,6 +49,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if not attrs:
         raise ValueError("asof_join needs at least one right attr")
     lcols = [c for c in left.columns if c not in (on, left_ts)]
+    clash = set(attrs) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join: right attrs {sorted(clash)} collide with left "
+            "columns — alias one side first (the output would carry "
+            "duplicate column names)")
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("_t"),
@@ -105,6 +111,16 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
     bucket (the point's)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    reserved = {"_bk", "_is", "_ie"}
+    bad = (reserved & set(points.columns)) | (reserved & set(intervals.columns))
+    if bad:
+        raise ValueError(f"range_join: input columns {sorted(bad)} collide "
+                         "with internal names — rename them first")
+    pclash = ({start_col, end_col} | set(attrs)) & set(points.columns)
+    if pclash:
+        raise ValueError(
+            f"range_join: interval columns {sorted(pclash)} collide with "
+            "point columns — alias one side first")
     b = F.lit(int(bucket_width))
     # empty/inverted intervals (end ≤ start) match nothing by the [s, e)
     # contract — filtered up front, since sequence(floor(s/b), floor((e-1)/b))

@@ -109,34 +109,6 @@ def _plane_dir(p: int, c: int) -> bool:
     return int(hashlib.md5(f"{p}|{c}".encode()).hexdigest()[0], 16) % 2 == 0
 
 
-def srp_band_signatures(df: DataFrame, bands: int = 4, n_planes: int = 8,
-                        dim: int = 32, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Banded SRP signatures (OR-construction): ``bands`` independent tables
-    of ``n_planes`` hyperplanes each; a pair is a candidate if it collides in
-    ANY band — recall 1-(1-p^b)^L instead of a single table's p^b. All
-    bands×planes projections are ONE matmul per Arrow batch; output is one
-    exploded row per (id, band) with that band's bucket."""
-    from pyspark.sql.functions import pandas_udf
-
-    total = bands * n_planes
-    planes = np.array([[1.0 if _plane_dir(p, c) else -1.0
-                        for p in range(total)]
-                       for c in range(dim)])  # (dim, bands*n_planes)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-
-    @pandas_udf("array<long>")
-    def buckets(v: pd.Series) -> pd.Series:
-        x = np.stack([np.asarray(a[:dim], dtype=np.float64) for a in v])
-        bits = (x @ planes) > 0                    # (n, bands*n_planes)
-        bk = bits.reshape(len(v), bands, n_planes) @ weights  # (n, bands)
-        return pd.Series(list(bk))
-
-    sig = df.select(F.col(id_col).alias("id"),
-                    buckets(F.col(vec_col)).alias("_bks"))
-    return sig.select("id", F.posexplode("_bks").alias("band", "bucket"))
-
-
 def _derive_n_planes(df: DataFrame, n_hint: int | None,
                      target_bucket: int) -> int:
     """Corpus-scaled SRP depth: log2(n/target_bucket) keeps expected bucket
@@ -301,9 +273,15 @@ def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 32,
     # init indexes a layout-independent sequence (determinism across
     # environments, not just repeat runs in one session)
     sample.sort(key=lambda r: str(r["id"]))
+    if not sample:
+        raise ValueError("train_ivf_centroids: empty sample — the input has "
+                         "no rows (or the id hash residue class is empty)")
     x = np.stack([np.asarray(r["v"][:dim], dtype=np.float64) for r in sample])
     nrm = np.linalg.norm(x, axis=1)
     x = x[nrm > 0] / nrm[nrm > 0, None]
+    if x.shape[0] == 0:
+        raise ValueError("train_ivf_centroids: every sampled vector has "
+                         "zero norm — cosine cells are undefined")
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]),
                         replace=False)]
@@ -376,9 +354,19 @@ def ivf_topk_for_queries(df: DataFrame, queries: DataFrame, k: int = 5,
         cells = np.argsort(-(cent @ qvn))[:nprobe]
         qvecs.append((r["qid"], qvn.tolist()))
         probes.extend((r["qid"], int(c)) for c in cells)
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    # probe/query frames keep the CALLER's id type (string keys etc.) —
+    # hardcoding "qid long" would break every non-long id_col
+    id_type = df.schema[id_col].dataType
     spark = df.sparkSession
-    probe_df = spark.createDataFrame(probes, "qid long, cell int")
-    qvec_df = spark.createDataFrame(qvecs, "qid long, qvn array<double>")
+    probe_df = spark.createDataFrame(
+        probes, StructType([StructField("qid", id_type),
+                            StructField("cell", IntegerType())]))
+    qvec_df = spark.createDataFrame(
+        qvecs, StructType([StructField("qid", id_type),
+                           StructField("qvn", ArrayType(DoubleType()))]))
 
     cand = (scan.join(F.broadcast(probe_df), "cell")
             .filter(F.col("id") != F.col("qid"))
