@@ -156,3 +156,15 @@ def test_cross_channel_spectral_matches_numpy(spark, multi_df):
                 assert g[f"band_{k}"] == b[k]
             checked += 1
     assert checked > 50
+
+
+def test_cross_channel_spectral_band_mismatch_raises(spark, multi_df):
+    """An n_bands that disagrees with the stored band_energy length fails
+    loudly instead of silently nulling the pooled band sums (zip_with would
+    pad the shorter array with nulls)."""
+    from tsrollup.channels import cross_channel_spectral, melt_channels
+    from tsrollup.rollup import rollup_sequences
+
+    rolled = rollup_sequences(melt_channels(multi_df), 64, {"t64": 1})
+    with pytest.raises(Exception, match="band_energy has"):
+        cross_channel_spectral(rolled, n_bands=3).collect()

@@ -209,3 +209,43 @@ def test_range_join_property_random_instances(spark):
                          attrs=("iid",)).toPandas()
         assert set(zip(got["pid"], got["iid"])) == want, (seed, bw)
         assert len(got) == len(want), (seed, bw)
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL/DuckDB ASOF semantics: NULL join keys match nothing — a NULL-key
+    left row is dropped under 'inner' and carries null attrs under 'left',
+    even when a NULL-key right row exists."""
+    from tsrollup.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, "ln"), (1, 10, "l1")], "key int, lt long, lbl string")
+    right = spark.createDataFrame(
+        [(None, 5, 100), (1, 5, 200)], "key int, rt long, a int")
+    inner = asof_join(left, right, on="key", left_ts="lt", right_ts="rt",
+                      attrs=("a",)).collect()
+    assert [(r["key"], r["a"]) for r in inner] == [(1, 200)]
+    outer = asof_join(left, right, on="key", left_ts="lt", right_ts="rt",
+                      attrs=("a",), how="left").collect()
+    got = {r["lbl"]: r["a"] for r in outer}
+    assert got == {"ln": None, "l1": 200}
+
+
+def test_range_join_exact_bucketing_beyond_double_precision(spark):
+    """Bucket ids are exact integer floor-division: timestamps beyond 2^53
+    (where double-rounded floor(ts/b) can land in the wrong bucket) and
+    negative timestamps both bucket correctly."""
+    from tsrollup.joins import range_join
+
+    base = (1 << 60) + 1  # not representable in double
+    pts = spark.createDataFrame(
+        [(0, base + 5, 0), (0, base + 15, 1), (0, -7, 2)],
+        "key int, pt long, pid int")
+    ivs = spark.createDataFrame(
+        [(0, base, base + 10, 0),    # catches pid 0 only
+         (0, base + 10, base + 20, 1),  # catches pid 1 only
+         (0, -10, 0, 2)],            # catches pid 2 (negative range)
+        "key int, s long, e long, iid int")
+    got = range_join(pts, ivs, on="key", point_ts="pt", start_col="s",
+                     end_col="e", bucket_width=7, attrs=("iid",)).collect()
+    assert sorted((r["pid"], r["iid"]) for r in got) == [(0, 0), (1, 1),
+                                                         (2, 2)]

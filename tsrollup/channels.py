@@ -112,8 +112,18 @@ def cross_channel_spectral(rolled: DataFrame, n_bands: int | None = None
     from . import N_BANDS
 
     nb = N_BANDS if n_bands is None else n_bands
+    # zip_with pads the shorter array with nulls, so an n_bands that
+    # disagrees with the stored band_energy length would turn the pooled
+    # band sums silently null — fail loudly on the first mismatched row
+    # instead
+    be = F.when(
+        F.size("band_energy") == nb, F.col("band_energy")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("cross_channel_spectral: band_energy has "),
+        F.size("band_energy").cast("string"),
+        F.lit(f" bands but n_bands={nb}"))))
     st = F.struct(F.col("channel"), F.col("spec_energy"),
-                  F.col("spec_mass"), F.col("band_energy"))
+                  F.col("spec_mass"), be.alias("band_energy"))
     g = (rolled.groupBy("doc_id", "tier", "window_start")
          .agg(F.sort_array(F.collect_list(st)).alias("_cs")))
     zero = F.struct(F.lit(0.0).alias("e"), F.lit(0.0).alias("m"),

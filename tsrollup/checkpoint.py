@@ -52,15 +52,15 @@ def read_lineage(spark: SparkSession, output_root: str) -> DataFrame:
     re-raises: treating it as 'no lineage' would silently mark every bucket
     pending, i.e. one full input rescan + rewrite of every partition plus
     duplicate 'done' rows, with no signal that resume state was lost."""
-    from .io import read_table
+    from .io import is_missing_table_error, read_table
 
     try:
         return read_table(spark, f"{output_root}/_lineage")
     except Exception as e:
         msg = str(e)
-        if any(tag in msg for tag in (
-                "PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND", "NoSuchTable",
-                "Path does not exist")):
+        # is_missing_table_error checks the structured error condition
+        # (getCondition/getErrorClass) before falling back to the message
+        if is_missing_table_error(e):
             return spark.createDataFrame([], LINEAGE_SCHEMA)
         # UNABLE_TO_INFER_SCHEMA is ambiguous: a killed FIRST commit leaves
         # _lineage holding only _temporary/ (genuinely "no lineage yet"),

@@ -20,6 +20,46 @@ def table_format() -> str:
     return os.environ.get("TSROLLUP_TABLE_FORMAT", "parquet")
 
 
+# Error-class names for "the table/path doesn't exist yet" across the two
+# runtimes this boundary spans: Spark's own conditions (PATH_NOT_FOUND,
+# TABLE_OR_VIEW_NOT_FOUND — stable names in the PySpark 4.x error framework)
+# and Iceberg's NoSuchTableException (surfaces as a plain JVM exception whose
+# class name appears in the message, no Spark condition attached).
+_MISSING_TABLE_TAGS = ("PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND",
+                       "NoSuchTable", "Path does not exist")
+
+
+def error_condition(e: Exception) -> str | None:
+    """The structured Spark error-condition name for ``e``, if it carries
+    one. PySpark 4 exposes it as ``getCondition()`` (``getErrorClass()`` in
+    3.x, still present as a deprecated alias); prefer these over message
+    substrings — the condition NAME is the stable contract, the human
+    message is not."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if callable(fn):
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond:
+                return cond
+    return None
+
+
+def is_missing_table_error(e: Exception) -> bool:
+    """True iff ``e`` means the table/path genuinely doesn't exist yet.
+
+    Checks the structured error condition first; the message scan remains
+    as a fallback for exceptions with no condition (Iceberg's
+    NoSuchTableException, raw Hadoop FileNotFound messages)."""
+    cond = error_condition(e)
+    if cond is not None and any(t in cond for t in _MISSING_TABLE_TAGS):
+        return True
+    msg = str(e)
+    return any(t in msg for t in _MISSING_TABLE_TAGS)
+
+
 def read_table(spark: SparkSession, ident: str,
                base_path: str | None = None) -> DataFrame:
     """``ident`` is a path (parquet) or a catalog table name (iceberg).
@@ -59,8 +99,7 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
                 # only the first-commit case falls through to create();
                 # anything else (schema drift, commit conflict, storage
                 # error) must surface with its real cause
-                msg = str(e)
-                if "TABLE_OR_VIEW_NOT_FOUND" in msg or "NoSuchTable" in msg:
+                if is_missing_table_error(e):
                     wv2.create()
                 else:
                     raise
@@ -71,8 +110,7 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
                 # first append must bootstrap the table (parquet's
                 # saveAsTable-style auto-create) — e.g. the lineage store's
                 # very first commit; any other failure surfaces as-is
-                msg = str(e)
-                if "TABLE_OR_VIEW_NOT_FOUND" in msg or "NoSuchTable" in msg:
+                if is_missing_table_error(e):
                     wv2.create()
                 else:
                     raise

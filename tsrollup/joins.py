@@ -44,7 +44,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     timestamp matches nothing under ts ≤, but NULLS-FIRST ordering would
     otherwise carry such a row onto every left row that precedes all real
     right rows); left rows with NULL ``left_ts`` match nothing (dropped by
-    'inner', null attrs under 'left').
+    'inner', null attrs under 'left'). NULL ``on`` keys follow SQL/DuckDB
+    ASOF semantics — they never match: right rows with a NULL key are
+    dropped up front (Window.partitionBy would otherwise group them with
+    NULL-key left rows and "match" them), so a NULL-key left row is dropped
+    under 'inner' and carries null attrs under 'left'.
     """
     if not attrs:
         raise ValueError("asof_join needs at least one right attr")
@@ -63,7 +67,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(None).cast(
             right.select(F.struct(*[F.col(a) for a in attrs]).alias("_r"))
             .schema["_r"].dataType).alias("_r"))
-    r = right.filter(F.col(right_ts).isNotNull()).select(
+    r = right.filter(F.col(right_ts).isNotNull()
+                     & F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("_t"),
         F.lit(1).alias("_side"),
@@ -121,7 +126,20 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
         raise ValueError(
             f"range_join: interval columns {sorted(pclash)} collide with "
             "point columns — alias one side first")
-    b = F.lit(int(bucket_width))
+    bw = int(bucket_width)
+
+    def _bucket(c):
+        # exact integer floor-division: F.floor(col / lit) runs a DOUBLE
+        # division whose rounding could (for |ts| beyond 2^53) land a point
+        # or interval edge in the wrong bucket and silently DROP a candidate
+        # pair before the residual filter ever sees it. (c - pmod(c, bw)) is
+        # an exact multiple of bw (pmod is non-negative, so this is the
+        # floor multiple even for negative c) and `div` is exact long
+        # integer division — correct for any long input.
+        c = c.cast("long")
+        return F.call_function(
+            "div", c - F.pmod(c, F.lit(bw)), F.lit(bw))
+
     # empty/inverted intervals (end ≤ start) match nothing by the [s, e)
     # contract — filtered up front, since sequence(floor(s/b), floor((e-1)/b))
     # on an inverted interval would otherwise count DOWN and explode one bad
@@ -131,10 +149,10 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
         F.col(on),
         F.col(start_col).alias("_is"), F.col(end_col).alias("_ie"),
         *[F.col(a) for a in attrs],
-        F.explode(F.sequence(F.floor(F.col(start_col) / b),
-                             F.floor((F.col(end_col) - 1) / b)))
+        F.explode(F.sequence(_bucket(F.col(start_col)),
+                             _bucket(F.col(end_col) - 1)))
         .alias("_bk"))
-    pt = points.withColumn("_bk", F.floor(F.col(point_ts) / b))
+    pt = points.withColumn("_bk", _bucket(F.col(point_ts)))
     return (pt.join(iv, [on, "_bk"])
             .filter((F.col(point_ts) >= F.col("_is"))
                     & (F.col(point_ts) < F.col("_ie")))
