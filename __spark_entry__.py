@@ -137,6 +137,18 @@ def _scratch(sf_dir: str, tag: str) -> str:
     return base
 
 
+def _cache(sf_dir: str, tag: str) -> str:
+    """Per-(sf, tag) cache dir that PERSISTS across invocations (unlike
+    ``_scratch``) — for stored indexes whose whole point is train-once
+    reuse. Callers must key ``tag`` by anything that invalidates the cached
+    artifact (e.g. the corpus row count)."""
+    base = os.path.join(
+        os.environ.get("TSROLLUP_BENCH_CACHE", "/tmp/tsrollup-bench"),
+        f"cache-{tag}-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def q_rollup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-waveform chunked ingestion (≙ reference obspy single long trace,
     IGN_experiment.py:208-211): each doc split into 3 chunk rows, reassembled
@@ -563,16 +575,26 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     brief's 'IVF or LSH' pair, both provided): bounded driver-side Lloyd
     quantizer, one argmax-matmul assignment pass, broadcast (qid, cell)
     probes, exact cosine re-rank. rows-only (quantizer cells are not
-    SQL-expressible); recall vs brute force pytest-asserted."""
+    SQL-expressible); recall vs brute force pytest-asserted.
+
+    The quantizer is a STORED index (trained once per corpus via
+    ``ivf_centroids_for``, persisted through the io boundary and reloaded on
+    repeat calls — the frozen-encoder reuse pattern, reference
+    arrythmia_experiment.py:191-193). The store key includes the corpus row
+    count so a changed fixture retrains; training itself is deterministic,
+    so cached and fresh runs produce identical cells."""
     import pyarrow.parquet as pq
 
-    from tsrollup.similarity import ivf_topk_for_queries
+    from tsrollup.similarity import ivf_centroids_for, ivf_topk_for_queries
 
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
+    store = os.path.join(_cache(sf_dir, f"ivf-centroids-n{n}"), "centroids")
+    cent = ivf_centroids_for(emb, store, n_centroids=16, dim=64, n_hint=n)
     return ivf_topk_for_queries(emb, emb.filter("vec_id < 3"), k=5,
-                                n_centroids=16, nprobe=4, dim=64, n_hint=n)
+                                n_centroids=16, nprobe=4, dim=64,
+                                centroids=cent)
 
 
 def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -228,3 +228,59 @@ def test_ivf_centroids_deterministic(spark):
     c2 = train_ivf_centroids(emb, n_centroids=6, dim=16)
     assert (c1 == c2).all()
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-12)
+
+
+def test_plan_builders_are_pure_no_eager_jobs(spark, emb_df, tmp_path):
+    """Constructing ann_lsh_topk / cosine_near_dups runs ZERO Spark jobs:
+    the plane count comes from n_hint or Catalyst plan statistics, never an
+    eager df.count(). File-backed inputs without statistics raise instead of
+    silently scanning."""
+    from tsrollup.similarity import ann_lsh_topk, cosine_near_dups
+
+    sc = spark.sparkContext
+    grp = "pure-plan-builder"
+    sc.setJobGroup(grp, "constructing similarity plans")
+    try:
+        # LocalRelation: Catalyst stats carry rowCount — bare call works
+        ann_lsh_topk(emb_df, k=5, dim=DIM)
+        cosine_near_dups(emb_df, threshold=0.9, dim=DIM)
+        # explicit hint: also pure
+        ann_lsh_topk(emb_df, k=5, dim=DIM, n_hint=44)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = spark._jsc.sc().statusTracker().getJobIdsForGroup(grp)
+    assert len(jobs) == 0, list(jobs)
+
+    # a parquet scan has no plan-time row count: bare construction raises
+    # with guidance instead of running a hidden count job
+    path = str(tmp_path / "emb.parquet")
+    emb_df.write.parquet(path)
+    scan = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="n_hint"):
+        ann_lsh_topk(scan, k=5, dim=DIM)
+    assert ann_lsh_topk(scan, k=5, dim=DIM, n_hint=44).count() > 0
+
+
+def test_ivf_reuses_stored_centroids(spark, emb_df, tmp_path, monkeypatch):
+    """The stored-index path trains the Lloyd quantizer EXACTLY once per
+    store: a second call loads it (no corpus sample collect, no training),
+    returns identical cells, and the full query path works from the stored
+    quantizer."""
+    import tsrollup.similarity as S
+
+    store = str(tmp_path / "ivf_centroids")
+    calls = []
+    orig = S.train_ivf_centroids
+    monkeypatch.setattr(
+        S, "train_ivf_centroids",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    c1 = S.ivf_centroids_for(emb_df, store, n_centroids=4, dim=DIM)
+    assert calls == [1]
+    c2 = S.ivf_centroids_for(emb_df, store, n_centroids=4, dim=DIM)
+    assert calls == [1], "second call must load, not retrain"
+    np.testing.assert_array_equal(c1, c2)
+    out = S.ivf_topk_for_queries(
+        emb_df, emb_df.filter("vec_id < 2"), k=3, dim=DIM,
+        centroids=c2).toPandas()
+    assert set(out["qid"]) == {0, 1}
+    assert (out.groupby("qid")["rank"].max() == 3).all()

@@ -109,14 +109,41 @@ def _plane_dir(p: int, c: int) -> bool:
     return int(hashlib.md5(f"{p}|{c}".encode()).hexdigest()[0], 16) % 2 == 0
 
 
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Row count from Catalyst's optimized-plan statistics — NO Spark job
+    (plan analysis only). Defined for LocalRelations and ANALYZEd catalog
+    tables; None for bare file scans (parquet footers aren't consulted at
+    plan time)."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))  # scala BigInt → str → int
+    except Exception:
+        pass
+    return None
+
+
 def _derive_n_planes(df: DataFrame, n_hint: int | None,
                      target_bucket: int) -> int:
     """Corpus-scaled SRP depth: log2(n/target_bucket) keeps expected bucket
     size ~constant as n grows. Shared by ann_lsh_topk and cosine_near_dups
-    so both always bucket identically for the same corpus."""
+    so both always bucket identically for the same corpus.
+
+    The count comes from ``n_hint``, else from Catalyst plan statistics
+    (zero Spark jobs — the builder stays a pure plan builder). If neither is
+    available this RAISES rather than silently running an eager
+    ``df.count()`` at plan-build time: for file-backed inputs pass ``n_hint``
+    (parquet footer num_rows / catalog statistics; right-to-within-2× is
+    enough) or pin ``n_planes`` directly."""
     import math
 
-    n = n_hint if n_hint is not None else df.count()
+    n = n_hint if n_hint is not None else _plan_row_count(df)
+    if n is None:
+        raise ValueError(
+            "cannot derive the SRP plane count without a corpus size: pass "
+            "n_planes or n_hint (approximate row count — parquet footer "
+            "num_rows or catalog statistics; within ~2x is fine). Deriving "
+            "it here would run an eager df.count() at plan-build time.")
     return min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket))))
 
 
@@ -228,10 +255,10 @@ def ann_lsh_topk(df: DataFrame, k: int = 10, n_planes: int | None = None,
     ``n_hint`` is the approximate corpus size used to derive ``n_planes``
     when the latter isn't given — pass it (from catalog statistics, parquet
     footer metadata, or a known table size; it only needs to be right to
-    within ~2×) to keep this a PURE plan builder. Only if BOTH are None does
-    the builder fall back to ``df.count()``, which runs an eager Spark job at
-    construction time (metadata-only on a bare parquet scan, a real scan on
-    filtered/derived inputs)."""
+    within ~2×). This is a PURE plan builder: when both are None the count
+    comes from Catalyst plan statistics (zero jobs; defined for local
+    relations and ANALYZEd tables), and if that too is unavailable it
+    raises rather than silently running an eager ``df.count()``."""
     cand = _srp_candidates(df, n_planes, dim, bands, target_bucket, n_hint,
                            id_col, vec_col)
     from pyspark.sql import Window
@@ -294,6 +321,52 @@ def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 32,
                 vn = np.linalg.norm(v)
                 if vn > 0:
                     cent[c] = v / vn
+    return cent
+
+
+def save_ivf_centroids(spark, centroids: np.ndarray, ident: str) -> None:
+    """Persist the coarse quantizer as a tiny (cell, centroid) table through
+    the io boundary (parquet ⇄ Iceberg like every other engine table). One
+    file — the quantizer is n_centroids×dim doubles."""
+    from .io import write_table
+
+    rows = [(int(i), [float(x) for x in c])
+            for i, c in enumerate(np.asarray(centroids, dtype=np.float64))]
+    df = spark.createDataFrame(rows, "cell int, centroid array<double>")
+    write_table(df.coalesce(1), ident, mode="overwrite")
+
+
+def load_ivf_centroids(spark, ident: str) -> np.ndarray | None:
+    """The stored quantizer as (n_centroids, dim) float64, or None when the
+    store doesn't exist yet (any other read failure re-raises — same
+    missing-vs-real classification as the lineage store)."""
+    from .io import is_missing_table_error, read_table
+
+    try:
+        rows = read_table(spark, ident).collect()
+    except Exception as e:
+        if is_missing_table_error(e):
+            return None
+        raise
+    rows.sort(key=lambda r: r["cell"])
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_centroids_for(df: DataFrame, store: str, n_centroids: int = 16,
+                      dim: int = 32, n_hint: int | None = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      **train_kw) -> np.ndarray:
+    """Stored-index path: load the quantizer from ``store``; train and save
+    it exactly once if absent. Repeat calls against the same store run NO
+    training job (no corpus sample collect) — the index is built once per
+    corpus, like any persisted ANN index, instead of retrained per query."""
+    spark = df.sparkSession
+    cent = load_ivf_centroids(spark, store)
+    if cent is not None:
+        return cent
+    cent = train_ivf_centroids(df, n_centroids, dim, n_hint=n_hint,
+                               id_col=id_col, vec_col=vec_col, **train_kw)
+    save_ivf_centroids(spark, cent, store)
     return cent
 
 
