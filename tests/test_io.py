@@ -82,3 +82,64 @@ def test_dynamic_overwrite_bootstraps_missing_table(iceberg_env, spark):
     write_table(_FakeDF(_FakeWV2(log)), "ns.t", mode="overwrite",
                 partition_by=("bucket",), dynamic_overwrite=True)
     assert log == ["partitionedBy", "create"]
+
+
+def test_dynamic_overwrite_on_existing_table(iceberg_env):
+    from tsrollup.io import write_table
+
+    log = []
+    write_table(_FakeDF(_FakeWV2(log, exists=True)), "ns.t",
+                mode="overwrite", partition_by=("bucket",),
+                dynamic_overwrite=True)
+    assert log == ["partitionedBy", "overwritePartitions"]
+
+
+def test_dynamic_overwrite_reraises_real_errors(iceberg_env):
+    from tsrollup.io import write_table
+
+    log = []
+    df = _FakeDF(_FakeWV2(log, fail_msg="commit conflict"))
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        write_table(df, "ns.t", mode="overwrite", dynamic_overwrite=True)
+    assert log == []  # no silent create on a non-missing-table failure
+
+
+def test_plain_overwrite_uses_create_or_replace(iceberg_env):
+    from tsrollup.io import write_table
+
+    log = []
+    write_table(_FakeDF(_FakeWV2(log)), "ns.t", mode="overwrite")
+    assert log == ["createOrReplace"]
+
+
+def test_partitioned_append_partitions_before_append(iceberg_env):
+    from tsrollup.io import write_table
+
+    log = []
+    write_table(_FakeDF(_FakeWV2(log, exists=True)), "ns.t", mode="append",
+                partition_by=("source", "tier"))
+    assert log == ["partitionedBy", "append"]
+
+
+def test_missing_table_detection_prefers_error_condition():
+    """is_missing_table_error consults getCondition()/getErrorClass() before
+    the message text — a wrapped/cause-chain message no longer decides."""
+    from tsrollup.io import is_missing_table_error
+
+    class CondErr(Exception):
+        def __init__(self, cond, msg):
+            super().__init__(msg)
+            self._c = cond
+
+        def getCondition(self):
+            return self._c
+
+    # condition says missing, message says nothing: classified missing
+    assert is_missing_table_error(
+        CondErr("PATH_NOT_FOUND", "opaque wrapped text"))
+    # condition present and NOT a missing-tag: message tag still rescues
+    # (Iceberg's NoSuchTable surfaces in the message with no condition)
+    assert is_missing_table_error(RuntimeError("NoSuchTableException: x"))
+    # neither: not missing
+    assert not is_missing_table_error(
+        CondErr("INTERNAL_ERROR", "something else"))

@@ -259,3 +259,47 @@ def test_hour_tier_from_streamed_minute_sink(spark, tmp_path):
     assert len(got) == len(want) > 0
     for c in ("count", "sum", "min", "max"):
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_stateful_rolling_enforces_per_trigger_key_cap(spark, tmp_path):
+    """An unpaired source delivering one key's deep backlog in a single
+    trigger must fail with the contract error (naming the source-config
+    fix), not materialize an unbounded frame; the same input passes with an
+    adequate cap."""
+    from tsrollup.streaming import stream_stateful_rolling
+
+    rng = np.random.default_rng(41)
+    n = 600  # one key, one file, one trigger
+    ev = pd.DataFrame({
+        "user_id": np.zeros(n, dtype=np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    src = tmp_path / "evcap"
+    src.mkdir()
+    ev.to_parquet(src / "p0.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+
+    def run(cap, tag):
+        stream = (spark.readStream
+                  .schema("user_id long, event_id long, ts timestamp, "
+                          "value double")
+                  .parquet(str(src)))
+        q = (stream_stateful_rolling(stream, window_n=4,
+                                     max_rows_per_trigger_key=cap)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / f"sink{tag}"))
+             .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    with pytest.raises(Exception, match="max_rows_per_trigger_key"):
+        q = run(100, "small")
+        q.processAllAvailable()
+    ok = run(n, "ok")
+    assert not ok.isActive
+    got = spark.read.parquet(str(tmp_path / "sinkok"))
+    assert got.count() == n

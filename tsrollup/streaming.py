@@ -87,7 +87,8 @@ ROLLING_OUT_SCHEMA = "user_id long, event_id long, rmean double, n_in_window int
 
 
 def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
-                            timeout: str = "NoTimeout"):
+                            timeout: str = "NoTimeout",
+                            max_rows_per_trigger_key: int = 2_000_000):
     """Custom stateful streaming operator: per-key rolling mean over the last
     ``window_n`` values, state = a ring buffer of the most recent values kept
     in the state store across triggers AND restarts (the north-star
@@ -108,20 +109,43 @@ def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
     Peak memory is O(one trigger's backlog for the hottest key): the
     cross-chunk sort needs the whole group in one frame (chunks carry no
     ordering guarantee, so an incremental per-chunk fold would fold rows out
-    of ts order — the bug this design fixed). The OPERATIONAL bound is
-    therefore the trigger size: pair this operator with
-    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` on the source (as
-    ``read_sequences_stream`` exposes) so a cold start replaying a deep
-    backlog arrives in bounded slices instead of one giant trigger.
+    of ts order — the bug this design fixed). The OPERATIONAL bound is the
+    trigger size: pair this operator with ``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger`` on the source (as ``read_sequences_stream``
+    exposes) so a cold start replaying a deep backlog arrives in bounded
+    slices. That pairing is now ENFORCED in-operator:
+    ``max_rows_per_trigger_key`` caps the rows one key may deliver in one
+    trigger — the cap rejects the trigger with a contract error naming the
+    source-config fix BEFORE materializing past the limit (defense in depth
+    against an unpaired source OOMing a Python worker on a cold start), at
+    the default well above any sanely-configured trigger's hot key.
     """
     import numpy as np
     from pyspark.sql.streaming.state import GroupState
+
+    if max_rows_per_trigger_key <= 0:
+        raise ValueError("max_rows_per_trigger_key must be positive")
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         (buf,) = state.get if state.exists else ([],)
         prev = np.asarray(buf, dtype=np.float64)
-        pdf = pd.concat(list(pdfs), ignore_index=True) \
+        # drain chunks under the cap: reject BEFORE accumulating past it, so
+        # peak memory is bounded by the cap + one Arrow chunk even when the
+        # source delivers an unbounded backlog in a single trigger
+        chunks: list[pd.DataFrame] = []
+        total = 0
+        for ch in pdfs:
+            total += len(ch)
+            if total > max_rows_per_trigger_key:
+                raise ValueError(
+                    f"stream_stateful_rolling: key {key} received more than "
+                    f"max_rows_per_trigger_key={max_rows_per_trigger_key} "
+                    "rows in one trigger. Bound the trigger with "
+                    "maxFilesPerTrigger/maxBytesPerTrigger on the source "
+                    "(or raise the cap if this volume is intended).")
+            chunks.append(ch)
+        pdf = pd.concat(chunks, ignore_index=True) \
             .sort_values(["ts", "event_id"])
         if len(pdf):
             vals = pdf["value"].to_numpy(np.float64)
