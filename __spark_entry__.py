@@ -599,11 +599,15 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_conv1d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted rolling aggregate ≙ Conv1D(k=3, stride=2, 'valid')
-    (reference models_keras.py:386; SURVEY §2.4 'the heart of the mapping')."""
-    from tsrollup.convolve import conv1d
+    (reference models_keras.py:386; SURVEY §2.4 'the heart of the mapping'),
+    MERGED with the dilation_rate=2 variant (reference TCN-style blocks,
+    models_pytorch.py dilation kwargs) in the same scan: y_d2 reads taps
+    x[s], x[s+2], x[s+4] and is NULL past its narrower valid range."""
+    from tsrollup.convolve import conv1d_dilations
 
-    return conv1d(_tokenized(spark, sf_dir), weights=(0.25, 0.5, 0.25),
-                  stride=2, padding="valid")
+    return conv1d_dilations(_tokenized(spark, sf_dir),
+                            weights=(0.25, 0.5, 0.25), stride=2,
+                            dilations=(1, 2))
 
 
 def q_conv1d_same(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,6 +1450,9 @@ ORDER BY cos_sim DESC, id_a, id_b LIMIT 10
 
     # conv ops: the 0.0-init left-fold in Spark is (((0+a)+b)+c); the SQL
     # sum parses the same way, so doubles match bit-for-bit.
+    # y_d2 = the dilation-2 taps x[s], x[s+2], x[s+4] (1-based t[s+1],
+    # t[s+3], t[s+5]); NULL once s+5 > len(t) — the dilated variant's
+    # narrower valid range, same NULL on both engines
     sqls["conv1d_valid"] = """
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1457,7 +1464,11 @@ WITH tok AS (
 )
 SELECT doc_id, (s // 2)::BIGINT AS pos,
        0.0 + t[s+1]::DOUBLE * 0.25 + t[s+2]::DOUBLE * 0.5
-           + t[s+3]::DOUBLE * 0.25 AS y
+           + t[s+3]::DOUBLE * 0.25 AS y,
+       CASE WHEN s + 5 <= len(t) THEN
+         0.0 + t[s+1]::DOUBLE * 0.25 + t[s+3]::DOUBLE * 0.5
+             + t[s+5]::DOUBLE * 0.25
+       END AS y_d2
 FROM st
 """
 

@@ -134,3 +134,32 @@ def test_ewma_bidir_and_scan_features_match_numpy(spark, toks_df):
         assert g["ewma_last"] == fold(x) and g["ewma_bwd"] == fold(x[::-1])
         assert g["run_max"] == max(x) and g["run_min"] == min(x)
         assert g["last_tok"] == x[-1]
+
+
+def test_conv1d_dilations_single_scan_matches_per_rate_runs(spark, toks_df):
+    """The one-scan multi-dilation merge equals running conv1d separately at
+    each rate: y == conv1d(dilation=1), y_d2 == conv1d(dilation=2) at shared
+    positions and NULL past the dilated variant's shorter valid range."""
+    from tsrollup.convolve import conv1d, conv1d_dilations
+
+    w, stride = (0.25, 0.5, 0.25), 2
+    got = (conv1d_dilations(toks_df, w, stride=stride, dilations=(1, 2))
+           .toPandas().set_index(["doc_id", "pos"]).sort_index())
+    base = (conv1d(toks_df, w, stride=stride, padding="valid", dilation=1)
+            .toPandas().set_index(["doc_id", "pos"]).sort_index())
+    dil = (conv1d(toks_df, w, stride=stride, padding="valid", dilation=2)
+           .toPandas().set_index(["doc_id", "pos"]).sort_index())
+    assert got.index.equals(base.index)
+    np.testing.assert_array_equal(got["y"].values, base["y"].values)
+    have = got["y_d2"].dropna()
+    assert have.index.equals(dil.index)  # NULL exactly past the dilated range
+    np.testing.assert_array_equal(have.values, dil["y"].values)
+
+
+def test_conv1d_dilations_rejects_bad_rates(spark, toks_df):
+    from tsrollup.convolve import conv1d_dilations
+
+    with pytest.raises(ValueError):
+        conv1d_dilations(toks_df, (0.5, 0.5), dilations=(2, 1))
+    with pytest.raises(ValueError):
+        conv1d_dilations(toks_df, (0.5, 0.5), dilations=())

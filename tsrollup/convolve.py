@@ -90,6 +90,45 @@ def conv1d(df: DataFrame, weights: Sequence[float], stride: int = 1,
     return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "y")
 
 
+def conv1d_dilations(df: DataFrame, weights: Sequence[float],
+                     stride: int = 1, dilations: Sequence[int] = (1, 2),
+                     tokens_col: str = "tokens") -> DataFrame:
+    """'valid' conv at SEVERAL dilation rates in one corpus scan (reference
+    dilated convs models_pytorch.py — dilation_rate kwarg throughout the
+    TCN-style blocks), aligned by output position: every rate reads window
+    start = pos·stride, so rows line up exactly; a wider-span rate has fewer
+    valid positions and carries NULL past its last one.
+
+    Columns: ``y`` for dilations[0], ``y_d{d}`` for each further rate.
+    ``dilations`` must be strictly increasing so the first rate has the most
+    positions (it defines the exploded sequence). One select, one explode —
+    the established single-scan merge shape; running conv1d once per rate
+    would scan the corpus len(dilations) times."""
+    if list(dilations) != sorted(set(dilations)) or not dilations:
+        raise ValueError("dilations must be strictly increasing and non-empty")
+    k = len(weights)
+    spans = [(k - 1) * d for d in dilations]
+    staged = df.select("doc_id", F.col(tokens_col).alias("_pt"))
+    pt = F.col("_pt")
+    n = F.size(pt)
+    base = spans[0]
+    starts = F.sequence(F.lit(0), n - 1 - base, F.lit(stride))
+
+    def entry(s):
+        fields = [_window_dot(pt, s, weights, dilations[0]).alias("y")]
+        for d, sp in zip(dilations[1:], spans[1:]):
+            fields.append(
+                F.when(s <= n - 1 - sp, _window_dot(pt, s, weights, d))
+                .alias(f"y_d{d}"))
+        return F.struct(*fields)
+
+    out = staged.filter(n > base).select(
+        "doc_id", F.posexplode(F.transform(starts, entry)).alias("pos", "_v"))
+    cols = ["y"] + [f"y_d{d}" for d in dilations[1:]]
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"),
+                      *[F.col(f"_v.{c}").alias(c) for c in cols])
+
+
 def relu_stats(df: DataFrame, threshold: int = 0, leaky_alpha: float = 0.01,
                tokens_col: str = "tokens") -> DataFrame:
     """ReLU + LeakyReLU activations over each doc's signal (reference relu
