@@ -76,7 +76,6 @@ HEADLINE = [
     "conv1d_same",
     "conv1d_same_strided",
     "conv1d_full",
-    "moving_average",
     "pool_overlap",
     "dense_proj",
     "tier_join",

@@ -163,3 +163,25 @@ def test_conv1d_dilations_rejects_bad_rates(spark, toks_df):
         conv1d_dilations(toks_df, (0.5, 0.5), dilations=(2, 1))
     with pytest.raises(ValueError):
         conv1d_dilations(toks_df, (0.5, 0.5), dilations=())
+
+
+def test_conv1d_same_with_ma_matches_separate_ops(spark, toks_df):
+    """The same+moving-average merge equals conv1d('same') and the uniform
+    4-tap 'valid' conv run separately, with y_ma NULL exactly past the MA's
+    shorter valid range."""
+    from tsrollup.convolve import conv1d, conv1d_same_with_ma
+
+    got = (conv1d_same_with_ma(toks_df, (0.25, 0.5, 0.25), ma_taps=4)
+           .toPandas().set_index(["doc_id", "pos"]).sort_index())
+    same = (conv1d(toks_df, (0.25, 0.5, 0.25), stride=1, padding="same")
+            .toPandas().set_index(["doc_id", "pos"]).sort_index())
+    ma = (conv1d(toks_df, (0.25, 0.25, 0.25, 0.25), stride=1,
+                 padding="valid")
+          .toPandas().set_index(["doc_id", "pos"]).sort_index())
+    assert got.index.equals(same.index)
+    np.testing.assert_array_equal(got["y"].values, same["y"].values)
+    have = got["y_ma"].dropna()
+    assert have.index.equals(ma.index)
+    np.testing.assert_array_equal(have.values, ma["y"].values)
+    with pytest.raises(ValueError):
+        conv1d_same_with_ma(toks_df, (0.5, 0.5))  # even kernel

@@ -129,6 +129,45 @@ def conv1d_dilations(df: DataFrame, weights: Sequence[float],
                       *[F.col(f"_v.{c}").alias(c) for c in cols])
 
 
+def conv1d_same_with_ma(df: DataFrame, weights: Sequence[float],
+                        ma_taps: int = 4,
+                        tokens_col: str = "tokens") -> DataFrame:
+    """'same'-padding stride-1 conv MERGED with a uniform ``ma_taps``-tap
+    'valid' moving average (reference IGN_experiment.py:190-205
+    np.convolve/ones(w)) in ONE corpus scan: rows are the same-conv
+    positions 0..T−1; ``y_ma`` carries the moving average whose window
+    STARTS at the same position, NULL past its shorter valid range
+    (pos > T−ma_taps). ``weights`` must have odd length (the centered-pad
+    split below assumes it; even-k Keras SAME pads asymmetrically on a
+    different formula)."""
+    k = len(weights)
+    if k % 2 == 0:
+        raise ValueError("conv1d_same_with_ma needs an odd kernel length")
+    span = k - 1
+    pad_left = span // 2
+    tok = F.col(tokens_col)
+    padded = F.concat(F.array_repeat(F.lit(0), pad_left), tok,
+                      F.array_repeat(F.lit(0), span - pad_left))
+    staged = df.select("doc_id", padded.alias("_pt"),
+                       F.size(tok).alias("_n0"))
+    pt, n0 = F.col("_pt"), F.col("_n0")
+    starts = F.sequence(F.lit(0), n0 - 1)
+    ma_w = tuple(1.0 / ma_taps for _ in range(ma_taps))
+
+    def entry(s):
+        # original tok[j] sits at padded[j + pad_left]: the MA reads
+        # unpadded taps through the one staged padded array
+        return F.struct(
+            _window_dot(pt, s, weights).alias("y"),
+            F.when(s <= n0 - ma_taps,
+                   _window_dot(pt, s + pad_left, ma_w)).alias("y_ma"))
+
+    out = staged.filter(n0 > 0).select(
+        "doc_id", F.posexplode(F.transform(starts, entry)).alias("pos", "_v"))
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"),
+                      F.col("_v.y").alias("y"), F.col("_v.y_ma").alias("y_ma"))
+
+
 def relu_stats(df: DataFrame, threshold: int = 0, leaky_alpha: float = 0.01,
                tokens_col: str = "tokens") -> DataFrame:
     """ReLU + LeakyReLU activations over each doc's signal (reference relu
