@@ -22,13 +22,27 @@ Methodology (each choice is load-bearing):
   two separate spark-submit invocations.
 * **Steady state.** One warm pass (JIT + Python worker spawn), then the
   minimum of ``PASSES`` measured full materializations (noop sink).
+* **Interleaved rounds.** The legs run A/B/C, A/B/C, … for ``ROUNDS``
+  rounds (fresh JVM each) and each leg reports its minimum across ALL
+  rounds. Sandbox co-tenant load drifts on a minutes timescale; a serial
+  layout (all N passes, then all 4N passes) hands one leg an unluckier
+  window than the other and the ratio swings both ways (observed 0.76 and
+  1.29 back-to-back under load). Interleaving exposes every leg to every
+  load window, so the per-leg minima come from comparable conditions.
 * **Parallelism-invariance.** Each leg emits an order-insensitive value
   hash (Σ xxhash64 over each rolled-up point's canonical string) — the
   sandbox analog of "every rolled-up point matches at N and 4N executors".
 
 Usage: python tools/bench_scaling.py              # writes BENCH/BASELINE.md
+       python tools/bench_scaling.py --merge      # fold into prior legs.json
        python tools/bench_scaling.py --worker 8   # one leg (internal)
        python tools/bench_scaling.py --report-only # re-render from cache
+
+``--merge`` folds this invocation's passes into the existing
+``BENCH/legs.json`` taking per-leg minima. Co-tenant load only ever ADDS
+wall time, so the minimum over repeated interleaved invocations is a
+consistent estimator of the uncontended steady state — the record keeps
+every pass, so the spread is auditable.
 """
 
 from __future__ import annotations
@@ -44,7 +58,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("TSROLLUP_SCALE_DOCS", "128000"))
 SEED = 42
-PASSES = 4
+PASSES = int(os.environ.get("TSROLLUP_SCALE_PASSES", "2"))
+ROUNDS = int(os.environ.get("TSROLLUP_SCALE_ROUNDS", "3"))
 LEGS = {2: "0-1", 8: "0-7", 32: "0-31"}  # cores -> taskset cpu list
 SPLIT_BYTES = 2 * 1024 * 1024  # emulate a real table's split abundance
 
@@ -142,15 +157,41 @@ def main() -> int:
     else:
         _ensure_fixture()  # generate once (Spark-parallel), outside timing
         results = {}
-        for cores, cpus in LEGS.items():
-            proc = subprocess.run(
-                ["taskset", "-c", cpus, sys.executable,
-                 os.path.abspath(__file__), "--worker", str(cores)],
-                capture_output=True, text=True, check=True)
-            line = [ln for ln in proc.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            results[cores] = json.loads(line)
-            print(line)
+        for rnd in range(ROUNDS):
+            for cores, cpus in LEGS.items():
+                proc = subprocess.run(
+                    ["taskset", "-c", cpus, sys.executable,
+                     os.path.abspath(__file__), "--worker", str(cores)],
+                    capture_output=True, text=True, check=True)
+                line = [ln for ln in proc.stdout.splitlines()
+                        if ln.startswith("{")][-1]
+                r = json.loads(line)
+                print(line)
+                prev = results.get(cores)
+                if prev is None:
+                    results[cores] = r
+                else:
+                    # hash/point-count must agree across rounds (same job,
+                    # same input) — a mismatch is a real defect, not noise
+                    assert r["value_hash"] == prev["value_hash"], cores
+                    assert r["n_points"] == prev["n_points"], cores
+                    prev["passes"] = prev["passes"] + r["passes"]
+                    if r["secs"] < prev["secs"]:
+                        prev["secs"] = r["secs"]
+                        prev["seqs_per_sec"] = r["seqs_per_sec"]
+        if "--merge" in sys.argv and os.path.exists("BENCH/legs.json"):
+            with open("BENCH/legs.json") as f:
+                for k, r in json.load(f).items():
+                    cur = results.get(int(k))
+                    if cur is None:
+                        results[int(k)] = r
+                        continue
+                    assert r["value_hash"] == cur["value_hash"], k
+                    assert r["n_points"] == cur["n_points"], k
+                    cur["passes"] = cur["passes"] + r["passes"]
+                    if r["secs"] < cur["secs"]:
+                        cur["secs"] = r["secs"]
+                        cur["seqs_per_sec"] = r["seqs_per_sec"]
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/legs.json", "w") as f:
             json.dump(results, f, indent=1)
@@ -176,15 +217,19 @@ rollup job (gap-fill → base + 1h + 1d tiers, spectral features, zero shuffle)
 over the same seeded F1 input ({N_DOCS} docs, seed {SEED}), each leg a fresh
 JVM pinned with ``taskset`` to exactly its core budget (a pandas-UDF job on
 local[N] really uses ~2N cores — JVM task threads + Python workers — so
-unpinned legs overstate the small leg). One warm pass, then min of {PASSES}
-measured full materializations. See module docstring of
-`tools/bench_scaling.py` for the full methodology.
+unpinned legs overstate the small leg). Legs INTERLEAVED round-robin
+(fresh JVM each; co-tenant load drifts on a minutes timescale, so a serial
+layout hands one leg an unluckier window); per leg: one warm pass per JVM,
+then the minimum over every recorded materialization (all passes kept in
+`BENCH/legs.json` — load only adds wall time, so the min over repeated
+interleaved runs estimates the uncontended steady state). See module
+docstring of `tools/bench_scaling.py` for the full methodology.
 
-| leg | cores (pinned) | best wall (s) | throughput (seqs/s) | points | value hash |
-|---|---|---|---|---|---|
-| N | 2 | {lo['secs']} | {lo['seqs_per_sec']} | {lo['n_points']} | `{lo['value_hash']}` |
-| 4N | 8 | {hi['secs']} | {hi['seqs_per_sec']} | {hi['n_points']} | `{hi['value_hash']}` |
-| full box | 32 | {full['secs']} | {full['seqs_per_sec']} | {full['n_points']} | `{full['value_hash']}` |
+| leg | cores (pinned) | best wall (s) | throughput (seqs/s) | n passes | worst (s) | points | value hash |
+|---|---|---|---|---|---|---|---|
+| N | 2 | {lo['secs']} | {lo['seqs_per_sec']} | {len(lo['passes'])} | {max(lo['passes'])} | {lo['n_points']} | `{lo['value_hash']}` |
+| 4N | 8 | {hi['secs']} | {hi['seqs_per_sec']} | {len(hi['passes'])} | {max(hi['passes'])} | {hi['n_points']} | `{hi['value_hash']}` |
+| full box | 32 | {full['secs']} | {full['seqs_per_sec']} | {len(full['passes'])} | {max(full['passes'])} | {full['n_points']} | `{full['value_hash']}` |
 
 **Scaling efficiency (4N vs N): {eff:.3f}** (target ≥ 0.8, north_rule).{supernote}
 
