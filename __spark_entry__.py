@@ -578,6 +578,12 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                             n_hint=n + 50)
 
 
+# in-process memo over the stored quantizer (keyed by store path): repeat
+# gate-query invocations in one session skip even the tiny load job; the
+# on-disk store remains the cross-session source of truth
+_IVF_MEMO: dict[str, "object"] = {}
+
+
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (the inverted-file twin of the SRP-LSH path — the
     brief's 'IVF or LSH' pair, both provided): bounded driver-side Lloyd
@@ -599,7 +605,10 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
     store = os.path.join(_cache(sf_dir, f"ivf-centroids-n{n}"), "centroids")
-    cent = ivf_centroids_for(emb, store, n_centroids=16, dim=64, n_hint=n)
+    cent = _IVF_MEMO.get(store)
+    if cent is None:
+        cent = ivf_centroids_for(emb, store, n_centroids=16, dim=64, n_hint=n)
+        _IVF_MEMO[store] = cent
     return ivf_topk_for_queries(emb, emb.filter("vec_id < 3"), k=5,
                                 n_centroids=16, nprobe=4, dim=64,
                                 centroids=cent)
