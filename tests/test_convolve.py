@@ -185,3 +185,30 @@ def test_conv1d_same_with_ma_matches_separate_ops(spark, toks_df):
     np.testing.assert_array_equal(have.values, ma["y"].values)
     with pytest.raises(ValueError):
         conv1d_same_with_ma(toks_df, (0.5, 0.5))  # even kernel
+
+
+@pytest.mark.parametrize("stride,dilations", [(1, (1, 2)), (2, (1, 3)),
+                                              (3, (2, 5)), (1, (1, 2, 4))])
+def test_conv1d_dilations_property_vs_numpy(spark, toks_df, stride,
+                                            dilations):
+    """Every dilation column of the merged single-scan frame equals the
+    NumPy 'valid' conv at that rate, aligned by shared start = pos·stride,
+    for arbitrary stride/rate combinations."""
+    from tsrollup.convolve import conv1d_dilations
+
+    w = (0.5, -0.25, 0.125)
+    got = (conv1d_dilations(toks_df, w, stride=stride, dilations=dilations)
+           .toPandas())
+    pdf = toks_df.toPandas().set_index("doc_id")["tokens"]
+    cols = ["y"] + [f"y_d{d}" for d in dilations[1:]]
+    checked = 0
+    for doc_id, g in got.groupby("doc_id"):
+        g = g.sort_values("pos").reset_index(drop=True)
+        x = pdf[doc_id]
+        for col, d in zip(cols, dilations):
+            want = np_conv(x, w, stride, "valid", dilation=d)
+            have = g[col].dropna()
+            assert list(have.index) == list(range(len(want))), (doc_id, col)
+            np.testing.assert_array_equal(have.values, np.asarray(want))
+            checked += 1
+    assert checked > 50
