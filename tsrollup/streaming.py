@@ -145,6 +145,12 @@ def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
                     "maxFilesPerTrigger/maxBytesPerTrigger on the source "
                     "(or raise the cap if this volume is intended).")
             chunks.append(ch)
+        if not chunks:
+            # a TIMED-OUT key delivers no chunks (pd.concat([]) would
+            # raise); keep its ring buffer as-is so a later arrival still
+            # folds against the preserved state
+            state.update((prev.tolist(),))
+            return
         pdf = pd.concat(chunks, ignore_index=True) \
             .sort_values(["ts", "event_id"])
         if len(pdf):
