@@ -29,8 +29,22 @@ W0 = 16  # base window for document-token rollups (docs are short)
 
 # ------------------------------------------------------------ helpers -------
 
+def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a FACT table with the small-scan parallelism guard: the sf
+    fixtures arrive as one single-row-group file per table (row groups are
+    the parquet split atom, so maxPartitionBytes can't subdivide them), and
+    without the guard every pre-shuffle operator — shingle explode, md5,
+    conv position explode, pandas_udf matmuls — runs on ONE core of 32.
+    At 100 TB the guard is a structural no-op (see io.scan_min_parallel).
+    Dimension tables (nation/region/customer/...) stay unwrapped: they ride
+    broadcast joins where an extra exchange is pure loss."""
+    from tsrollup.io import scan_min_parallel
+
+    return scan_min_parallel(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fact(spark, sf_dir, "documents")
 
 
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +323,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessor and drop out (inner)."""
     from tsrollup.joins import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _fact(spark, sf_dir, "events") \
         .select("event_id", "user_id", "ts", "value")
     # session tz is UTC → NTZ cast matches DuckDB's naive-as-UTC epoch_us
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -352,7 +366,7 @@ def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation of the lineage (the earlier two-branch form re-ran the scan
     and window twice; plan-guarded). Merged to free an oracle slot for
     range_join."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _fact(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
@@ -390,7 +404,7 @@ def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling mean over an ordered frame ≙ reference moving_average
     (IGN_experiment.py:190-205)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _fact(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
     return ev.select("event_id", F.avg("value").over(w).alias("rmean"))
 
@@ -398,7 +412,7 @@ def q_rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_downsample_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling time-window downsample ≙ AveragePooling1D (blocks_keras.py:25);
     decimal-exact sums cast to double for cross-engine determinism."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _fact(spark, sf_dir, "events")
     # session tz is UTC → NTZ cast matches DuckDB's naive-as-UTC epoch_us
     minute = (F.unix_micros(F.col("ts").cast("timestamp"))
               / F.lit(60_000_000)).cast("long")
@@ -418,7 +432,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketize-then-filter must reproduce it exactly."""
     from tsrollup.joins import range_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _fact(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     pts = ev.select("event_id", "user_id", "event_type", us.alias("_us"))
     iv = (pts.groupBy("user_id", F.col("event_type").alias("itype"))
@@ -434,14 +448,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by score ≙ reference anomaly argsort top-k (keras_experiment.py:590-593)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _fact(spark, sf_dir, "events")
     return (ev.orderBy(F.desc("value"), F.asc("event_id"))
             .select("event_id", "user_id", "value").limit(20))
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary; decimal-exact aggregation → double."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _fact(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -459,8 +473,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with broadcast dims (customer⋈orders⋈lineitem⋈nation)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _fact(spark, sf_dir, "lineitem")
+    o = _fact(spark, sf_dir, "orders")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -531,14 +545,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.similarity import cosine_topk_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 100")
+    emb = _fact(spark, sf_dir, "embeddings").filter("vec_id < 100")
     return cosine_topk_pairs(emb, k=10)
 
 
 def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.similarity import cosine_topk_for_queries
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _fact(spark, sf_dir, "embeddings")
     return cosine_topk_for_queries(emb, emb.filter("vec_id < 3"), k=5)
 
 
@@ -554,7 +568,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.similarity import ann_lsh_topk
 
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _fact(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, k=10, dim=64, n_hint=n)
 
 
@@ -570,7 +584,7 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.similarity import cosine_near_dups
 
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _fact(spark, sf_dir, "embeddings") \
         .select("vec_id", "embedding")
     dups = emb.filter("vec_id < 50").select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
@@ -594,17 +608,22 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantizer is a STORED index (trained once per corpus via
     ``ivf_centroids_for``, persisted through the io boundary and reloaded on
     repeat calls — the frozen-encoder reuse pattern, reference
-    arrythmia_experiment.py:191-193). The store key includes the corpus row
-    count so a changed fixture retrains; training itself is deterministic,
-    so cached and fresh runs produce identical cells."""
+    arrythmia_experiment.py:191-193). The store key covers everything that
+    invalidates the trained quantizer: index geometry (n_centroids, dim) AND
+    a corpus content fingerprint (row count + file size + mtime), so a
+    regenerated fixture with the same row count — or a geometry change —
+    retrains instead of silently reusing a stale store. Training itself is
+    deterministic, so cached and fresh runs produce identical cells."""
     import pyarrow.parquet as pq
 
     from tsrollup.similarity import ivf_centroids_for, ivf_topk_for_queries
 
-    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .select("vec_id", "embedding")
-    store = os.path.join(_cache(sf_dir, f"ivf-centroids-n{n}"), "centroids")
+    src = f"{sf_dir}/embeddings.parquet"
+    n = pq.ParquetFile(src).metadata.num_rows
+    emb = _fact(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    st = os.stat(src)
+    fp = f"n{n}-s{st.st_size}-m{int(st.st_mtime)}"
+    store = os.path.join(_cache(sf_dir, f"ivf-c16-d64-{fp}"), "centroids")
     cent = _IVF_MEMO.get(store)
     if cent is None:
         cent = ivf_centroids_for(emb, store, n_centroids=16, dim=64, n_hint=n)
@@ -738,7 +757,7 @@ def q_one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    StructType)
 
     csv_dir = _scratch(sf_dir, "onehot-csv")
-    (spark.read.parquet(f"{sf_dir}/events.parquet")
+    (_fact(spark, sf_dir, "events")
      .select(F.col("event_id").cast("long"), F.col("user_id").cast("long"),
              "event_type")
      .write.mode("overwrite").option("header", True).csv(csv_dir))
@@ -757,24 +776,17 @@ def q_one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_residual_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual add of a coarse branch (avg-pool/2 → upsample×2 → crop) onto
     the input ≙ reference residual blocks with pad/crop alignment
-    (blocks_keras.py:157-161). Returns checksum aggregates of the summed
-    signal so the whole aligned zip_with path is value-checked."""
-    t = F.col("tokens")
-    n = F.size(t)
-    half = F.transform(
-        F.sequence(F.lit(0), (F.floor(n / 2) - 1).cast("int")),
-        lambda i: (F.element_at(t, 2 * i + 1) + F.element_at(t, 2 * i + 2))
-        .cast("double") / F.lit(2.0))
-    up = F.flatten(F.transform(half, lambda v: F.array(v, v)))
-    aligned = F.slice(up, 1, F.size(up))  # even length ≤ n; crop input to it
-    res = F.zip_with(F.slice(t, 1, F.size(up)), aligned,
-                     lambda x, u: x.cast("double") + u)
-    return (_tokenized(spark, sf_dir)
-            .filter(n >= 2)
-            .select("doc_id",
-                    F.size(res).cast("long").alias("n_res"),
-                    F.aggregate(res, F.lit(0.0), lambda a, x: a + x)
-                     .alias("res_sum")))
+    (blocks_keras.py:157-161), checksum-aggregated so the whole aligned
+    zip_with path is value-checked — MERGED (round 5, freeing the ledger
+    slot dedup_cluster now occupies) with the en_loss clip→−log→pow→mean
+    reduction (≙ reference YiboGao custom loss, models_keras.py:1538-1550;
+    per-element terms rounded to 9 decimals, bit-identical JVM↔DuckDB over
+    the token domain) in the same scan. Single-token docs carry NULL
+    residual columns (the branch needs ≥2 positions); en_loss covers every
+    non-empty doc."""
+    from tsrollup.gating import residual_en_features
+
+    return residual_en_features(_tokenized(spark, sf_dir))
 
 
 def q_attention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,19 +815,27 @@ def q_activations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activation_features(_tokenized(spark, sf_dir), threshold=8)
 
 
-def q_en_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """en_loss clip→−log→pow(γ)→mean reduction (≙ reference YiboGao custom
-    loss, models_keras.py:1538-1550); per-element terms rounded to 9 decimals
-    (verified bit-identical JVM↔DuckDB over the token domain)."""
-    from tsrollup.gating import en_loss
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup CLUSTERING — the near-dup twin of exact_dedup's
+    keep_doc_id (reference analog: annotation-run grouping into equivalence
+    classes, data.py:50-57): connected components over the MinHash-LSH
+    candidate edge list, one (doc_id, cluster_rep, cluster_sz) row per doc,
+    cluster_rep = min doc_id of the component (singletons: themselves).
+    keep = (doc_id = cluster_rep) is the dedup decision. Edges are the
+    hash-exact lsh_pairs output, so DuckDB reproduces the same graph and a
+    recursive-CTE transitive closure yields the same components —
+    a full value oracle for an iterative graph algorithm."""
+    from tsrollup.dedup import lsh_candidate_pairs, near_dup_clusters
 
-    return en_loss(_tokenized(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    edges = lsh_candidate_pairs(docs, k=4, bands=2, n=3, max_bucket=100)
+    return near_dup_clusters(edges, docs.select("doc_id"))
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity metrics in one scan via GROUPING SETS (engine metric
     rollups, SURVEY §2.7): per-user, per-event-type, and grand total."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _fact(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events_gs")
     # grouping-set NULL keys → '*' sentinels so cross-engine sort/compare of
     # the result is total-order-safe
@@ -850,7 +870,7 @@ def q_segment_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-length zero-padded segments."""
     from tsrollup.segments import extract_segments
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _fact(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev2 = ev.withColumn("pos", F.row_number().over(w) - 1)
     signal = (ev2.groupBy("user_id")
@@ -1021,7 +1041,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     column), and cosine_topk moved to the tail — it keeps its oracle entry
     (tail oracles are simply unrecorded by the driver) and its exactness is
     pytest-pinned vs NumPy; as the pinned-100-vector quadratic baseline it
-    is the least scale-representative oracle row."""
+    is the least scale-representative oracle row.
+    Round-5 window change: en_loss merged into residual_add's scan (same
+    per-doc grain, n_tok/en_loss columns), freeing the slot for
+    dedup_cluster — fuzzy-dedup connected components with a recursive-CTE
+    value oracle."""
     return {
         # --- oracle-backed (slots 1-50) ---
         "rollup_base": q_rollup_base,
@@ -1062,7 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "residual_add": q_residual_add,
         "attention_gate": q_attention_gate,
         "activations": q_activations,
-        "en_loss": q_en_loss,
+        "dedup_cluster": q_dedup_cluster,
         "grouping_sets": q_grouping_sets,
         "hash_split": q_hash_split,
         "rollup_chunked": q_rollup_chunked,
@@ -1499,6 +1523,43 @@ SELECT DISTINCT doc_a, doc_b FROM (
 ) _
 """
 
+    # connected components over the SAME hash-exact lsh_pairs edge graph:
+    # recursive-CTE transitive closure (tractable at oracle scale — dup
+    # components are tiny), min reachable id = cluster_rep, singletons via
+    # the LEFT JOIN back to documents
+    sqls["dedup_cluster"] = f"""
+WITH RECURSIVE sig AS ({_MINHASH.format(shingles=shingles_all)}),
+b0 AS (SELECT mh0, mh1 FROM sig GROUP BY mh0, mh1 HAVING COUNT(*) <= 100),
+b1 AS (SELECT mh2, mh3 FROM sig GROUP BY mh2, mh3 HAVING COUNT(*) <= 100),
+edges AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+     AND a.doc_id < b.doc_id
+    JOIN b0 ON a.mh0 = b0.mh0 AND a.mh1 = b0.mh1
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+    FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3
+     AND a.doc_id < b.doc_id
+    JOIN b1 ON a.mh2 = b1.mh2 AND a.mh3 = b1.mh3
+  ) _
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+rep AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep
+        FROM reach GROUP BY u),
+allr AS (SELECT d.doc_id, COALESCE(rep.cluster_rep, d.doc_id) AS cluster_rep
+         FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id)
+SELECT doc_id, cluster_rep,
+       COUNT(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_sz
+FROM allr
+"""
+
     sqls["simhash"] = _simhash_oracle(16)
 
     sqls["cosine_topk"] = """
@@ -1682,6 +1743,9 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+    # merged slot (round 5): residual checksums (NULL for single-token docs
+    # — the branch needs >=2 positions) + en_loss over every non-empty doc,
+    # one scan both engines
     sqls["residual_add"] = """
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1689,19 +1753,29 @@ WITH tok AS (
   FROM documents
 ), r AS (
   SELECT doc_id, t,
-         flatten(list_transform(
+         CASE WHEN len(t) >= 2 THEN flatten(list_transform(
            range(0, len(t) // 2),
            i -> [ (t[2*i+1] + t[2*i+2])::DOUBLE / 2.0,
-                  (t[2*i+1] + t[2*i+2])::DOUBLE / 2.0 ])) AS up
-  FROM tok WHERE len(t) >= 2
+                  (t[2*i+1] + t[2*i+2])::DOUBLE / 2.0 ])) END AS up,
+         list_transform(t, x -> CASE WHEN x % 2 = 1
+           THEN round(pow(-ln(least(greatest(x::DOUBLE / 100.0, 1.0e-7),
+                                    1.0 - 1.0e-7)), 0.3), 9)
+           ELSE round(pow(-ln(1.0 - least(greatest(x::DOUBLE / 100.0, 1.0e-7),
+                                          1.0 - 1.0e-7)), 0.3), 9)
+           END) AS tm
+  FROM tok WHERE len(t) > 0
 ), z AS (
   SELECT doc_id, len(up)::BIGINT AS n_res,
          list_transform(range(0, len(up)),
-                        i -> t[i+1]::DOUBLE + up[i+1]) AS res
+                        i -> t[i+1]::DOUBLE + up[i+1]) AS res,
+         tm
   FROM r
 )
 SELECT doc_id, n_res,
-       list_reduce(list_prepend(0.0, res), (acc, x) -> acc + x) AS res_sum
+       list_reduce(list_prepend(0.0, res), (acc, x) -> acc + x) AS res_sum,
+       len(tm)::BIGINT AS n_tok,
+       list_reduce(list_prepend(0.0, tm), (a, b) -> a + b)
+         / len(tm)::DOUBLE AS en_loss
 FROM z
 """
 
@@ -1764,27 +1838,6 @@ SELECT doc_id, len(th)::BIGINT AS n_tok,
        len(list_filter(act, y -> y > 0))::BIGINT AS n_active,
        list_reduce(list_prepend(0.0, lk), (a_, b) -> a_ + b) AS leaky_sum
 FROM a
-"""
-
-    sqls["en_loss"] = """
-WITH tok AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         list_transform(string_split(text, ' '), w -> length(w)) AS t
-  FROM documents
-), terms AS (
-  SELECT doc_id,
-         list_transform(t, x -> CASE WHEN x % 2 = 1
-           THEN round(pow(-ln(least(greatest(x::DOUBLE / 100.0, 1.0e-7),
-                                    1.0 - 1.0e-7)), 0.3), 9)
-           ELSE round(pow(-ln(1.0 - least(greatest(x::DOUBLE / 100.0, 1.0e-7),
-                                          1.0 - 1.0e-7)), 0.3), 9)
-           END) AS tm
-  FROM tok WHERE len(t) > 0
-)
-SELECT doc_id, len(tm)::BIGINT AS n_tok,
-       list_reduce(list_prepend(0.0, tm), (a, b) -> a + b)
-         / len(tm)::DOUBLE AS en_loss
-FROM terms
 """
 
     sqls["grouping_sets"] = """

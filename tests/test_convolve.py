@@ -163,6 +163,12 @@ def test_conv1d_dilations_rejects_bad_rates(spark, toks_df):
         conv1d_dilations(toks_df, (0.5, 0.5), dilations=(2, 1))
     with pytest.raises(ValueError):
         conv1d_dilations(toks_df, (0.5, 0.5), dilations=())
+    # non-positive rates would silently read the same tap (0) or earlier
+    # positions (negative) — must be rejected, not computed
+    with pytest.raises(ValueError):
+        conv1d_dilations(toks_df, (0.5, 0.5), dilations=(0, 2))
+    with pytest.raises(ValueError):
+        conv1d_dilations(toks_df, (0.5, 0.5), dilations=(-1, 1))
 
 
 def test_conv1d_same_with_ma_matches_separate_ops(spark, toks_df):

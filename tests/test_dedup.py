@@ -96,3 +96,38 @@ def test_lsh_bucket_cap_excludes_dup_clusters(spark):
         df, k=8, bands=4, n=3, max_bucket=5).toPandas().values))
     assert (100, 101) in got
     assert not any(a < 12 and b < 12 for a, b in got)
+
+
+def test_near_dup_clusters_planted_components(spark):
+    """Connected components over a planted edge graph: a 4-node PATH
+    (1-2, 2-3, 3-4 — diameter 3, forces >1 propagation round), a pair
+    (10-11), and edge-free singletons supplied via ``nodes``."""
+    from tsrollup.dedup import near_dup_clusters
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3), (3, 4), (10, 11)],
+                     columns=["doc_a", "doc_b"]))
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 20, 21]}))
+    out = near_dup_clusters(edges, nodes).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[[1, 2, 3, 4], "cluster_rep"].tolist() == [1, 1, 1, 1]
+    assert out.loc[[10, 11], "cluster_rep"].tolist() == [10, 10]
+    assert out.loc[[20, 21], "cluster_rep"].tolist() == [20, 21]
+    assert out.loc[[1, 2, 3, 4], "cluster_sz"].tolist() == [4, 4, 4, 4]
+    assert out.loc[[10, 11], "cluster_sz"].tolist() == [2, 2]
+    assert out.loc[[20, 21], "cluster_sz"].tolist() == [1, 1]
+    # keep/drop decision: exactly one representative per component
+    keep = out[out.index == out["cluster_rep"]]
+    assert sorted(keep.index.tolist()) == [1, 10, 20, 21]
+
+
+def test_near_dup_clusters_without_nodes_covers_edge_docs_only(spark):
+    from tsrollup.dedup import near_dup_clusters
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([(5, 3), (3, 9)], columns=["doc_a", "doc_b"]))
+    out = near_dup_clusters(edges).toPandas().set_index("doc_id").sort_index()
+    assert out.index.tolist() == [3, 5, 9]
+    assert out["cluster_rep"].tolist() == [3, 3, 3]
+    assert out["cluster_sz"].tolist() == [3, 3, 3]

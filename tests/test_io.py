@@ -143,3 +143,23 @@ def test_missing_table_detection_prefers_error_condition():
     # neither: not missing
     assert not is_missing_table_error(
         CondErr("INTERNAL_ERROR", "something else"))
+
+
+def test_condition_is_authoritative_over_message_text():
+    """A structured non-missing condition (e.g. INTERNAL_ERROR) whose wrapped
+    cause text happens to mention 'Path does not exist' must NOT be
+    classified missing — read_lineage would silently discard resume state."""
+    from tsrollup.io import is_missing_table_error
+
+    class CondErr(Exception):
+        def __init__(self, cond, msg):
+            super().__init__(msg)
+            self._c = cond
+
+        def getCondition(self):
+            return self._c
+
+    assert not is_missing_table_error(
+        CondErr("INTERNAL_ERROR", "cause: Path does not exist: /x"))
+    # condition-less exceptions still use the message fallback
+    assert is_missing_table_error(RuntimeError("Path does not exist: /x"))

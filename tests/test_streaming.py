@@ -303,3 +303,86 @@ def test_stateful_rolling_enforces_per_trigger_key_cap(spark, tmp_path):
     assert not ok.isActive
     got = spark.read.parquet(str(tmp_path / "sinkok"))
     assert got.count() == n
+
+
+def test_stateful_rolling_timeout_evicts_idle_key(spark, tmp_path):
+    """ProcessingTimeTimeout contract: a key silent past the configured
+    duration has its ring buffer REMOVED when a later batch fires the timer,
+    so its next arrival starts a fresh window (n_in_window restarts at 1).
+    Without eviction the buffer would survive and report n_in_window=3."""
+    import time as _time
+
+    from tsrollup.streaming import stream_stateful_rolling
+
+    src = tmp_path / "evto"
+    src.mkdir()
+    cols = {"user_id": np.int64, "event_id": np.int64, "value": np.float64}
+
+    def drop(tag, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts",
+                                          "value"]).astype(
+            {k: v for k, v in cols.items()})
+        pdf.to_parquet(src / f"{tag}.parquet", coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+
+    # NB: a CONTINUOUS processingTime trigger, not availableNow — Spark
+    # keeps an availableNow query alive indefinitely ("no new data but
+    # cleaning up state" batches) once ProcessingTimeTimeout is configured,
+    # so the one-shot harness the other tests use never terminates here.
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp, "
+                      "value double")
+              .parquet(str(src)))
+    q = (stream_stateful_rolling(stream, window_n=4,
+                                 timeout="ProcessingTimeTimeout",
+                                 timeout_duration_ms=300)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append")
+         .trigger(processingTime="200 milliseconds").start())
+
+    def wait_for_events(ids, deadline_s=90):
+        t_end = _time.time() + deadline_s
+        while _time.time() < t_end:
+            try:
+                got = spark.read.parquet(str(tmp_path / "sink")).toPandas()
+                if set(ids) <= set(got["event_id"]):
+                    return got
+            except Exception:
+                pass  # sink not created yet
+            _time.sleep(0.3)
+        raise AssertionError(f"sink never produced events {ids}")
+
+    try:
+        t0 = pd.Timestamp("2026-01-01")
+        # batch 1: key 1 builds a 2-deep buffer
+        drop("p0", [(1, 0, t0, 10.0),
+                    (1, 1, t0 + pd.Timedelta(seconds=1), 20.0),
+                    (2, 2, t0, 5.0)])
+        wait_for_events([0, 1, 2])
+        _time.sleep(1.0)  # >> timeout_duration_ms: key 1's timer expires
+        # key-2 data keeps batches flowing; the end-of-batch timeout sweep
+        # must evict key 1's ring buffer
+        drop("p1", [(2, 3, t0 + pd.Timedelta(seconds=2), 6.0)])
+        wait_for_events([3])
+        # key 1 returns; a fresh window means n_in_window == 1
+        drop("p2", [(1, 4, t0 + pd.Timedelta(seconds=3), 30.0)])
+        wait_for_events([4])
+    finally:
+        q.stop()
+
+    got = (spark.read.parquet(str(tmp_path / "sink")).toPandas()
+           .set_index("event_id").sort_index())
+    assert got.loc[1, "n_in_window"] == 2       # pre-eviction fold worked
+    assert got.loc[4, "n_in_window"] == 1       # buffer was evicted
+    assert got.loc[4, "rmean"] == 30.0
+
+
+def test_stateful_rolling_rejects_event_time_timeout():
+    """The ring-buffer fold is processing-order; EventTimeTimeout is
+    rejected at construction, not silently accepted as a no-op."""
+    from tsrollup.streaming import stream_stateful_rolling
+
+    with pytest.raises(ValueError, match="ProcessingTimeTimeout"):
+        stream_stateful_rolling(None, timeout="EventTimeTimeout")

@@ -104,8 +104,11 @@ def conv1d_dilations(df: DataFrame, weights: Sequence[float],
     positions (it defines the exploded sequence). One select, one explode —
     the established single-scan merge shape; running conv1d once per rate
     would scan the corpus len(dilations) times."""
-    if list(dilations) != sorted(set(dilations)) or not dilations:
-        raise ValueError("dilations must be strictly increasing and non-empty")
+    if (not dilations or list(dilations) != sorted(set(dilations))
+            or dilations[0] < 1):
+        raise ValueError(
+            "dilations must be strictly increasing positive ints (rate 0 "
+            "would re-read one tap, negative rates read earlier positions)")
     k = len(weights)
     spans = [(k - 1) * d for d in dilations]
     staged = df.select("doc_id", F.col(tokens_col).alias("_pt"))

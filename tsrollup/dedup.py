@@ -59,8 +59,9 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text",
                         max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shared-shingle join: doc
-    pairs only materialize if they share ≥1 shingle (never the full n² space);
-    |A∩B| from the join, |A|,|B| from per-doc counts, Jaccard derived.
+    pairs only materialize if they share >=1 shingle (never the full n^2
+    space); |A∩B| from the join, |A|,|B| from per-doc counts, Jaccard
+    derived.
 
     ``max_df`` drops shingles whose document frequency exceeds it BEFORE the
     self-join — the 100 TB guard: one corpus-common shingle otherwise creates
@@ -76,7 +77,18 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     Shingles are hashed to 60-bit ints (md5 slice — identical in the DuckDB
     oracle, so even collision behavior matches exactly) before any shuffle:
     the self-join then exchanges/sorts 8-byte longs instead of n-gram
-    strings."""
+    strings.
+
+    Considered and REJECTED (round 5, measured): an AllPairs/PPJoin
+    prefix-filtered set-similarity join (Bayardo et al. WWW'07) — sorted
+    per-doc hash arrays, prefix-only self-join, array_intersect
+    verification. It is exact and cuts candidate volume ~quadratically with
+    the prefix fraction, but needs an extra full-stream exchange
+    (collect_list into per-doc arrays) plus two verification joins; at
+    df-capped volumes the pair AGGREGATE is cheap and the prefix plumbing
+    costs more than it saves (interleaved A/B at sf0.1: 5.5 s vs 3.5 s
+    here). The df cap, not prefix filtering, is what bounds the quadratic
+    risk at 100 TB; revisit prefix filtering only if the cap must go."""
     from pyspark.sql import Window
 
     sh = word_shingles(df, n, text_col) \
@@ -202,3 +214,69 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
+                      src: str = "doc_a", dst: str = "doc_b",
+                      max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-dup edge list — the fuzzy twin of
+    exact_dedup's keep_doc_id: every doc gets ``cluster_rep`` = the minimum
+    doc_id reachable through near-dup edges (its own id for singletons) and
+    ``cluster_sz`` = component size. ``keep = (doc_id = cluster_rep)`` is
+    the dedup decision; ``nodes`` (one ``doc_id`` per corpus doc, optional)
+    adds the edge-free singletons to the output.
+
+    Algorithm: iterative min-label propagation to a fixed point — label(v)
+    starts at v, each round becomes min(label(v), min over neighbors'
+    labels), converging in O(component diameter) rounds. Near-dup
+    components are tiny, star-ish clusters (diameter ≲ 3 — a dup cluster IS
+    mutual similarity), so the round count stays small; for adversarial
+    long-path graphs the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) drops it
+    to O(log n) rounds — noted, not needed for dedup graphs. Each round is
+    one join + one groupBy on the (small) label table; the edge list is
+    materialized ONCE up front (localCheckpoint) so the per-round lineage
+    stays flat and the upstream similarity pipeline (LSH banding, md5) is
+    never recomputed; labels are re-checkpointed each round for the same
+    reason. Convergence is detected by an aggregate over the propagation
+    delta (one tiny action per round), not by comparing snapshots."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v"))))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.groupBy("u")
+              .agg(F.min("v").alias("_nbr"))
+              .select("u", F.least("u", "_nbr").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # neighbor minimum under current labels
+        prop = (sym.join(labels.select(F.col("u").alias("v"),
+                                       F.col("label").alias("_vl")), "v")
+                .groupBy("u").agg(F.min("_vl").alias("_nl")))
+        new_labels = (labels.join(prop, "u", "left")
+                      .select("u", F.least("label", F.coalesce("_nl", "label"))
+                              .alias("label"),
+                              (F.col("label")
+                               > F.coalesce("_nl", "label")).alias("_chg"))
+                      .localCheckpoint(eager=True))
+        changed = new_labels.agg(
+            F.sum(F.col("_chg").cast("int")).alias("c")).collect()[0]["c"]
+        labels = new_labels.drop("_chg")
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the bound; raise max_iter or use a "
+            "star-contraction variant for this graph")
+    out = labels.select(F.col("u").alias("doc_id"),
+                        F.col("label").alias("cluster_rep"))
+    if nodes is not None:
+        out = (nodes.select("doc_id").join(out, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("cluster_rep", "doc_id")
+                       .alias("cluster_rep")))
+    sizes = out.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("cluster_sz"))
+    return out.join(sizes, "cluster_rep") \
+        .select("doc_id", "cluster_rep", "cluster_sz")

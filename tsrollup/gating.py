@@ -168,14 +168,9 @@ def activation_features(df: DataFrame, threshold: int = 8,
                      .alias("leaky_sum")))
 
 
-def en_loss(df: DataFrame, gamma: float = 0.3, eps: float = 1.0e-7,
-            scale: float = 100.0, tokens_col: str = "tokens") -> DataFrame:
-    """YiboGao en_loss over each doc's token signal
-    (models_keras.py:1538-1550): p = clip(x/scale, ε, 1−ε),
-    term = (−log p)^γ if x odd (the class-1 branch) else (−log(1−p))^γ,
-    loss = mean(term). Per-element terms rounded to 9 decimals for
-    cross-engine bit-exactness (see module doc)."""
-    t = F.col(tokens_col)
+def _en_term(gamma: float, eps: float, scale: float):
+    """Per-element en_loss term builder (shared by en_loss and the merged
+    residual_en_features scan)."""
     g = F.lit(float(gamma))
 
     def term(x):
@@ -186,10 +181,56 @@ def en_loss(df: DataFrame, gamma: float = 0.3, eps: float = 1.0e-7,
         neg = F.round(F.pow(-F.log(F.lit(1.0) - p), g), 9)
         return F.when(x % 2 == 1, pos).otherwise(neg)
 
+    return term
+
+
+def en_loss(df: DataFrame, gamma: float = 0.3, eps: float = 1.0e-7,
+            scale: float = 100.0, tokens_col: str = "tokens") -> DataFrame:
+    """YiboGao en_loss over each doc's token signal
+    (models_keras.py:1538-1550): p = clip(x/scale, ε, 1−ε),
+    term = (−log p)^γ if x odd (the class-1 branch) else (−log(1−p))^γ,
+    loss = mean(term). Per-element terms rounded to 9 decimals for
+    cross-engine bit-exactness (see module doc)."""
+    t = F.col(tokens_col)
     staged = (df.filter(F.size(t) > 0)
-              .select("doc_id", F.transform(t, term).alias("_terms")))
+              .select("doc_id",
+                      F.transform(t, _en_term(gamma, eps, scale))
+                      .alias("_terms")))
     return staged.select(
         "doc_id",
+        F.size("_terms").cast("long").alias("n_tok"),
+        (F.aggregate("_terms", F.lit(0.0), lambda a, x: a + x)
+         / F.size("_terms").cast("double")).alias("en_loss"))
+
+
+def residual_en_features(df: DataFrame, gamma: float = 0.3,
+                         eps: float = 1.0e-7, scale: float = 100.0,
+                         tokens_col: str = "tokens") -> DataFrame:
+    """Residual-add checksums MERGED with en_loss in ONE scan (round-5 slot
+    merge, same grain: one row per non-empty doc). The residual branch
+    (avg-pool/2 → upsample×2 → crop → zip_with add, reference residual
+    blocks blocks_keras.py:157-161) needs ≥2 positions, so single-token
+    docs carry NULL n_res/res_sum — the same NULL-past-narrower-range
+    convention as the conv1d merges; en_loss (models_keras.py:1538-1550)
+    covers every non-empty doc."""
+    t = F.col(tokens_col)
+    n = F.size(t)
+    half = F.transform(
+        F.sequence(F.lit(0), (F.floor(n / 2) - 1).cast("int")),
+        lambda i: (F.element_at(t, 2 * i + 1) + F.element_at(t, 2 * i + 2))
+        .cast("double") / F.lit(2.0))
+    up = F.flatten(F.transform(half, lambda v: F.array(v, v)))
+    res = F.zip_with(F.slice(t, 1, F.size(up)), up,
+                     lambda x, u: x.cast("double") + u)
+    staged = (df.filter(n > 0)
+              .select("doc_id",
+                      F.when(n >= 2, res).alias("_res"),
+                      F.transform(t, _en_term(gamma, eps, scale))
+                      .alias("_terms")))
+    return staged.select(
+        "doc_id",
+        F.size("_res").cast("long").alias("n_res"),
+        F.aggregate("_res", F.lit(0.0), lambda a, x: a + x).alias("res_sum"),
         F.size("_terms").cast("long").alias("n_tok"),
         (F.aggregate("_terms", F.lit(0.0), lambda a, x: a + x)
          / F.size("_terms").cast("double")).alias("en_loss"))

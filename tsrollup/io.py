@@ -50,12 +50,16 @@ def error_condition(e: Exception) -> str | None:
 def is_missing_table_error(e: Exception) -> bool:
     """True iff ``e`` means the table/path genuinely doesn't exist yet.
 
-    Checks the structured error condition first; the message scan remains
-    as a fallback for exceptions with no condition (Iceberg's
-    NoSuchTableException, raw Hadoop FileNotFound messages)."""
+    Checks the structured error condition first; when a condition IS present
+    it is authoritative — a non-missing condition (e.g. INTERNAL_ERROR whose
+    wrapped cause text happens to mention a path) must NOT be classified as
+    missing, because read_lineage silently discards resume state on a missing
+    table. The message scan remains only as a fallback for exceptions that
+    carry no condition at all (Iceberg's NoSuchTableException, raw Hadoop
+    FileNotFound messages)."""
     cond = error_condition(e)
-    if cond is not None and any(t in cond for t in _MISSING_TABLE_TAGS):
-        return True
+    if cond is not None:
+        return any(t in cond for t in _MISSING_TABLE_TAGS)
     msg = str(e)
     return any(t in msg for t in _MISSING_TABLE_TAGS)
 
@@ -130,3 +134,25 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
     finally:
         if prev is not None:
             spark.conf.set(conf_key, prev)
+
+
+def scan_min_parallel(df: DataFrame,
+                      min_partitions: int | None = None) -> DataFrame:
+    """Guard against a SMALL scan serializing a wide pipeline: a table that
+    arrives as fewer splits than the session's parallelism (e.g. one file
+    with one parquet row group — row groups are the split atom, so
+    maxPartitionBytes can't cut finer) runs every pre-shuffle operator on
+    that handful of cores. Repartition up-front when, and only when, the
+    scan is below ``min_partitions`` (default: defaultParallelism); the
+    shuffled bytes are by construction tiny (the whole table fit in too few
+    splits), and explode/hash-heavy downstream work then uses the machine.
+
+    At production scale this is a structural NO-OP — a real table carries
+    orders of magnitude more splits than cores — so plans on big inputs are
+    untouched; only the pathological small-scan case pays one small
+    round-robin exchange."""
+    spark = df.sparkSession
+    want = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df

@@ -88,7 +88,8 @@ ROLLING_OUT_SCHEMA = "user_id long, event_id long, rmean double, n_in_window int
 
 def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
                             timeout: str = "NoTimeout",
-                            max_rows_per_trigger_key: int = 2_000_000):
+                            max_rows_per_trigger_key: int = 2_000_000,
+                            timeout_duration_ms: int = 300_000):
     """Custom stateful streaming operator: per-key rolling mean over the last
     ``window_n`` values, state = a ring buffer of the most recent values kept
     in the state store across triggers AND restarts (the north-star
@@ -119,15 +120,40 @@ def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
     source-config fix BEFORE materializing past the limit (defense in depth
     against an unpaired source OOMing a Python worker on a cold start), at
     the default well above any sanely-configured trigger's hot key.
+
+    State EVICTION: with ``timeout="ProcessingTimeTimeout"`` each data
+    delivery re-arms a ``timeout_duration_ms`` timer on the key, and a
+    timed-out invocation REMOVES the ring buffer — per-key state is bounded
+    by the set of keys active within the window, not total key cardinality.
+    A key that re-appears after eviction simply starts a fresh window (same
+    semantics as its first-ever arrival). ``NoTimeout`` retains state for
+    the life of the query (correct when the key universe is bounded, e.g.
+    devices). EventTimeTimeout is rejected: the ring-buffer fold is
+    processing-order, so a watermark-anchored timer has no meaningful
+    semantics here. Operational note: pair ProcessingTimeTimeout with a
+    continuous trigger — Spark keeps a Trigger.AvailableNow query alive
+    indefinitely ("no new data but cleaning up state") once processing-time
+    timers exist, so one-shot drains should use NoTimeout.
     """
     import numpy as np
     from pyspark.sql.streaming.state import GroupState
 
     if max_rows_per_trigger_key <= 0:
         raise ValueError("max_rows_per_trigger_key must be positive")
+    if timeout not in ("NoTimeout", "ProcessingTimeTimeout"):
+        raise ValueError(
+            "stream_stateful_rolling supports timeout='NoTimeout' or "
+            f"'ProcessingTimeTimeout', got {timeout!r}")
+    if timeout != "NoTimeout" and timeout_duration_ms <= 0:
+        raise ValueError("timeout_duration_ms must be positive")
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # eviction contract: a timed-out invocation delivers no data;
+            # drop the ring buffer so idle keys don't accumulate forever
+            state.remove()
+            return
         (buf,) = state.get if state.exists else ([],)
         prev = np.asarray(buf, dtype=np.float64)
         # drain chunks under the cap: reject BEFORE accumulating past it, so
@@ -146,10 +172,12 @@ def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
                     "(or raise the cap if this volume is intended).")
             chunks.append(ch)
         if not chunks:
-            # a TIMED-OUT key delivers no chunks (pd.concat([]) would
-            # raise); keep its ring buffer as-is so a later arrival still
-            # folds against the preserved state
+            # defensive: a no-data, not-timed-out invocation (shouldn't
+            # happen per the applyInPandasWithState contract) keeps the
+            # buffer and re-arms the timer like a data delivery would
             state.update((prev.tolist(),))
+            if timeout == "ProcessingTimeTimeout":
+                state.setTimeoutDuration(timeout_duration_ms)
             return
         pdf = pd.concat(chunks, ignore_index=True) \
             .sort_values(["ts", "event_id"])
@@ -172,6 +200,10 @@ def stream_stateful_rolling(events: DataFrame, window_n: int = 4,
             prev = full[-(window_n - 1):] if window_n > 1 \
                 else np.empty(0, np.float64)
         state.update((prev.tolist(),))
+        if timeout == "ProcessingTimeTimeout":
+            # re-arm on every delivery: the key is evicted only after
+            # timeout_duration_ms of silence
+            state.setTimeoutDuration(timeout_duration_ms)
 
     return (events
             .groupBy("user_id")
