@@ -29,6 +29,9 @@ W0 = 16  # base window for document-token rollups (docs are short)
 
 # ------------------------------------------------------------ helpers -------
 
+_SCAN_PARTS: dict[str, int] = {}
+
+
 def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a FACT table with the small-scan parallelism guard: the sf
     fixtures arrive as one single-row-group file per table (row groups are
@@ -37,10 +40,17 @@ def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     conv position explode, pandas_udf matmuls — runs on ONE core of 32.
     At 100 TB the guard is a structural no-op (see io.scan_min_parallel).
     Dimension tables (nation/region/customer/...) stay unwrapped: they ride
-    broadcast joins where an extra exchange is pure loss."""
-    from tsrollup.io import scan_min_parallel
-
-    return scan_min_parallel(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+    broadcast joins where an extra exchange is pure loss. The split-count
+    probe (~0.1 s of driver-side RDD conversion) is memoized per path —
+    fixture layouts don't change within a session."""
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    want = spark.sparkContext.defaultParallelism
+    n = _SCAN_PARTS.get(path)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[path] = n
+    return df.repartition(want) if n < want else df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,7 +810,11 @@ def q_attention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgrades softmax from a rows-only check to a full value oracle)."""
     from tsrollup.gating import attention_softmax_features
 
-    return attention_softmax_features(_tokenized(spark, sf_dir))
+    # include_entropy=False: softmax_entropy's final ln(z) is libm-ulp-
+    # unsafe cross-engine, so the rows-only column stays out of the hashed
+    # oracle slot (it is NumPy-pinned in tests instead)
+    return attention_softmax_features(_tokenized(spark, sf_dir),
+                                      include_entropy=False)
 
 
 def q_activations(spark: SparkSession, sf_dir: str) -> DataFrame:

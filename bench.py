@@ -230,23 +230,36 @@ def main() -> int:
     # retrain to whichever run comes first.
     _noop(qs["ivf_knn"](spark, SF_DIR))
 
-    # Per-query: TWO timed full-materialization passes, min recorded. The
-    # driver records ONE bench.py run, and this sandbox's co-tenant load
-    # swings single-shot wall clock several-fold on a minutes timescale
-    # (round 4: four queries "regressed" ≥1.5× with no code change, builder's
-    # own interleaved run read 27% below the driver's). Min-of-2 keeps every
-    # pass an honest full materialization while making the RECORDED number
-    # an estimate of the query's cost rather than of the box's load at the
-    # instant it ran.
+    # Per-query: multiple timed full-materialization passes, min recorded.
+    # The driver records ONE bench.py run, and this sandbox's co-tenant load
+    # swings PARALLEL capacity several-fold on a minutes timescale while the
+    # single-core probe stays flat (round 4: four queries "regressed" ≥1.5×
+    # with no code change; round-5 instrumentation showed the same query
+    # reading 0.75 s and 9.7 s in runs 20 min apart at equal probe
+    # readings). Two design points follow:
+    #  - passes are INTERLEAVED round-robin over the whole list (pass 1 of
+    #    every query, then pass 2), so one query's passes land minutes
+    #    apart — back-to-back min-of-2 sits entirely inside one load wave
+    #    and protects nothing;
+    #  - rows still expensive after two rounds (> RE_RUN_FLOOR s) get a
+    #    third pass — they dominate the total, and a load wave spanning
+    #    both their rounds is what made past records lie.
+    # Every pass remains an honest full materialization; the min estimates
+    # the query's COST rather than the box's load at the instant it ran.
     PASSES = 2
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(PASSES):
+    RE_RUN_FLOOR = 2.0
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(PASSES):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             _noop(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            raw[name].append(time.perf_counter() - t0)
+    for name in HEADLINE:
+        if min(raw[name]) > RE_RUN_FLOOR:
+            t0 = time.perf_counter()
+            _noop(qs[name](spark, SF_DIR))
+            raw[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(ts), 3) for name, ts in raw.items()}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

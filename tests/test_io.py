@@ -163,3 +163,23 @@ def test_condition_is_authoritative_over_message_text():
         CondErr("INTERNAL_ERROR", "cause: Path does not exist: /x"))
     # condition-less exceptions still use the message fallback
     assert is_missing_table_error(RuntimeError("Path does not exist: /x"))
+
+
+def test_scan_min_parallel_widens_small_scans_only(spark, tmp_path):
+    """An under-split scan is repartitioned up to the requested parallelism;
+    a scan already at/above it is returned untouched (the production
+    no-op)."""
+    import pandas as pd
+
+    from tsrollup.io import scan_min_parallel
+
+    p = str(tmp_path / "small")
+    pd.DataFrame({"x": range(100)}).to_parquet(p + ".parquet")
+    df = spark.read.parquet(p + ".parquet")
+    assert df.rdd.getNumPartitions() == 1
+    widened = scan_min_parallel(df, min_partitions=8)
+    assert widened.rdd.getNumPartitions() == 8
+    assert widened.count() == 100
+    # already wide enough → same plan object, no repartition inserted
+    wide = df.repartition(8)
+    assert scan_min_parallel(wide, min_partitions=4) is wide

@@ -21,10 +21,17 @@ def _plan(df) -> str:
 
 
 def _n_exchanges(plan: str) -> int:
-    # count detail-section headers only ("(5) Exchange"), not tree echoes
+    """DATA-DEPENDENT exchanges only (hash/range partitioning, from detail
+    sections — "(5) Exchange" — not tree echoes). The small-scan guard's
+    RoundRobin repartition (io.scan_min_parallel) is deliberately excluded:
+    it appears only when a fixture table arrives in fewer splits than cores
+    (never at real scale) and says nothing about an operator's shuffle
+    shape."""
     import re
 
-    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    details = re.split(r"^\(\d+\) ", plan, flags=re.M)
+    return sum(1 for d in details if d.startswith("Exchange")
+               and ("hashpartitioning" in d or "rangepartitioning" in d))
 
 
 def test_rollup_scale_path_has_no_exchange(spark, seqs):
@@ -60,8 +67,19 @@ def test_pricing_summary_pushes_partial_agg(spark):
 
     df = entrymod.q_pricing_summary(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert _n_exchanges(plan) == 1
-    assert "HashAggregate" in plan.split("Exchange", 1)[0]
+    # exactly one DATA-DEPENDENT (hash) exchange — the agg's. The small-scan
+    # guard's RoundRobin repartition (io.scan_min_parallel) is expected on
+    # the single-row-group fixtures and absent at real scale; it must not
+    # count as an aggregation shuffle, and partial agg must still sit
+    # between the scan side and the hash exchange (map-side combine).
+    import re
+
+    details = re.split(r"^\(\d+\) ", plan, flags=re.M)
+    n_hash = sum(1 for d in details if d.startswith("Exchange")
+                 and "hashpartitioning" in d)
+    assert n_hash == 1, plan
+    # partial + final pair ⇒ map-side combine around the one hash exchange
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
 
 
 def test_revenue_join_broadcasts_dims(spark):

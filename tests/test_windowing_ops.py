@@ -111,6 +111,25 @@ def test_attention_softmax_features_match_numpy(spark, toks_df):
         for v in gated:
             s = s + v
         assert g["gate_sum"] == s and g["gate_max"] == gated.max()
+        # entropy H = ln z − (Σ eᵢ·dᵢ)/z: the folds are pinned, the final
+        # ln is libm — compare to the same formula within 1 ulp-ish rtol
+        d = (x - x.max()).astype(np.float64)
+        sed = 0.0
+        for v in e * d:
+            sed = sed + v
+        want_h = np.log(z) - sed / z
+        np.testing.assert_allclose(g["softmax_entropy"], want_h, rtol=1e-12)
+        # sanity: entropy of an n-point distribution lies in [0, ln n]
+        assert -1e-9 <= g["softmax_entropy"] <= np.log(x.size) + 1e-9
+
+
+def test_attention_query_excludes_entropy_column(spark, toks_df):
+    """The oracle-hashed query drops the libm-unsafe entropy column."""
+    from tsrollup.gating import attention_softmax_features
+
+    cols = attention_softmax_features(toks_df, include_entropy=False).columns
+    assert "softmax_entropy" not in cols
+    assert "softmax_z" in cols and "softmax_pmax" in cols
 
 
 def test_merged_gating_ops_match_standalone(spark, toks_df):

@@ -99,7 +99,8 @@ def activation_checksums(df: DataFrame,
 
 
 def attention_softmax_features(df: DataFrame,
-                               tokens_col: str = "tokens") -> DataFrame:
+                               tokens_col: str = "tokens",
+                               include_entropy: bool = True) -> DataFrame:
     """attention_gate_features MERGED with an oracle-checkable softmax head
     (models_keras.py:70) in ONE scan. The softmax trick: after max
     subtraction the exponent arguments d = x − max(x) are INTEGERS, so
@@ -107,9 +108,14 @@ def attention_softmax_features(df: DataFrame,
     convention applies (same argument as tanh/sigmoid/en_loss — verified
     bit-identical JVM↔DuckDB); the partition function z is then a pinned
     fold of exact values and p_max = max(e)/z one exact IEEE division —
-    softmax normalization becomes hash-exact cross-engine. (The entropy form
-    needs a final ln of continuous z — libm-ulp-unsafe — so the head reports
-    z and p_max.) Both the Σx and max(x) aggregates are STAGED as columns —
+    softmax normalization becomes hash-exact cross-engine. The entropy
+    H = −Σ pᵢ ln pᵢ = ln z − (Σ eᵢ·dᵢ)/z ships as ``softmax_entropy``
+    (``include_entropy``, default on): Σ eᵢ·dᵢ is a pinned fold of exact
+    products, but the final ln(z) of a CONTINUOUS argument is libm-ulp-
+    unsafe, so the column is rows-only — NumPy-pinned in pytest and
+    excluded from the oracle-hashed query (q_attention_gate passes
+    include_entropy=False). Both the Σx and max(x) aggregates are STAGED as
+    columns —
     inside the per-element lambdas they would re-evaluate per element
     (O(n²), the HOF staging trap; the round-2 softmax query had exactly
     that bug on its max)."""
@@ -128,18 +134,28 @@ def attention_softmax_features(df: DataFrame,
     # in both the column and the fold would evaluate the exp array twice per
     # row (HOF expressions are CodegenFallback — no guaranteed CSE)
     staged2 = (staged
-               .select("doc_id", "_t", "_s", gated.alias("_g"),
+               .select("doc_id", "_t", "_s", "_mx", gated.alias("_g"),
                        ex.alias("_ex"))
-               .select("doc_id", "_t", "_s", "_g", "_ex",
+               .select("doc_id", "_t", "_s", "_mx", "_g", "_ex",
                        F.aggregate("_ex", F.lit(0.0), lambda a, x: a + x)
                        .alias("softmax_z")))
-    return staged2.select(
+    cols = [
         "doc_id",
         F.size("_t").cast("long").alias("n_tok"),
         F.aggregate("_g", F.lit(0.0), lambda a, x: a + x).alias("gate_sum"),
         F.array_max("_g").alias("gate_max"),
-        "softmax_z",
-        (F.array_max("_ex") / F.col("softmax_z")).alias("softmax_pmax"))
+        F.col("softmax_z"),
+        (F.array_max("_ex") / F.col("softmax_z")).alias("softmax_pmax"),
+    ]
+    if include_entropy:
+        mx2 = F.col("_mx")
+        sed = F.aggregate(
+            F.zip_with("_ex", "_t",
+                       lambda e, x: e * (x - mx2).cast("double")),
+            F.lit(0.0), lambda a, x: a + x)
+        cols.append((F.log("softmax_z") - sed / F.col("softmax_z"))
+                    .alias("softmax_entropy"))
+    return staged2.select(*cols)
 
 
 def activation_features(df: DataFrame, threshold: int = 8,
