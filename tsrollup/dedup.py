@@ -240,10 +240,14 @@ def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
     never recomputed; labels are re-checkpointed each round for the same
     reason. Convergence is detected by an aggregate over the propagation
     delta (one tiny action per round), not by comparing snapshots."""
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v"))))
-    sym = sym.localCheckpoint(eager=True)
+    # checkpoint the DIRECTED edge list first, THEN mirror it: a union of
+    # two selects over the un-materialized edge DAG would execute the whole
+    # upstream similarity pipeline twice (the two union branches share no
+    # exchange), and the checkpoint would store every edge in both
+    # directions — materialize once, mirror the stored rows
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .localCheckpoint(eager=True))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (sym.groupBy("u")
               .agg(F.min("v").alias("_nbr"))
               .select("u", F.least("u", "_nbr").alias("label"))
