@@ -255,10 +255,21 @@ def main() -> int:
             _noop(qs[name](spark, SF_DIR))
             raw[name].append(time.perf_counter() - t0)
     for name in HEADLINE:
-        if min(raw[name]) > RE_RUN_FLOOR:
+        # up to two extra passes while the row still reads expensive: a
+        # load wave can sit on all interleaved rounds of one query (round-5
+        # instrumentation: a 1.1 s query read 4.9-7.3 s in three separate
+        # runs). Stop once a pass CONFIRMS the current level (within 25%)
+        # — then it's the query's real cost, not the wave's.
+        extra = 0
+        while min(raw[name]) > RE_RUN_FLOOR and extra < 2:
             t0 = time.perf_counter()
             _noop(qs[name](spark, SF_DIR))
-            raw[name].append(time.perf_counter() - t0)
+            t = time.perf_counter() - t0
+            prev_min = min(raw[name])
+            raw[name].append(t)
+            extra += 1
+            if t <= 1.25 * prev_min:
+                break
     timings = {name: round(min(ts), 3) for name, ts in raw.items()}
 
     total = round(sum(timings.values()), 3)
