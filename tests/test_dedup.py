@@ -131,3 +131,54 @@ def test_near_dup_clusters_without_nodes_covers_edge_docs_only(spark):
     assert out.index.tolist() == [3, 5, 9]
     assert out["cluster_rep"].tolist() == [3, 3, 3]
     assert out["cluster_sz"].tolist() == [3, 3, 3]
+
+
+def test_near_dup_clusters_random_graphs_match_union_find(spark):
+    """Property: on random edge graphs (including long paths and multi-way
+    merges), min-label propagation must reproduce a reference union-find's
+    components exactly — reps, membership, and sizes."""
+    import random
+
+    from tsrollup.dedup import near_dup_clusters
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        nodes = list(range(n))
+        edges = []
+        # random sparse graph + one long deliberate path (diameter stress)
+        for _ in range(40):
+            a, b = rng.sample(nodes, 2)
+            edges.append((min(a, b), max(a, b)))
+        path = rng.sample(nodes, 12)
+        edges += [(min(a, b), max(a, b))
+                  for a, b in zip(path, path[1:])]
+
+        # reference union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want_rep = {x: find(x) for x in nodes}
+        want_sz: dict[int, int] = {}
+        for x in nodes:
+            want_sz[want_rep[x]] = want_sz.get(want_rep[x], 0) + 1
+
+        edf = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+        ndf = spark.createDataFrame(pd.DataFrame({"doc_id": nodes}))
+        got = near_dup_clusters(edf, ndf).toPandas()
+        assert len(got) == n, trial
+        for _, r in got.iterrows():
+            assert r["cluster_rep"] == want_rep[r["doc_id"]], \
+                (trial, r["doc_id"])
+            assert r["cluster_sz"] == want_sz[want_rep[r["doc_id"]]], \
+                (trial, r["doc_id"])
