@@ -2,9 +2,16 @@
 table (north_rule: runs via spark-submit --py-files on a multi-executor
 cluster; in local mode the session factory ships the package zip itself).
 
-    spark-submit --py-files tsrollup.zip tools/run_rollup.py \
+    spark-submit --driver-memory 4g --py-files tsrollup.zip \
+        tools/run_rollup.py \
         --input s3://bucket/sequences --output s3://bucket/rollup \
         --buckets 4096 --run-id nightly-01 [--compressed]
+
+(--driver-memory matters in LOCAL-mode submits: the in-code
+spark.driver.memory conf cannot apply once spark-submit has launched the
+JVM, and the 1g default OOMs the vectorized parquet reader on wide token
+rows mid-run — run_rollup detects the small heap and fails fast with this
+fix instead. On a cluster, size executors via submit flags as usual.)
 
 Each hash bucket of documents is one atomic unit of work with a lineage row;
 a killed run resumes where it stopped; disjoint bucket ranges can be driven
@@ -41,6 +48,25 @@ def main() -> int:
     from tsrollup.session import get_spark
 
     spark = get_spark(f"tsrollup-{args.run_id}", master=args.master)
+    # Under spark-submit the JVM pre-exists, so the session factory's
+    # spark.driver.memory conf is silently ignored — a LOCAL-mode submit
+    # then runs driver+executors on the default 1g heap, and the
+    # vectorized parquet reader OOMs mid-run on wide token rows
+    # (reproduced round 5; shrinking the reader batch to 512 rows did NOT
+    # save a local[8] run). The job is checkpoint-resumable, but an OOM
+    # crash after partial work is strictly worse than an up-front error:
+    # fail fast with the fix in hand.
+    max_heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                   .maxMemory())
+    if max_heap < 2 * 1024 ** 3 and spark.sparkContext.master.startswith(
+            "local"):
+        print(f"ERROR: JVM heap is {max_heap // 1024**2} MiB — too small "
+              "for a local-mode rollup over wide token rows (the "
+              "vectorized parquet reader OOMs). spark.driver.memory cannot "
+              "apply once spark-submit has launched the JVM: re-run with "
+              "--driver-memory 4g (or higher).", file=sys.stderr)
+        spark.stop()
+        return 2
     done = run_checkpointed(
         spark, args.input, args.output,
         n_buckets=args.buckets, run_id=args.run_id,
