@@ -183,3 +183,15 @@ def test_scan_min_parallel_widens_small_scans_only(spark, tmp_path):
     # already wide enough → same plan object, no repartition inserted
     wide = df.repartition(8)
     assert scan_min_parallel(wide, min_partitions=4) is wide
+
+
+def test_iceberg_without_runtime_fails_with_actionable_error(
+        spark, monkeypatch):
+    """Selecting the iceberg format without the runtime jar must name the
+    fix (--packages + catalog conf), not die with DATA_SOURCE_NOT_FOUND."""
+    import tsrollup.io as tio
+
+    monkeypatch.setenv("TSROLLUP_TABLE_FORMAT", "iceberg")
+    monkeypatch.setattr(tio, "_ICEBERG_OK", None)
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        tio.read_table(spark, "ns.sequences")

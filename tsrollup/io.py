@@ -72,6 +72,7 @@ def read_table(spark: SparkSession, ident: str,
     ``base_path`` (parquet only) keeps partition-directory columns when
     reading a subtree of a partitioned layout."""
     if table_format() == "iceberg":
+        _require_iceberg(spark)
         return spark.read.format("iceberg").load(ident)
     r = spark.read
     if base_path is not None:
@@ -93,6 +94,11 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
     maps output_root to a namespace (``ns.data``, ``ns.lineage``) — see
     checkpoint.py module docstring."""
     if table_format() == "iceberg":
+        # capability check only when a real session is attached — the fake
+        # writers in tests/test_io.py exercise the branch logic jar-less
+        sess = getattr(df, "sparkSession", None)
+        if sess is not None:
+            _require_iceberg(sess)
         wv2 = df.writeTo(ident)
         if partition_by:
             from pyspark.sql import functions as F
@@ -158,3 +164,28 @@ def scan_min_parallel(df: DataFrame,
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
+
+
+_ICEBERG_OK: bool | None = None
+
+
+def _require_iceberg(spark: SparkSession) -> None:
+    """Fail fast with the fix named when the iceberg format is selected but
+    the runtime isn't on the classpath — otherwise reads die with a cryptic
+    DATA_SOURCE_NOT_FOUND and writes with a misleading SCHEMA_NOT_FOUND
+    (both observed in round-5 probing)."""
+    global _ICEBERG_OK
+    if _ICEBERG_OK is None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.source.IcebergSource")
+            _ICEBERG_OK = True
+        except Exception:
+            _ICEBERG_OK = False
+    if not _ICEBERG_OK:
+        raise RuntimeError(
+            "TSROLLUP_TABLE_FORMAT=iceberg, but the Iceberg Spark runtime "
+            "is not on the classpath. Launch with --packages "
+            "org.apache.iceberg:iceberg-spark-runtime-<spark>_<scala>:<ver> "
+            "(or the equivalent jar) and configure a catalog, e.g. "
+            "spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog.")
