@@ -15,7 +15,8 @@ fix instead. On a cluster, size executors via submit flags as usual.)
 
 Each hash bucket of documents is one atomic unit of work with a lineage row;
 a killed run resumes where it stopped; disjoint bucket ranges can be driven
-by concurrent submissions (--max-buckets bounds one invocation).
+by concurrent submissions via --bucket-lo/--bucket-hi (each submission owns
+[lo, hi); --max-buckets additionally bounds one invocation).
 Per-source metrics are appended after the buckets finish.
 """
 
@@ -36,6 +37,11 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--max-buckets", type=int, default=None,
                     help="bound the work of this invocation (shard/resume)")
+    ap.add_argument("--bucket-lo", type=int, default=None,
+                    help="with --bucket-hi: restrict to buckets in "
+                    "[lo, hi) — the disjoint-range handle for concurrent "
+                    "submissions")
+    ap.add_argument("--bucket-hi", type=int, default=None)
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--compressed", action="store_true",
@@ -67,11 +73,19 @@ def main() -> int:
               "--driver-memory 4g (or higher).", file=sys.stderr)
         spark.stop()
         return 2
+    if (args.bucket_lo is None) != (args.bucket_hi is None):
+        print("ERROR: --bucket-lo and --bucket-hi must be given together",
+              file=sys.stderr)
+        spark.stop()
+        return 2
+    brange = (None if args.bucket_lo is None
+              else (args.bucket_lo, args.bucket_hi))
     done = run_checkpointed(
         spark, args.input, args.output,
         n_buckets=args.buckets, run_id=args.run_id,
         window=args.window or BASE_WINDOW,
-        compressed=args.compressed, max_buckets=args.max_buckets)
+        compressed=args.compressed, max_buckets=args.max_buckets,
+        bucket_range=brange)
     lineage = read_lineage(spark, args.output)
     n_done = lineage.filter("status = 'done'").count()
     print(f"completed {len(done)} bucket(s) this run; "

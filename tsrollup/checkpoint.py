@@ -102,7 +102,8 @@ def run_checkpointed(spark: SparkSession, input_path: str, output_root: str,
                      window: int = BASE_WINDOW,
                      tiers: dict[str, int] = TIER_FACTOR,
                      compressed: bool = False,
-                     max_buckets: int | None = None) -> list[int]:
+                     max_buckets: int | None = None,
+                     bucket_range: tuple[int, int] | None = None) -> list[int]:
     """Process all pending buckets in ONE pass; returns the buckets completed.
 
     The input is scanned exactly once per call regardless of n_buckets: all
@@ -114,11 +115,24 @@ def run_checkpointed(spark: SparkSession, input_path: str, output_root: str,
     (partially-written partitions are simply overwritten on retry), and
     ``max_buckets`` bounds one spark-submit invocation. Metrics derive from
     one scan of the (small) committed output, which also validates the write.
+
+    ``bucket_range=(lo, hi)`` restricts this call to buckets in [lo, hi) —
+    the sharding handle for CONCURRENT submissions: give each submission a
+    disjoint range and they never contend for the same buckets
+    (``max_buckets`` alone always takes the first pending prefix, so two
+    unranged concurrent runs would duplicate work — same deterministic
+    bytes, wasted scans).
     """
     from .io import read_table, write_table
 
     done = completed_buckets(spark, output_root)
     pending = [b for b in range(n_buckets) if b not in done]
+    if bucket_range is not None:
+        lo, hi = bucket_range
+        if not (0 <= lo < hi <= n_buckets):
+            raise ValueError(
+                f"bucket_range {bucket_range} outside [0, {n_buckets})")
+        pending = [b for b in pending if lo <= b < hi]
     if max_buckets is not None:
         pending = pending[:max_buckets]
     if not pending:
