@@ -138,3 +138,30 @@ def test_read_lineage_uncommitted_dir_recovers(spark, tmp_path):
     root = tmp_path / "store2"
     (root / "_lineage" / "_temporary").mkdir(parents=True)
     assert read_lineage(spark, str(root)).count() == 0
+
+
+def test_bucket_range_shards_disjointly(spark, sequences_path, tmp_path):
+    """bucket_range=(lo, hi) restricts a call to its shard; two disjoint
+    shards cover the corpus exactly and match an unsharded run."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "sharded")
+    a = run_checkpointed(spark, sequences_path, root, n_buckets=4,
+                         run_id="sa", bucket_range=(0, 2))
+    assert a == [0, 1]
+    b = run_checkpointed(spark, sequences_path, root, n_buckets=4,
+                         run_id="sb", bucket_range=(2, 4))
+    assert b == [2, 3]
+    assert completed_buckets(spark, root) == {0, 1, 2, 3}
+    # shard of an already-done range is a no-op
+    assert run_checkpointed(spark, sequences_path, root, n_buckets=4,
+                            bucket_range=(0, 2)) == []
+
+    clean = str(tmp_path / "unsharded")
+    run_checkpointed(spark, sequences_path, clean, n_buckets=4)
+    assert_exact_match(read_rollup(spark, root).toPandas(),
+                       read_rollup(spark, clean).toPandas())
+
+    with _pytest.raises(ValueError, match="bucket_range"):
+        run_checkpointed(spark, sequences_path, root, n_buckets=4,
+                         bucket_range=(2, 5))

@@ -154,3 +154,35 @@ def test_rollup_row_counts(seq_df, oracle_out):
     pdf = seq_df.select("doc_id", "n_tok").toPandas()
     exp_1m = int(sum(math.ceil(n / 64) for n in pdf["n_tok"]))
     assert (oracle_out["tier"] == "1m").sum() == exp_1m
+
+
+def test_rollup_handles_million_token_doc(spark, tmp_path):
+    """A single very long sequence (1M tokens ≈ a book-length doc) must roll
+    up without Arrow/row-size trouble, and its window partials must tile the
+    signal exactly: counts sum to n, sums to the token sum, window count is
+    ceil(n/w) per the base tier."""
+    import numpy as np
+    import pandas as pd
+
+    from tsrollup.rollup import rollup_sequences
+
+    n = 1_000_000
+    rng = np.random.default_rng(7)
+    toks = rng.integers(1, 30, n, dtype=np.int32)
+    pdf = pd.DataFrame({
+        "doc_id": ["big-0"],
+        "tokens": [toks],
+        "source": ["stress"],
+    })
+    p = str(tmp_path / "big.parquet")
+    pdf.to_parquet(p)
+    out = rollup_sequences(spark.read.parquet(p), window=64,
+                           tiers={"1m": 1}).toPandas()
+    assert (out["tier"] == "1m").all()
+    assert len(out) == -(-n // 64)
+    assert out["count"].sum() == n
+    assert int(out["sum"].sum()) == int(toks.sum(dtype=np.int64))
+    assert out["min"].min() == toks.min() and out["max"].max() == toks.max()
+    # window starts tile [0, n) with stride 64, no gaps or dups
+    ws = np.sort(out["window_start"].to_numpy())
+    assert (ws == np.arange(len(out)) * 64).all()
