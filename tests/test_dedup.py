@@ -182,3 +182,62 @@ def test_near_dup_clusters_random_graphs_match_union_find(spark):
                 (trial, r["doc_id"])
             assert r["cluster_sz"] == want_sz[want_rep[r["doc_id"]]], \
                 (trial, r["doc_id"])
+
+
+def test_near_dup_clusters_reliable_checkpoints(spark, tmp_path):
+    """reliable_checkpoints=True materializes through sc.checkpoint (HDFS-
+    grade, executor-loss tolerant) and must produce the same components."""
+    from tsrollup.dedup import near_dup_clusters
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3), (10, 11)], columns=["doc_a", "doc_b"]))
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 7]}))
+    out = near_dup_clusters(edges, nodes, reliable_checkpoints=True) \
+        .toPandas().set_index("doc_id").sort_index()
+    assert out["cluster_rep"].tolist() == [1, 1, 1, 7, 10, 10]
+    assert out["cluster_sz"].tolist() == [3, 3, 3, 1, 2, 2]
+
+
+def test_star_contraction_matches_union_find_and_propagation(spark):
+    """Star contraction must agree with the reference union-find on random
+    graphs AND with near_dup_clusters, including a LONG PATH (the shape
+    min-label propagation is slow on — star contraction's reason to
+    exist)."""
+    import random
+
+    from tsrollup.dedup import near_dup_clusters, star_contract_components
+
+    rng = random.Random(99)
+    n = 80
+    nodes = list(range(n))
+    edges = [(min(a, b), max(a, b))
+             for a, b in (rng.sample(nodes, 2) for _ in range(50))]
+    # a 30-node path through shuffled ids: diameter 29
+    path = rng.sample(nodes, 30)
+    edges += [(min(a, b), max(a, b)) for a, b in zip(path, path[1:])]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in nodes}
+
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    ndf = spark.createDataFrame(pd.DataFrame({"doc_id": nodes}))
+    star = star_contract_components(edf, ndf).toPandas() \
+        .set_index("doc_id").sort_index()
+    prop = near_dup_clusters(edf, ndf).toPandas() \
+        .set_index("doc_id").sort_index()
+    for x in nodes:
+        assert star.loc[x, "cluster_rep"] == want[x], x
+    assert (star["cluster_rep"].values == prop["cluster_rep"].values).all()
+    assert (star["cluster_sz"].values == prop["cluster_sz"].values).all()

@@ -218,7 +218,8 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
 
 def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
                       src: str = "doc_a", dst: str = "doc_b",
-                      max_iter: int = 50) -> DataFrame:
+                      max_iter: int = 50,
+                      reliable_checkpoints: bool = False) -> DataFrame:
     """Connected components over a near-dup edge list — the fuzzy twin of
     exact_dedup's keep_doc_id: every doc gets ``cluster_rep`` = the minimum
     doc_id reachable through near-dup edges (its own id for singletons) and
@@ -231,27 +232,37 @@ def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
     labels), converging in O(component diameter) rounds. Near-dup
     components are tiny, star-ish clusters (diameter ≲ 3 — a dup cluster IS
     mutual similarity), so the round count stays small; for adversarial
-    long-path graphs the large-star/small-star alternation
-    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) drops it
-    to O(log n) rounds — noted, not needed for dedup graphs. Each round is
+    long-path graphs use ``star_contract_components`` (same output
+    contract, O(log n) large-star/small-star alternations — Kiveris et
+    al., SoCC'14). Each round is
     one join + one groupBy on the (small) label table; the edge list is
     materialized ONCE up front (localCheckpoint) so the per-round lineage
     stays flat and the upstream similarity pipeline (LSH banding, md5) is
     never recomputed; labels are re-checkpointed each round for the same
     reason. Convergence is detected by an aggregate over the propagation
-    delta (one tiny action per round), not by comparing snapshots."""
+    delta (one tiny action per round), not by comparing snapshots.
+
+    ``reliable_checkpoints=True`` switches the per-round materialization
+    from ``localCheckpoint`` (executor-local blocks — fast, but an executor
+    loss mid-fixpoint fails the job) to reliable ``checkpoint`` into the
+    session's ``sc.setCheckpointDir`` location — the right setting for a
+    1000-executor run where losing a node mid-iteration must not restart
+    the whole similarity pipeline. Local/bench runs keep the default."""
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if reliable_checkpoints:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
     # checkpoint the DIRECTED edge list first, THEN mirror it: a union of
     # two selects over the un-materialized edge DAG would execute the whole
     # upstream similarity pipeline twice (the two union branches share no
     # exchange), and the checkpoint would store every edge in both
     # directions — materialize once, mirror the stored rows
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .localCheckpoint(eager=True))
+    e = _pin(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = (sym.groupBy("u")
-              .agg(F.min("v").alias("_nbr"))
-              .select("u", F.least("u", "_nbr").alias("label"))
-              .localCheckpoint(eager=True))
+    labels = _pin(sym.groupBy("u")
+                  .agg(F.min("v").alias("_nbr"))
+                  .select("u", F.least("u", "_nbr").alias("label")))
     for _ in range(max_iter):
         # neighbor minimum under current labels
         prop = (sym.join(labels.select(F.col("u").alias("v"),
@@ -261,8 +272,8 @@ def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
                       .select("u", F.least("label", F.coalesce("_nl", "label"))
                               .alias("label"),
                               (F.col("label")
-                               > F.coalesce("_nl", "label")).alias("_chg"))
-                      .localCheckpoint(eager=True))
+                               > F.coalesce("_nl", "label")).alias("_chg")))
+        new_labels = _pin(new_labels)
         changed = new_labels.agg(
             F.sum(F.col("_chg").cast("int")).alias("c")).collect()[0]["c"]
         labels = new_labels.drop("_chg")
@@ -277,6 +288,93 @@ def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
                         F.col("label").alias("cluster_rep"))
     if nodes is not None:
         out = (nodes.select("doc_id").join(out, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("cluster_rep", "doc_id")
+                       .alias("cluster_rep")))
+    sizes = out.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("cluster_sz"))
+    return out.join(sizes, "cluster_rep") \
+        .select("doc_id", "cluster_rep", "cluster_sz")
+
+
+def star_contract_components(edges: DataFrame, nodes: DataFrame | None = None,
+                             src: str = "doc_a", dst: str = "doc_b",
+                             max_iter: int = 60,
+                             reliable_checkpoints: bool = False) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-graph twin of ``near_dup_clusters``: min-
+    label propagation needs O(component diameter) rounds, which is fine for
+    star-ish dup clusters but degenerates on long-path graphs; star
+    contraction converges in O(log n) alternations regardless of shape.
+    Same output contract as near_dup_clusters: (doc_id, cluster_rep,
+    cluster_sz), cluster_rep = component minimum, singletons via ``nodes``.
+
+    Per round (each a groupBy + a join on the shrinking edge list):
+      large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      small-star(u): over edges v ≤ u: m = min(N(u) ∪ {u});
+                     emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m
+    The fixpoint is a forest of depth-1 stars rooted at component minima.
+    Convergence = the canonical edge set stops changing (size + checksum,
+    one tiny action per round)."""
+    def _pin(df: DataFrame) -> DataFrame:
+        if reliable_checkpoints:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = _pin(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .filter(F.col("u") != F.col("v")))
+
+    def _fingerprint(ed: DataFrame):
+        r = ed.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        return (r["n"], str(r["h"]))
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("_mv"))
+                .select("u", F.least("u", "_mv").alias("_m")))
+        return (sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # direct every edge large→small, group at the large end
+        d = ed.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("_m"))
+        relink = (d.join(mins, "u")
+                  .select(F.col("v").alias("u"), F.col("_m").alias("v")))
+        root = mins.select(F.col("u"), F.col("_m").alias("v"))
+        return (relink.union(root)
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _pin(_small_star(_large_star(e)))
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"star_contract_components did not converge in {max_iter} "
+            "alternations")
+    # fixpoint edges are (member, root) star links; roots self-label
+    labels = (e.select(F.col("u").alias("doc_id"),
+                       F.col("v").alias("cluster_rep"))
+              .union(e.select(F.col("v").alias("doc_id"),
+                              F.col("v").alias("cluster_rep")))
+              .groupBy("doc_id").agg(F.min("cluster_rep").alias("cluster_rep")))
+    out = labels
+    if nodes is not None:
+        out = (nodes.select("doc_id").join(labels, "doc_id", "left")
                .select("doc_id",
                        F.coalesce("cluster_rep", "doc_id")
                        .alias("cluster_rep")))
