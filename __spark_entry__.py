@@ -43,14 +43,15 @@ def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     broadcast joins where an extra exchange is pure loss. The split-count
     probe (~0.1 s of driver-side RDD conversion) is memoized per path —
     fixture layouts don't change within a session."""
+    from tsrollup.io import scan_min_parallel
+
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
-    want = spark.sparkContext.defaultParallelism
     n = _SCAN_PARTS.get(path)
     if n is None:
         n = df.rdd.getNumPartitions()
         _SCAN_PARTS[path] = n
-    return df.repartition(want) if n < want else df
+    return scan_min_parallel(df, known_partitions=n)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,8 +721,19 @@ def q_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
+    # key = input fingerprint + CODE fingerprint: a cross-round change to
+    # the rollup kernels must rebuild the stored tier, not silently reuse a
+    # stale round-N artifact (round-5 review finding)
+    import hashlib
+
+    import tsrollup.kernels as _k
+    import tsrollup.rollup as _r
+    code_fp = hashlib.md5(
+        (open(_r.__file__, "rb").read()
+         + open(_k.__file__, "rb").read())).hexdigest()[:10]
     store = os.path.join(
-        _cache(sf_dir, f"tierjoin-w{W0}-s{st.st_size}-m{int(st.st_mtime)}"),
+        _cache(sf_dir, f"tierjoin-w{W0}-s{st.st_size}-m{int(st.st_mtime)}"
+               f"-c{code_fp}"),
         "base")
     if not os.path.exists(store):
         tmp = store + ".tmp"
@@ -1798,7 +1810,9 @@ WITH tok AS (
   FROM r
 )
 SELECT doc_id, n_res,
-       list_reduce(list_prepend(0.0, res), (acc, x) -> acc + x) AS res_sum,
+       CASE WHEN res IS NULL THEN NULL
+            ELSE list_reduce(list_prepend(0.0, res), (acc, x) -> acc + x)
+       END AS res_sum,
        len(tm)::BIGINT AS n_tok,
        list_reduce(list_prepend(0.0, tm), (a, b) -> a + b)
          / len(tm)::DOUBLE AS en_loss

@@ -271,6 +271,10 @@ def main() -> int:
             if t <= 1.25 * prev_min:
                 break
     timings = {name: round(min(ts), 3) for name, ts in raw.items()}
+    # provenance: base interleaved passes + the rows that earned extras
+    # (min-of-3 / min-of-4), so a record reader knows each number's basis
+    extra_passes = {name: len(ts) - PASSES
+                    for name, ts in raw.items() if len(ts) > PASSES}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -284,6 +288,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "passes_per_query": PASSES,
+        "extra_passes": extra_passes,
         "sf": sf_val,
         "rollup_seqs_per_sec": round(seqs_per_sec, 1),
         "rollup_sec": round(rollup_s, 3),

@@ -21,17 +21,18 @@ def _plan(df) -> str:
 
 
 def _n_exchanges(plan: str) -> int:
-    """DATA-DEPENDENT exchanges only (hash/range partitioning, from detail
-    sections — "(5) Exchange" — not tree echoes). The small-scan guard's
-    RoundRobin repartition (io.scan_min_parallel) is deliberately excluded:
-    it appears only when a fixture table arrives in fewer splits than cores
-    (never at real scale) and says nothing about an operator's shuffle
-    shape."""
+    """DATA-DEPENDENT exchanges (from detail sections — "(5) Exchange" —
+    not tree echoes). The small-scan guard's RoundRobin repartition
+    (io.scan_min_parallel) is deliberately excluded BY NAME: it appears
+    only when a fixture table arrives in fewer splits than cores (never at
+    real scale) and says nothing about an operator's shuffle shape — but
+    hash, range AND SinglePartition exchanges all count (a global agg/sort
+    is a real shuffle)."""
     import re
 
     details = re.split(r"^\(\d+\) ", plan, flags=re.M)
     return sum(1 for d in details if d.startswith("Exchange")
-               and ("hashpartitioning" in d or "rangepartitioning" in d))
+               and "RoundRobinPartitioning" not in d)
 
 
 def test_rollup_scale_path_has_no_exchange(spark, seqs):

@@ -159,3 +159,47 @@ def test_merged_gating_ops_match_standalone(spark, toks_df):
     for r in attention_gate_features(toks_df).collect():
         for c in ("n_tok", "gate_sum", "gate_max"):
             assert msf[r["doc_id"]][c] == r[c], c
+
+
+def test_residual_en_single_token_doc_matches_oracle(spark):
+    """Cross-engine parity on the SINGLE-TOKEN edge the fixtures happen not
+    to contain: Spark's residual columns are NULL (the branch needs ≥2
+    positions) and the DuckDB oracle must agree — DuckDB's
+    list_prepend(0.0, NULL) is [0.0], so an unguarded list_reduce would
+    return 0.0 where Spark returns NULL (found in round-5 review)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from tsrollup.gating import residual_en_features
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["one", "two words", "a bb ccc dddd"],
+    })
+    sdf = (spark.createDataFrame(docs)
+           .select(F.col("doc_id").cast("string").alias("doc_id"),
+                   F.transform(F.split("text", " "),
+                               lambda w: F.length(w)).alias("tokens")))
+    got = residual_en_features(sdf).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = entrymod.oracle_sql()["residual_add"]
+    want = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(want.columns) == \
+        ["doc_id", "n_res", "res_sum", "n_tok", "en_loss"]
+    for c in got.columns:
+        gv, wv = got[c].values, want[c].values
+        for g, w in zip(gv, wv):
+            if pd.isna(g) or pd.isna(w):
+                assert pd.isna(g) and pd.isna(w), (c, g, w)
+            else:
+                assert g == w, (c, g, w)
+    # the single-token doc: residual NULL, en_loss present
+    one = got[got["doc_id"] == "1"].iloc[0]
+    assert pd.isna(one["n_res"]) and pd.isna(one["res_sum"])
+    assert one["n_tok"] == 1 and not pd.isna(one["en_loss"])

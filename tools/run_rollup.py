@@ -64,8 +64,12 @@ def main() -> int:
     # fail fast with the fix in hand.
     max_heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
                    .maxMemory())
-    if max_heap < 2 * 1024 ** 3 and spark.sparkContext.master.startswith(
-            "local"):
+    master = spark.sparkContext.master
+    # only single-JVM local mode ("local"/"local[N]") runs the executors in
+    # the driver heap; local-cluster[...] and real masters size executors
+    # separately, so a small DRIVER heap is fine there
+    if max_heap < 2 * 1024 ** 3 and (
+            master == "local" or master.startswith("local[")):
         print(f"ERROR: JVM heap is {max_heap // 1024**2} MiB — too small "
               "for a local-mode rollup over wide token rows (the "
               "vectorized parquet reader OOMs). spark.driver.memory cannot "

@@ -145,7 +145,8 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
 
 
 def scan_min_parallel(df: DataFrame,
-                      min_partitions: int | None = None) -> DataFrame:
+                      min_partitions: int | None = None,
+                      known_partitions: int | None = None) -> DataFrame:
     """Guard against a SMALL scan serializing a wide pipeline: a table that
     arrives as fewer splits than the session's parallelism (e.g. one file
     with one parquet row group — row groups are the split atom, so
@@ -158,10 +159,16 @@ def scan_min_parallel(df: DataFrame,
     At production scale this is a structural NO-OP — a real table carries
     orders of magnitude more splits than cores — so plans on big inputs are
     untouched; only the pathological small-scan case pays one small
-    round-robin exchange."""
+    round-robin exchange.
+
+    ``known_partitions`` lets a caller that memoizes the split-count probe
+    (the probe is ~0.1 s of driver-side RDD conversion per call) skip it —
+    see ``_fact`` in __spark_entry__.py."""
     spark = df.sparkSession
     want = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    n = (known_partitions if known_partitions is not None
+         else df.rdd.getNumPartitions())
+    if n < want:
         return df.repartition(want)
     return df
 
