@@ -609,6 +609,23 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_MEMO: dict[str, "object"] = {}
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (standard LLM-corpus op, GPT-3 appendix-C
+    style n-gram overlap): docs with doc_id < 20 stand in for the eval
+    benchmark; every OTHER doc sharing any word 8-gram with them is
+    flagged with its hit count (n=4 word-grams: 36 contaminated docs at
+    sf0.01, 339 at sf0.1 — enough volume to discriminate; 8-grams matched
+    only the planted exact dups). Probe n-grams broadcast (benchmarks are
+    tiny against a 100 TB corpus), so the corpus-side stream joins
+    map-side; tail oracle — DuckDB reproduces the md5-hashed n-gram
+    intersection exactly."""
+    from tsrollup.dedup import contamination_matches
+
+    docs = _docs(spark, sf_dir)
+    return contamination_matches(docs.filter("doc_id >= 20"),
+                                 docs.filter("doc_id < 20"), n=4)
+
+
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (the inverted-file twin of the SRP-LSH path — the
     brief's 'IVF or LSH' pair, both provided): bounded driver-side Lloyd
@@ -1145,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_zoo": q_pipeline_zoo,
         "embed_near_dups": q_embed_near_dups,
         "ivf_knn": q_ivf_knn,
+        # tail oracle (unrecorded, like cosine_topk): decontamination
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1596,6 +1615,25 @@ allr AS (SELECT d.doc_id, COALESCE(rep.cluster_rep, d.doc_id) AS cluster_rep
 SELECT doc_id, cluster_rep,
        COUNT(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_sz
 FROM allr
+"""
+
+    # decontamination: 4-grams (same slice convention as _SHINGLES, n=4),
+    # md5-hashed like the Spark side so even collisions match; probes =
+    # doc_id < 20, corpus = the rest
+    sqls["decontaminate"] = """
+WITH g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(list_distinct(list_transform(
+            range(0, greatest(len(ws) - 4, 0) + 1),
+            i -> array_to_string(ws[i + 1 : i + 4], ' '))))), 1, 15))::BIGINT
+           AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+probe AS (SELECT DISTINCT h FROM g WHERE doc_id < 20)
+SELECT g.doc_id, COUNT(*)::BIGINT AS n_hits, MIN(g.h) AS first_hit
+FROM g JOIN probe ON g.h = probe.h
+WHERE g.doc_id >= 20
+GROUP BY g.doc_id
 """
 
     sqls["simhash"] = _simhash_oracle(16)

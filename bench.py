@@ -68,6 +68,7 @@ HEADLINE = [
     "minhash_signatures",
     "lsh_pairs",
     "simhash",
+    "decontaminate",
     "cosine_knn",
     "ann_lsh",
     "embed_near_dups",

@@ -241,3 +241,36 @@ def test_star_contraction_matches_union_find_and_propagation(spark):
         assert star.loc[x, "cluster_rep"] == want[x], x
     assert (star["cluster_rep"].values == prop["cluster_rep"].values).all()
     assert (star["cluster_sz"].values == prop["cluster_sz"].values).all()
+
+
+def test_contamination_matches_planted_probe(spark):
+    """Planted contamination: docs sharing a probe 4-gram are flagged with
+    exact hit counts; clean docs are absent; the probe side broadcasts
+    (plan-guarded — the corpus-side stream must not shuffle pre-join)."""
+    from tsrollup.dedup import contamination_matches
+
+    probes = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0],
+        "text": ["the secret benchmark question about spark internals"],
+    }))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101, 102],
+        "text": [
+            # contains 2 distinct probe 4-grams
+            "intro text the secret benchmark question about more words",
+            # contains zero probe 4-grams (shares only shorter spans)
+            "the secret benchmark answer is completely different here",
+            # exact copy → every probe 4-gram hits (7 words → 4 grams)
+            "the secret benchmark question about spark internals",
+        ],
+    }))
+    out = contamination_matches(docs, probes, n=4).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert out.index.tolist() == [100, 102]
+    assert out.loc[100, "n_hits"] == 2
+    assert out.loc[102, "n_hits"] == 4
+    plan = contamination_matches(docs, probes, n=4) \
+        ._sc._jvm.PythonSQLUtils.explainString(
+            contamination_matches(docs, probes, n=4)._jdf.queryExecution(),
+            "formatted")
+    assert "BroadcastHashJoin" in plan

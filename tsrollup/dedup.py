@@ -382,3 +382,34 @@ def star_contract_components(edges: DataFrame, nodes: DataFrame | None = None,
         F.count("*").cast("long").alias("cluster_sz"))
     return out.join(sizes, "cluster_rep") \
         .select("doc_id", "cluster_rep", "cluster_sz")
+
+
+def contamination_matches(docs: DataFrame, probes: DataFrame, n: int = 8,
+                          text_col: str = "text",
+                          probe_text_col: str = "text") -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-data pipeline op that finds
+    corpus documents sharing any word n-gram with a probe set (eval
+    benchmark strings): one (doc_id, n_hits, first_hit) row per
+    contaminated doc. Standard practice for LLM corpora (n-gram overlap
+    decontamination à la GPT-3 appendix C / open replication pipelines).
+
+    Scale shape: the probe side is tiny by construction (benchmarks are
+    KB-MB against a 100 TB corpus) — its distinct hashed n-grams BROADCAST,
+    so the corpus-side exploded n-gram stream joins map-side with no
+    shuffle; the per-doc hit aggregation is the only exchange, carrying
+    only matching rows. n-grams ride the same md5→60-bit hashing as the
+    dedup family (cross-engine deterministic, so even hash collisions
+    reproduce in the DuckDB oracle); ``first_hit`` keeps the minimum
+    colliding hash per doc for auditability."""
+    from pyspark.sql.functions import broadcast
+
+    d = word_shingles(docs, n, text_col) \
+        .select("doc_id", _h60(F.col("shingle")).alias("h"))
+    p = (word_shingles(probes.select(F.col("doc_id"),
+                                     F.col(probe_text_col).alias("text")),
+                       n, "text")
+         .select(_h60(F.col("shingle")).alias("h")).distinct())
+    return (d.join(broadcast(p), "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"),
+                 F.min("h").alias("first_hit")))
