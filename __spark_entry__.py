@@ -1154,8 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_excluded": q_windows_excluded,
         "retention": q_retention,
         # --- tail (unrecorded by the driver's 50-slot ledger) ---
-        # cosine_topk keeps its oracle; the rest are rows-only
-        # (pytest-value-verified; no SQL analog)
+        # cosine_topk and decontaminate keep full oracles (tail oracles are
+        # simply unrecorded); the rest are rows-only (pytest-value-verified;
+        # no SQL analog)
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
