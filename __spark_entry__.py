@@ -174,12 +174,27 @@ def _cache(sf_dir: str, tag: str) -> str:
     """Per-(sf, tag) cache dir that PERSISTS across invocations (unlike
     ``_scratch``) — for stored indexes whose whole point is train-once
     reuse. Callers must key ``tag`` by anything that invalidates the cached
-    artifact (e.g. the corpus row count)."""
+    artifact: the input (row count / size / mtime) AND the producing code
+    (``_code_fp`` over every module the artifact's values depend on)."""
     base = os.path.join(
         os.environ.get("TSROLLUP_BENCH_CACHE", "/tmp/tsrollup-bench"),
         f"cache-{tag}-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
     os.makedirs(base, exist_ok=True)
     return base
+
+
+def _code_fp(*modules) -> str:
+    """Fingerprint of the SOURCE of every module a persisted artifact's
+    values depend on (this entry file is always included — it hosts the
+    tokenization/query glue). A cross-round edit to any producer then
+    rebuilds the store instead of silently reusing a stale round-N artifact
+    under an unchanged input fingerprint (round-5 review finding)."""
+    import hashlib
+    from pathlib import Path
+
+    blobs = [Path(__file__).read_bytes()]
+    blobs += [Path(m.__file__).read_bytes() for m in modules]
+    return hashlib.md5(b"\x00".join(blobs)).hexdigest()[:10]
 
 
 def q_rollup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,9 +652,10 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_centroids_for``, persisted through the io boundary and reloaded on
     repeat calls — the frozen-encoder reuse pattern, reference
     arrythmia_experiment.py:191-193). The store key covers everything that
-    invalidates the trained quantizer: index geometry (n_centroids, dim) AND
-    a corpus content fingerprint (row count + file size + mtime), so a
-    regenerated fixture with the same row count — or a geometry change —
+    invalidates the trained quantizer: index geometry (n_centroids, dim),
+    a corpus content fingerprint (row count + file size + mtime), AND a
+    trainer-code fingerprint (``_code_fp``), so a regenerated fixture with
+    the same row count, a geometry change, or an edit to the Lloyd trainer
     retrains instead of silently reusing a stale store. Training itself is
     deterministic, so cached and fresh runs produce identical cells."""
     import pyarrow.parquet as pq
@@ -650,7 +666,10 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = pq.ParquetFile(src).metadata.num_rows
     emb = _fact(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     st = os.stat(src)
-    fp = f"n{n}-s{st.st_size}-m{int(st.st_mtime)}"
+    # input fingerprint + trainer-code fingerprint: an edit to the Lloyd
+    # trainer must retrain, not reuse a stale persisted quantizer
+    from tsrollup import similarity as _sim
+    fp = f"n{n}-s{st.st_size}-m{int(st.st_mtime)}-c{_code_fp(_sim)}"
     store = os.path.join(_cache(sf_dir, f"ivf-c16-d64-{fp}"), "centroids")
     cent = _IVF_MEMO.get(store)
     if cent is None:
@@ -738,19 +757,15 @@ def q_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
-    # key = input fingerprint + CODE fingerprint: a cross-round change to
-    # the rollup kernels must rebuild the stored tier, not silently reuse a
-    # stale round-N artifact (round-5 review finding)
-    import hashlib
-
+    # key = input fingerprint + code fingerprint over the whole producer
+    # chain (tokenize_words lives in text.py, the windowing pass in
+    # rollup/kernels, the glue in the entry file itself via _code_fp)
     import tsrollup.kernels as _k
     import tsrollup.rollup as _r
-    code_fp = hashlib.md5(
-        (open(_r.__file__, "rb").read()
-         + open(_k.__file__, "rb").read())).hexdigest()[:10]
+    import tsrollup.text as _t
     store = os.path.join(
         _cache(sf_dir, f"tierjoin-w{W0}-s{st.st_size}-m{int(st.st_mtime)}"
-               f"-c{code_fp}"),
+               f"-c{_code_fp(_r, _k, _t)}"),
         "base")
     if not os.path.exists(store):
         tmp = store + ".tmp"

@@ -264,13 +264,11 @@ def test_contamination_matches_planted_probe(spark):
             "the secret benchmark question about spark internals",
         ],
     }))
-    out = contamination_matches(docs, probes, n=4).toPandas() \
-        .set_index("doc_id").sort_index()
+    from tsrollup.planaudit import formatted_plan
+
+    matched = contamination_matches(docs, probes, n=4)
+    out = matched.toPandas().set_index("doc_id").sort_index()
     assert out.index.tolist() == [100, 102]
     assert out.loc[100, "n_hits"] == 2
     assert out.loc[102, "n_hits"] == 4
-    plan = contamination_matches(docs, probes, n=4) \
-        ._sc._jvm.PythonSQLUtils.explainString(
-            contamination_matches(docs, probes, n=4)._jdf.queryExecution(),
-            "formatted")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in formatted_plan(matched)

@@ -15,24 +15,11 @@ def seqs(spark, sequences_path):
     return spark.read.parquet(sequences_path)
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
-
-
-def _n_exchanges(plan: str) -> int:
-    """DATA-DEPENDENT exchanges (from detail sections — "(5) Exchange" —
-    not tree echoes). The small-scan guard's RoundRobin repartition
-    (io.scan_min_parallel) is deliberately excluded BY NAME: it appears
-    only when a fixture table arrives in fewer splits than cores (never at
-    real scale) and says nothing about an operator's shuffle shape — but
-    hash, range AND SinglePartition exchanges all count (a global agg/sort
-    is a real shuffle)."""
-    import re
-
-    details = re.split(r"^\(\d+\) ", plan, flags=re.M)
-    return sum(1 for d in details if d.startswith("Exchange")
-               and "RoundRobinPartitioning" not in d)
+# one shared copy of the explain incantation + exchange taxonomy
+# (tsrollup/planaudit.py) — keep in lockstep with tools/explain_audit.py
+# by construction, not by dual edits
+from tsrollup.planaudit import formatted_plan as _plan  # noqa: E402
+from tsrollup.planaudit import n_data_exchanges as _n_exchanges  # noqa: E402
 
 
 def test_rollup_scale_path_has_no_exchange(spark, seqs):

@@ -396,8 +396,9 @@ def contamination_matches(docs: DataFrame, probes: DataFrame, n: int = 8,
     Scale shape: the probe side is tiny by construction (benchmarks are
     KB-MB against a 100 TB corpus) — its distinct hashed n-grams BROADCAST,
     so the corpus-side exploded n-gram stream joins map-side with no
-    shuffle; the per-doc hit aggregation is the only exchange, carrying
-    only matching rows. n-grams ride the same md5→60-bit hashing as the
+    shuffle; the only CORPUS-SIZED exchange is the per-doc hit aggregation,
+    carrying only matching rows (the probe-side ``distinct`` adds one more
+    hash exchange over the tiny probe set — PLANS.md records both). n-grams ride the same md5→60-bit hashing as the
     dedup family (cross-engine deterministic, so even hash collisions
     reproduce in the DuckDB oracle); ``first_hit`` keeps the minimum
     colliding hash per doc for auditability."""
