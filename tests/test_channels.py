@@ -8,6 +8,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from tsrollup.planaudit import formatted_plan
+
 
 @pytest.fixture(scope="module")
 def multi_df(spark):
@@ -98,8 +100,7 @@ def test_channel_rollup_plan_is_zero_shuffle(spark, multi_df):
     from tsrollup.channels import melt_channels, rollup_channels
 
     df = rollup_channels(melt_channels(multi_df))
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(df)
     assert "Exchange" not in plan, plan
     assert "MapInArrow" in plan
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from tsrollup.planaudit import formatted_plan
+
 
 def test_asof_matches_pandas_merge_asof(spark):
     from tsrollup.joins import asof_join
@@ -68,8 +70,7 @@ def test_asof_plan_is_single_shuffle(spark):
     left = spark.createDataFrame([(1, 10, 1)], "key int, lt long, p int")
     right = spark.createDataFrame([(1, 5, 2)], "key int, rt long, attr int")
     df = asof_join(left, right, "key", "lt", "rt", ("attr",))
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
@@ -123,8 +124,7 @@ def test_range_join_plan_has_no_nested_loop(spark):
     ivs = spark.createDataFrame([(1, 5, 15, 0)],
                                 "key int, s long, e long, iid int")
     df = range_join(pts, ivs, "key", "pt", "s", "e", 5, ("iid",))
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
 
 

@@ -7,6 +7,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from tsrollup.planaudit import formatted_plan
+
 DIM = 16
 
 
@@ -78,8 +80,7 @@ def test_lsh_plan_has_no_global_candidate_sort(spark, emb_df):
     from tsrollup.similarity import ann_lsh_topk
 
     df = ann_lsh_topk(emb_df, k=6, n_planes=8, dim=DIM)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
+    plan = formatted_plan(df)
     # global merge is a bounded TakeOrderedAndProject, and a per-bucket
     # window rank prunes candidates before it — never a full Sort+limit of
     # the raw candidate pair set
