@@ -514,6 +514,19 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").cast("long").alias("n_items")))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021
+    §A1.1): per-doc duplicate-{2,3}-gram fraction and top-{2,3}-gram
+    fraction — the standard LLM-corpus quality rule the length/stopword
+    heuristics (quality_score) don't cover. ZERO-shuffle per-doc plan
+    (array_distinct + sorted-run fold, tsrollup/text.py repetition_stats);
+    the DuckDB oracle takes the opposite shape (unnest → two-level
+    aggregation) and must reproduce the values bit-for-bit."""
+    from tsrollup.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + document fingerprinting in ONE scan
     (tsrollup.text.text_profile — the standalone token_stats and fingerprint
@@ -1178,8 +1191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_zoo": q_pipeline_zoo,
         "embed_near_dups": q_embed_near_dups,
         "ivf_knn": q_ivf_knn,
-        # tail oracle (unrecorded, like cosine_topk): decontamination
+        # tail oracles (unrecorded, like cosine_topk): decontamination,
+        # Gopher repetition filters
         "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
     }
 
 
@@ -1650,6 +1665,42 @@ SELECT g.doc_id, COUNT(*)::BIGINT AS n_hits, MIN(g.h) AS first_hit
 FROM g JOIN probe ON g.h = probe.h
 WHERE g.doc_id >= 20
 GROUP BY g.doc_id
+"""
+
+    # Gopher repetition filters: the oracle deliberately takes the OPPOSITE
+    # algorithmic shape to the Spark side (unnest → per-gram counts →
+    # per-doc aggregation vs Spark's zero-shuffle array_distinct +
+    # sorted-run fold) — same exact integer counts, one IEEE double
+    # division each, so values bit-match. LEFT JOINs keep sub-n-word docs
+    # (0 grams, NULL fractions). DuckDB list slicing l[a:b] is 1-based
+    # INCLUSIVE; range(1, x) is empty for x <= 1, matching Spark's guarded
+    # sequence().
+    sqls["repetition"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(ws)),
+         i -> array_to_string(ws[i : i + 1], ' '))) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(ws) - 1),
+         i -> array_to_string(ws[i : i + 2], ' '))) AS gram FROM w
+),
+per AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+agg AS (SELECT doc_id, n, SUM(c) AS total, COUNT(*) AS nd, MAX(c) AS top
+        FROM per GROUP BY 1, 2)
+SELECT d.doc_id,
+  COALESCE(a2.total, 0)::INT AS n2_grams,
+  CASE WHEN a2.total > 0
+       THEN (a2.total - a2.nd)::DOUBLE / a2.total::DOUBLE END AS dup2_frac,
+  CASE WHEN a2.total > 0
+       THEN a2.top::DOUBLE / a2.total::DOUBLE END AS top2_frac,
+  COALESCE(a3.total, 0)::INT AS n3_grams,
+  CASE WHEN a3.total > 0
+       THEN (a3.total - a3.nd)::DOUBLE / a3.total::DOUBLE END AS dup3_frac,
+  CASE WHEN a3.total > 0
+       THEN a3.top::DOUBLE / a3.total::DOUBLE END AS top3_frac
+FROM documents d
+LEFT JOIN agg a2 ON d.doc_id = a2.doc_id AND a2.n = 2
+LEFT JOIN agg a3 ON d.doc_id = a3.doc_id AND a3.n = 3
 """
 
     sqls["simhash"] = _simhash_oracle(16)

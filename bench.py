@@ -63,6 +63,7 @@ HEADLINE = [
     "asof_join",
     "token_stats",
     "quality_score",
+    "repetition",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_signatures",

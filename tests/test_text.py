@@ -84,3 +84,55 @@ def test_merged_single_pass_ops_match_standalone(spark, docs_df):
     for r in lang_id(docs_df).collect():
         assert ql[r["doc_id"]]["pred_lang"] == r["pred_lang"]
         assert ql[r["doc_id"]]["stop_hits"] == r["stop_hits"]
+
+
+def test_repetition_stats_planted(spark):
+    """Hand-computed Gopher repetition values on planted docs, including
+    the short-doc NULL edge and a pure-repetition doc."""
+    from tsrollup.text import repetition_stats
+
+    df = spark.createDataFrame(pd.DataFrame([
+        (1, "spam spam spam spam ham"),  # 2g: 3x"spam spam","spam ham"
+        (2, "a b c d"),                  # all distinct
+        (3, "x"),                        # <2 words -> zero grams, NULLs
+        (4, "go go go go"),              # single repeated 2-/3-gram
+    ], columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    assert out[1]["n2_grams"] == 4
+    assert out[1]["dup2_frac"] == (4 - 2) / 4
+    assert out[1]["top2_frac"] == 3 / 4
+    assert out[1]["n3_grams"] == 3
+    assert out[1]["dup3_frac"] == (3 - 2) / 3
+    assert out[1]["top3_frac"] == 2 / 3
+
+    assert out[2]["dup2_frac"] == 0.0 and out[2]["top2_frac"] == 1 / 3
+    assert out[2]["dup3_frac"] == 0.0 and out[2]["top3_frac"] == 1 / 2
+
+    assert out[3]["n2_grams"] == 0 and out[3]["n3_grams"] == 0
+    assert out[3]["dup2_frac"] is None and out[3]["top3_frac"] is None
+
+    assert out[4]["n2_grams"] == 3
+    assert out[4]["dup2_frac"] == (3 - 1) / 3 and out[4]["top2_frac"] == 1.0
+    assert out[4]["dup3_frac"] == (2 - 1) / 2 and out[4]["top3_frac"] == 1.0
+
+
+def test_repetition_stats_matches_python_counter(spark, docs_df):
+    """Cross-check the array-fold implementation against a naive
+    collections.Counter reference on every fixture doc."""
+    from collections import Counter
+
+    from tsrollup.text import repetition_stats
+
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    for r in repetition_stats(docs_df).collect():
+        ws = texts[r["doc_id"]].split(" ")
+        for n in (2, 3):
+            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            c = Counter(grams)
+            assert r[f"n{n}_grams"] == len(grams)
+            if grams:
+                assert r[f"dup{n}_frac"] == (len(grams) - len(c)) / len(grams)
+                assert r[f"top{n}_frac"] == max(c.values()) / len(grams)
+            else:
+                assert r[f"dup{n}_frac"] is None

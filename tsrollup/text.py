@@ -116,6 +116,73 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", *_fingerprint_cols(text_col))
 
 
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Word n-grams as space-joined strings (array<string>), empty array
+    when the doc has fewer than ``n`` words. The sequence() bound is guarded
+    because Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than returning
+    empty."""
+    w = words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + F.lit(j)) for j in range(n)]))
+    return F.when(F.size(w) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array = the max
+    multiplicity of any element — one linear aggregate() fold, JVM-side.
+    The empty-string sentinel in the initial accumulator is safe: a first
+    element equal to the sentinel yields run 0+1 = 1, the correct count."""
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def _repetition_cols(text_col: str, ns: tuple[int, ...]) -> list[Column]:
+    cols: list[Column] = []
+    for n in ns:
+        g = _word_ngrams(text_col, n)
+        total = F.size(g)
+        distinct = F.size(F.array_distinct(g))
+        top = _max_run(F.sort_array(g))
+        frac = lambda num: F.when(  # noqa: E731
+            total > 0, num.cast("double") / total.cast("double"))
+        cols += [
+            total.alias(f"n{n}_grams"),
+            frac(total - distinct).alias(f"dup{n}_frac"),
+            frac(top).alias(f"top{n}_frac"),
+        ]
+    return cols
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021 §A1.1,
+    the standard LLM-corpus quality rules): per doc and per n-gram order,
+    the duplicate-n-gram fraction (computed (total − distinct)/total — the
+    subtraction happens on exact integers BEFORE the one double division,
+    so engines agree bitwise) and the top-n-gram fraction (max
+    multiplicity / total), NULL when the doc is shorter than ``n`` words.
+
+    Scale shape: ZERO shuffle — every statistic is a per-doc array
+    computation (array_distinct for the duplicate fraction; sort_array +
+    one linear aggregate() fold for the max multiplicity), so the 100 TB
+    pass stays embarrassingly parallel with no corpus-wide n-gram
+    exchange. O(L log L) per doc, all JVM-side. Counts are exact integers
+    and each fraction is one IEEE double division, so a SQL engine
+    aggregating exploded n-grams (the DuckDB oracle's shape) reproduces
+    the values bit-for-bit."""
+    return df.select("doc_id", *_repetition_cols(text_col, ns))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """token_stats + fingerprint in ONE scan (one select, no join): at 100 TB
     a pipeline computes every per-doc text feature in a single pass over the
