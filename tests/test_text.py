@@ -136,3 +136,32 @@ def test_repetition_stats_matches_python_counter(spark, docs_df):
                 assert r[f"top{n}_frac"] == max(c.values()) / len(grams)
             else:
                 assert r[f"dup{n}_frac"] is None
+
+
+def test_repetition_stats_random_corpus_sweep(spark):
+    """Seeded random corpus over a 3-word alphabet (forcing heavy gram
+    collisions) + length sweep 0..12 words, all verified against the
+    Counter reference in ONE Spark job."""
+    import random
+    from collections import Counter
+
+    from tsrollup.text import repetition_stats
+
+    rng = random.Random(42)
+    texts = [" ".join(rng.choice("ab ba c".split(" "))
+                      for _ in range(rng.randrange(0, 13)))
+             for _ in range(150)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(150), "text": texts}))
+    for r in repetition_stats(df).collect():
+        ws = texts[r["doc_id"]].split(" ")
+        for n in (2, 3):
+            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            c = Counter(grams)
+            assert r[f"n{n}_grams"] == len(grams)
+            if grams:
+                assert r[f"dup{n}_frac"] == (len(grams) - len(c)) / len(grams)
+                assert r[f"top{n}_frac"] == max(c.values()) / len(grams)
+            else:
+                assert r[f"dup{n}_frac"] is None
+                assert r[f"top{n}_frac"] is None
