@@ -256,22 +256,28 @@ def main() -> int:
             t0 = time.perf_counter()
             _noop(qs[name](spark, SF_DIR))
             raw[name].append(time.perf_counter() - t0)
-    for name in HEADLINE:
-        # up to two extra passes while the row still reads expensive: a
-        # load wave can sit on all interleaved rounds of one query (round-5
-        # instrumentation: a 1.1 s query read 4.9-7.3 s in three separate
-        # runs). Stop once a pass CONFIRMS the current level (within 25%)
-        # — then it's the query's real cost, not the wave's.
-        extra = 0
-        while min(raw[name]) > RE_RUN_FLOOR and extra < 2:
+    # Up to two extra passes while a row still reads expensive: a load wave
+    # can sit on all interleaved rounds of one query (round-5
+    # instrumentation: a 1.1 s query read 4.9-7.3 s in three separate
+    # runs). Stop once a pass CONFIRMS the current level (within 25%) —
+    # then it's the query's real cost, not the wave's. The extras are
+    # themselves INTERLEAVED round-robin across every flagged query (not
+    # back-to-back per query): a broadly loaded run flags many rows, so one
+    # query's extras then land minutes apart — back-to-back extras sit
+    # inside the same wave and "confirm" its inflated minimum (observed:
+    # a 2 s steady-state query recording 9.2 s from exactly that).
+    flagged = [n for n in HEADLINE if min(raw[n]) > RE_RUN_FLOOR]
+    for _ in range(2):
+        still = []
+        for name in flagged:
+            prev_min = min(raw[name])
             t0 = time.perf_counter()
             _noop(qs[name](spark, SF_DIR))
             t = time.perf_counter() - t0
-            prev_min = min(raw[name])
             raw[name].append(t)
-            extra += 1
-            if t <= 1.25 * prev_min:
-                break
+            if t > 1.25 * prev_min and min(raw[name]) > RE_RUN_FLOOR:
+                still.append(name)  # not yet confirmed cheap or stable
+        flagged = still
     timings = {name: round(min(ts), 3) for name, ts in raw.items()}
     # provenance: base interleaved passes + the rows that earned extras
     # (min-of-3 / min-of-4), so a record reader knows each number's basis
