@@ -527,6 +527,24 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing placement for LLM pretraining (GPT-style
+    concat-then-chunk): concatenate each doc's tokens into a stream and
+    overlay the fixed-capacity training-chunk grid, emitting every doc's
+    token offset and first/last chunk. Docs shard into 32 independent pack
+    streams (60-bit md5 of doc_id), so the only cumulative sum runs
+    per-bucket — a single global stream would funnel the whole corpus
+    through one reducer at 100 TB, while bucket streams scale out with one
+    hash exchange. Tail oracle: DuckDB reproduces the bucket hash, the
+    running sum and the integer chunk grid bit-for-bit."""
+    from tsrollup.text import words
+    from tsrollup.windowing import pack_offsets
+
+    counted = _docs(spark, sf_dir).select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tok"))
+    return pack_offsets(counted, capacity=2048, n_buckets=32)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + document fingerprinting in ONE scan
     (tsrollup.text.text_profile — the standalone token_stats and fingerprint
@@ -1192,9 +1210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "ivf_knn": q_ivf_knn,
         # tail oracles (unrecorded, like cosine_topk): decontamination,
-        # Gopher repetition filters
+        # Gopher repetition filters, sequence packing
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "pack_offsets": q_pack_offsets,
     }
 
 
@@ -1701,6 +1720,31 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN agg a2 ON d.doc_id = a2.doc_id AND a2.n = 2
 LEFT JOIN agg a3 ON d.doc_id = a3.doc_id AND a3.n = 3
+"""
+
+    # sequence packing: per-bucket running sum + integer chunk grid.
+    # DuckDB's SUM(BIGINT) widens to HUGEINT, so every derived column is
+    # cast back to BIGINT to match Spark's long schema.
+    sqls["pack_offsets"] = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32
+           AS bucket
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tok, bucket,
+         (SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok)::BIGINT
+           AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tok, bucket, tok_offset,
+       (tok_offset // 2048)::BIGINT AS chunk_first,
+       ((tok_offset + greatest(n_tok - 1, 0)) // 2048)::BIGINT AS chunk_last,
+       ((tok_offset + greatest(n_tok - 1, 0)) // 2048
+        - tok_offset // 2048 + 1)::BIGINT AS n_chunks
+FROM s
 """
 
     sqls["simhash"] = _simhash_oracle(16)

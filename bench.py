@@ -64,6 +64,7 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "repetition",
+    "pack_offsets",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_signatures",

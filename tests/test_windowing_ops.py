@@ -203,3 +203,94 @@ def test_residual_en_single_token_doc_matches_oracle(spark):
     one = got[got["doc_id"] == "1"].iloc[0]
     assert pd.isna(one["n_res"]) and pd.isna(one["res_sum"])
     assert one["n_tok"] == 1 and not pd.isna(one["en_loss"])
+
+
+def test_pack_offsets_planted(spark):
+    """Hand-computed placement on one bucket (n_buckets=1 ⇒ global concat
+    order by doc_id): offsets are the running sum, chunk grid is integer
+    division, a zero-length doc occupies no tokens but still reports one
+    chunk span by convention."""
+    from tsrollup.windowing import pack_offsets
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "n_tok": [3, 0, 2048, 5]}))
+    got = {r["doc_id"]: r
+           for r in pack_offsets(df, capacity=4, n_buckets=1).collect()}
+    # doc 1: tokens [0,3) → chunks 0..0
+    assert (got[1]["tok_offset"], got[1]["chunk_first"],
+            got[1]["chunk_last"], got[1]["n_chunks"]) == (0, 0, 0, 1)
+    # doc 2: zero tokens at offset 3 → degenerate single-chunk span
+    assert (got[2]["tok_offset"], got[2]["chunk_first"],
+            got[2]["chunk_last"], got[2]["n_chunks"]) == (3, 0, 0, 1)
+    # doc 3: tokens [3, 2051) → chunks 0..512 (513 spanned)
+    assert (got[3]["tok_offset"], got[3]["chunk_first"],
+            got[3]["chunk_last"], got[3]["n_chunks"]) == (3, 0, 512, 513)
+    # doc 4: tokens [2051, 2056) → chunks 512..513
+    assert (got[4]["tok_offset"], got[4]["chunk_first"],
+            got[4]["chunk_last"], got[4]["n_chunks"]) == (2051, 512, 513, 2)
+    assert all(r["bucket"] == 0 for r in got.values())
+
+
+def test_pack_offsets_bucket_streams_contiguous(spark):
+    """With many buckets each stream is independently gapless: within a
+    bucket, docs sorted by id tile [0, sum(n_tok)) exactly, and the bucket
+    assignment is the dedup family's md5 hash (cross-engine stable)."""
+    import hashlib
+
+    from tsrollup.windowing import pack_offsets
+
+    rng = np.random.default_rng(5)
+    ids = list(range(200))
+    lens = rng.integers(0, 50, len(ids)).astype(int).tolist()
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "n_tok": lens}))
+    rows = pack_offsets(df, capacity=16, n_buckets=8).collect()
+    assert len(rows) == len(ids)
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        want_b = int(hashlib.md5(str(r["doc_id"]).encode())
+                     .hexdigest()[:15], 16) % 8
+        assert r["bucket"] == want_b
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rs:
+            assert r["tok_offset"] == pos
+            assert r["chunk_first"] == pos // 16
+            assert r["chunk_last"] == (pos + max(r["n_tok"] - 1, 0)) // 16
+            assert r["n_chunks"] == r["chunk_last"] - r["chunk_first"] + 1
+            pos += r["n_tok"]
+
+
+def test_pack_offsets_matches_oracle(spark):
+    """Cross-engine parity of the full q_pack_offsets pipeline (whitespace
+    token count → hash-bucketed pack) against the registered DuckDB oracle
+    on a synthetic documents table — the same contract the driver checks on
+    the sf fixtures, minus the parquet round-trip."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from tsrollup.text import words
+    from tsrollup.windowing import pack_offsets
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(40)),
+        "text": [" ".join(f"w{j}" for j in range(3 * i % 17 + 1))
+                 for i in range(40)],
+    })
+    counted = (spark.createDataFrame(docs)
+               .select("doc_id",
+                       F.size(words("text")).cast("long").alias("n_tok")))
+    got = (pack_offsets(counted, capacity=2048, n_buckets=32).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (con.sql(entrymod.oracle_sql()["pack_offsets"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert (got[c].values == want[c].values).all(), c

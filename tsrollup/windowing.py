@@ -111,6 +111,48 @@ def forecast_window_aggs(df: DataFrame, length: int = 8,
     )
 
 
+def pack_offsets(df: DataFrame, capacity: int = 2048, n_buckets: int = 32,
+                 id_col: str = "doc_id", len_col: str = "n_tok") -> DataFrame:
+    """GPT-style concat-then-chunk sequence-packing placement: where each
+    doc's tokens land when the corpus is concatenated and split into
+    fixed-``capacity`` training chunks.
+
+    Docs are deterministically sharded into ``n_buckets`` independent pack
+    streams (60-bit md5 of the id, mod buckets — the dedup family's
+    cross-engine hash), concatenated in id order WITHIN the bucket, and the
+    chunk grid overlays each bucket's stream. This is the 100 TB shape: a
+    single global concatenation order would demand a one-partition
+    cumulative sum (the whole corpus through one reducer), so production
+    packing shards first and packs each shard independently — bucket
+    streams scale out, and the one exchange here is the bucket/id window
+    partitioning. Emits per-doc placement: token offset in the bucket
+    stream, first/last chunk index, chunks spanned. Chunk ids use integer
+    ``div`` (not float floor), so offsets past 2^53 stay exact.
+
+    Zero-length docs occupy no tokens: chunk_last = chunk_first, one "span"
+    by convention.
+    """
+    from pyspark.sql import Window
+
+    from tsrollup.dedup import _h60
+
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.select(F.col(id_col),
+                  F.col(len_col).cast("long").alias("n_tok"),
+                  (_h60(F.col(id_col).cast("string")) % n_buckets)
+                  .alias("bucket"))
+        .withColumn("tok_offset", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .withColumn("chunk_first", F.expr(f"tok_offset div {capacity}"))
+        .withColumn(
+            "chunk_last",
+            F.expr(f"(tok_offset + greatest(n_tok - 1, 0L)) div {capacity}"))
+        .withColumn("n_chunks",
+                    F.col("chunk_last") - F.col("chunk_first") + F.lit(1))
+    )
+
+
 def upsample_repeat(df: DataFrame, factor: int = 2,
                     tokens_col: str = "tokens",
                     out_col: str | None = None) -> DataFrame:
