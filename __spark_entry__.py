@@ -545,6 +545,40 @@ def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_offsets(counted, capacity=2048, n_buckets=32)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 (occurrences + document frequency) — the
+    distributed wordcount seeding a tokenizer build. Map-side partial agg
+    then one exchange; the k-cut is TakeOrderedAndProject (per-partition
+    top-k, bounded driver merge), never a global sort. Tail oracle: the
+    (count desc, word asc) order is total, so DuckDB selects the identical
+    100 rows."""
+    from tsrollup.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing weights (the interleave step of an LLM data
+    pipeline): deterministic salted-md5 subsampling per source —
+    src0..src4 at rates 0/.1/.25/.5/.75, everything else kept — then
+    per-source achieved counts. Pure map + partial agg (no shuffle before
+    the tiny per-source rollup); the keep decision is a per-doc hash, so
+    it reproduces on any cluster size or retry. Tail oracle: the
+    threshold compare is exact-integer and the rate is one IEEE division,
+    so DuckDB matches bit-for-bit."""
+    from tsrollup.text import mixture_sample
+
+    rates = {"src0": 0.0, "src1": 0.1, "src2": 0.25,
+             "src3": 0.5, "src4": 0.75}
+    d = mixture_sample(_docs(spark, sf_dir), rates, default=1.0)
+    return (d.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"))
+            .withColumn("achieved_rate",
+                        F.col("n_kept").cast("double")
+                        / F.col("n_docs").cast("double")))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + document fingerprinting in ONE scan
     (tsrollup.text.text_profile — the standalone token_stats and fingerprint
@@ -1210,10 +1244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "ivf_knn": q_ivf_knn,
         # tail oracles (unrecorded, like cosine_topk): decontamination,
-        # Gopher repetition filters, sequence packing
+        # Gopher repetition filters, sequence packing, vocabulary build,
+        # mixture sampling
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "pack_offsets": q_pack_offsets,
+        "vocab_topk": q_vocab_topk,
+        "source_mixture": q_source_mixture,
     }
 
 
@@ -1745,6 +1782,36 @@ SELECT doc_id, n_tok, bucket, tok_offset,
        ((tok_offset + greatest(n_tok - 1, 0)) // 2048
         - tok_offset // 2048 + 1)::BIGINT AS n_chunks
 FROM s
+"""
+
+    # vocabulary build: total order (count desc, word asc) makes the
+    # 100-row cut deterministic cross-engine
+    sqls["vocab_topk"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents)
+SELECT word, COUNT(*)::BIGINT AS n_occ,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM w GROUP BY word
+ORDER BY n_occ DESC, word LIMIT 100
+"""
+
+    # mixture sampling: salt 7 ⇒ md5('7|'||doc_id); thresholds are
+    # rate×10000 exact integers, achieved_rate one IEEE division
+    sqls["source_mixture"] = """
+WITH t AS (
+  SELECT source,
+         ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 10000 AS h,
+         CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1000
+              WHEN 'src2' THEN 2500 WHEN 'src3' THEN 5000
+              WHEN 'src4' THEN 7500 ELSE 10000 END AS thr
+  FROM documents
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN h < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN h < thr THEN 1 ELSE 0 END)::DOUBLE
+         / COUNT(*)::DOUBLE AS achieved_rate
+FROM t GROUP BY source
 """
 
     sqls["simhash"] = _simhash_oracle(16)

@@ -65,6 +65,8 @@ HEADLINE = [
     "quality_score",
     "repetition",
     "pack_offsets",
+    "vocab_topk",
+    "source_mixture",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_signatures",

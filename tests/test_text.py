@@ -165,3 +165,52 @@ def test_repetition_stats_random_corpus_sweep(spark):
             else:
                 assert r[f"dup{n}_frac"] is None
                 assert r[f"top{n}_frac"] is None
+
+
+def test_vocab_topk_planted(spark):
+    """Exact counts + document frequency on a planted corpus, and the
+    k-cut boundary: ties at the cut resolve by the total (count desc,
+    word asc) order, so the selected set is deterministic."""
+    from tsrollup.text import vocab_topk
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a b b c", "a b c d", "e e d"],
+    }))
+    rows = vocab_topk(df, k=3).collect()
+    # counts: a=4(2 docs) b=3(2) e=2(1) c=2(2) d=2(2); order by count
+    # desc then word asc → a, b, c (c beats d and e alphabetically at 2)
+    assert [(r["word"], r["n_occ"], r["n_docs"]) for r in rows] == \
+        [("a", 4, 2), ("b", 3, 2), ("c", 2, 2)]
+    full = vocab_topk(df, k=100).collect()
+    assert [(r["word"], r["n_occ"], r["n_docs"]) for r in full] == \
+        [("a", 4, 2), ("b", 3, 2), ("c", 2, 2), ("d", 2, 2), ("e", 2, 1)]
+
+
+def test_mixture_sample_matches_hashlib_reference(spark):
+    """The keep decision is the salted md5 threshold, reproducible outside
+    Spark; rate 0 keeps nothing, rate 1 keeps everything, and the default
+    applies to unlisted sources."""
+    import hashlib
+
+    from tsrollup.text import mixture_sample
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(300)),
+        "source": [f"s{i % 3}" for i in range(300)],
+    }))
+    rates = {"s0": 0.0, "s1": 1.0, "s2": 0.4}
+    rows = mixture_sample(df, rates, default=0.9).collect()
+    assert len(rows) == 300
+    for r in rows:
+        h = int(hashlib.md5(f"7|{r['doc_id']}".encode())
+                .hexdigest()[:15], 16) % 10000
+        want = h < int(rates.get(r["source"], 0.9) * 10000)
+        assert r["keep"] == want, r
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["keep"])
+    assert not any(by_src["s0"])          # rate 0: nothing survives
+    assert all(by_src["s1"])              # rate 1: everything survives
+    frac = sum(by_src["s2"]) / len(by_src["s2"])
+    assert 0.2 < frac < 0.6               # rate 0.4 lands in a sane band

@@ -196,3 +196,45 @@ def quality_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
     text_profile; the per-language stopword counters share the word split)."""
     return df.select("doc_id", *_quality_cols(text_col),
                      *_lang_cols(text_col))
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text"
+               ) -> DataFrame:
+    """Corpus vocabulary: the top-``k`` words by total occurrence count,
+    with document frequency — the distributed wordcount that seeds a
+    tokenizer/vocabulary build over a training corpus.
+
+    Scale shape: explode → hash aggregate with map-side partial
+    aggregation (word counts combine locally before the one exchange), and
+    the k-cut runs as TakeOrderedAndProject — each partition keeps only k
+    rows, the driver merges k·P rows — never a global sort
+    materialization. The order (count desc, word asc) is total, so the
+    boundary of the cut is deterministic cross-engine."""
+    w = df.select("doc_id", F.explode(words(text_col)).alias("word"))
+    return (w.groupBy("word")
+            .agg(F.count("*").cast("long").alias("n_occ"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"))
+            .orderBy(F.desc("n_occ"), F.asc("word")).limit(k))
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   default: float = 1.0, source_col: str = "source",
+                   id_col: str = "doc_id", salt: int = 7) -> DataFrame:
+    """Deterministic source-mixture subsampling (dataset mixing weights, the
+    interleave step of an LLM data pipeline): keep a doc iff its salted
+    60-bit md5 mod 10000 falls below the source's rate×10000 threshold.
+
+    Pure map — no shuffle, no RNG state: the same doc keeps or drops
+    identically on any cluster size, retry, or re-run, which is what makes
+    mixture weights reproducible (and auditable per-doc) at 100 TB. The
+    salt decorrelates the decision from other md5-keyed ops (hash_split's
+    unsalted bucket, the dedup hashes). Rates are quantized to 1/10000 so
+    the threshold compare is exact-integer cross-engine."""
+    from tsrollup.dedup import _h60
+
+    thr: Column = F.lit(int(round(default * 10000)))
+    for s, r in sorted(rates.items(), reverse=True):
+        thr = (F.when(F.col(source_col) == F.lit(s),
+                      F.lit(int(round(r * 10000)))).otherwise(thr))
+    h = _h60(F.col(id_col).cast("string"), salt=salt) % 10000
+    return df.withColumn("keep", h < thr)
