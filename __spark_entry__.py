@@ -579,6 +579,27 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("n_docs").cast("double")))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-minute
+    inactivity gap) → per-session stats. One exchange: the lag and the
+    cumulative boundary sum share the per-user window partitioning, and
+    the grouping keys are a superset of it. The gap compare is exact
+    integer microseconds and the value sum is decimal-exact (the
+    pricing_summary argument), so the DuckDB tail oracle matches
+    bit-for-bit."""
+    from tsrollup.segments import sessionize
+
+    s = sessionize(_fact(spark, sf_dir, "events"), gap_minutes=30)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("ts").alias("start_ts"),
+                 F.max("ts").alias("end_ts"),
+                 (F.max(us) - F.min(us)).alias("duration_us"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value")))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + document fingerprinting in ONE scan
     (tsrollup.text.text_profile — the standalone token_stats and fingerprint
@@ -1251,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets": q_pack_offsets,
         "vocab_topk": q_vocab_topk,
         "source_mixture": q_source_mixture,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1812,6 +1834,31 @@ SELECT source, COUNT(*)::BIGINT AS n_docs,
        SUM(CASE WHEN h < thr THEN 1 ELSE 0 END)::DOUBLE
          / COUNT(*)::DOUBLE AS achieved_rate
 FROM t GROUP BY source
+"""
+
+    # sessionization: integer-microsecond gap boundaries + decimal-exact
+    # value sum (the pricing_summary argument); SUM widenings cast back
+    sqls["sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                 THEN 1 ELSE 0 END AS boundary
+  FROM e
+), s AS (
+  SELECT *, (SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM b
+)
+SELECT user_id, session_id,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       (MAX(us) - MIN(us))::BIGINT AS duration_us,
+       SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM s GROUP BY user_id, session_id
 """
 
     sqls["simhash"] = _simhash_oracle(16)

@@ -60,6 +60,7 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "rolling_mean_events",
+    "sessionize",
     "asof_join",
     "token_stats",
     "quality_score",

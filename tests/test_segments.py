@@ -97,3 +97,28 @@ def test_windowing_start_end_and_exclusion(spark):
     row = d.iloc[0]
     assert row["win_sum"] == 108 + 110 + 112 + 114
     assert row["win_min"] == 108 and row["win_max"] == 114
+
+
+def test_sessionize_planted(spark):
+    """Hand-planted gaps: events within the gap threshold share a session,
+    a gap strictly over it opens a new one, an exactly-at-threshold gap
+    does NOT (the boundary is `> gap`, not `>=`), and users never share
+    sessions."""
+    import datetime as dt
+
+    from tsrollup.segments import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: [0, 10] | gap 31 → [41] | exactly 30 min later stays
+        (1, 1, mins(0)), (2, 1, mins(10)), (3, 1, mins(41)),
+        (4, 1, mins(71)),
+        # user 2: single event
+        (5, 2, mins(5)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts"]))
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

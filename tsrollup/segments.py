@@ -77,3 +77,32 @@ def extract_segments(signal: DataFrame, ann: DataFrame,
         F.transform(padded, lambda x: x.cast("double")).alias("seg"),
         (stop - start).cast("int").alias("n_raw"))
         .filter(F.col("n_raw") > 0))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id") -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes`` — the time-domain twin of
+    annotation_runs' gaps-and-islands (lag + cumulative-sum over one
+    per-user window).
+
+    Appends ``session_id`` (1-based per user). Both window passes share
+    the (user, ts, id) partitioning/order, so the plan pays ONE exchange
+    and one sort; at 100 TB sessions never cross the per-user partition,
+    and the gap compare runs on exact integer microseconds
+    (``unix_micros``) — no float time arithmetic, so a SQL engine's
+    epoch_us reproduces the boundaries exactly."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # session tz is UTC → NTZ cast matches DuckDB's naive-as-UTC epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    boundary = F.when(
+        prev.isNull() | ((us - prev) > gap_minutes * 60_000_000),
+        F.lit(1)).otherwise(F.lit(0))
+    return (events.withColumn("_boundary", boundary)
+            .withColumn("session_id",
+                        F.sum("_boundary").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)))
+            .drop("_boundary"))
