@@ -600,6 +600,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("sum_value")))
 
 
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style increase() with counter-reset detection per
+    (user, event_type) series, re-bucketed hourly
+    (tsrollup.counters.counter_increase). One exchange: the lag window,
+    the per-bucket last-value row_number, and the final grouping all hash
+    on (a superset of) the series tuple; decimal(18,2) contributions keep
+    the sums bit-exact for the DuckDB tail oracle."""
+    from tsrollup.counters import counter_increase
+
+    return counter_increase(_fact(spark, sf_dir, "events"))
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per-user
+    series split into 64 equal-width pixel buckets, keeping
+    first/last/min/max per bucket (tsrollup.counters.m4_downsample).
+    Bucket index is exact int64 `div` arithmetic on microseconds —
+    float division would misbucket past 2^53 — and first/last are pinned
+    by (ts, id) row_number, so the DuckDB tail oracle matches
+    bit-for-bit."""
+    from tsrollup.counters import m4_downsample
+
+    return m4_downsample(_fact(spark, sf_dir, "events"), n_buckets=64)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + document fingerprinting in ONE scan
     (tsrollup.text.text_profile — the standalone token_stats and fingerprint
@@ -1273,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "source_mixture": q_source_mixture,
         "sessionize": q_sessionize,
+        "counter_increase": q_counter_increase,
+        "m4_downsample": q_m4_downsample,
     }
 
 
@@ -1859,6 +1886,66 @@ SELECT user_id, session_id,
        (MAX(us) - MIN(us))::BIGINT AS duration_us,
        SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value
 FROM s GROUP BY user_id, session_id
+"""
+
+    # counter increase: decimal(18,2) contributions (reset ⇒ full value),
+    # last-value pinned by (ts DESC, id DESC) row_number — both engines
+    # attribute a delta to the LATER sample's hour bucket
+    sqls["counter_increase"] = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, ts, value::DECIMAL(18,2) AS val,
+         lag(value::DECIMAL(18,2)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+  FROM events
+), c AS (
+  SELECT user_id, event_type, date_trunc('hour', ts) AS bucket_ts, val,
+         CASE WHEN prev IS NULL THEN 0::DECIMAL(18,2)
+              WHEN val - prev < 0 THEN val
+              ELSE val - prev END AS contrib,
+         CASE WHEN prev IS NOT NULL AND val - prev < 0
+              THEN 1 ELSE 0 END AS reset,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_type, bucket_ts,
+       COUNT(*)::BIGINT AS n_samples,
+       SUM(reset)::BIGINT AS n_resets,
+       SUM(contrib)::DOUBLE AS increase,
+       MAX(CASE WHEN rn = 1 THEN val END)::DOUBLE AS last_value
+FROM c GROUP BY user_id, event_type, bucket_ts
+"""
+
+    # M4 downsampling: exact int64 bucket index (us - lo) * 64 // (span + 1);
+    # first/last pinned by (t, id) row_number, min/max raw doubles — every
+    # column bit-reproducible by any SQL engine
+    sqls["m4_downsample"] = """
+WITH e AS (
+  SELECT user_id AS series, ts AS t, event_id AS id, value AS v,
+         epoch_us(ts) AS us,
+         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS lo,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS hi
+  FROM events
+), b AS (
+  SELECT series, t, id, v,
+         ((us - lo) * 64) // (hi - lo + 1) AS bucket
+  FROM e
+), r AS (
+  SELECT series, bucket, t, v,
+         row_number() OVER (PARTITION BY series, bucket
+                            ORDER BY t, id) AS ra,
+         row_number() OVER (PARTITION BY series, bucket
+                            ORDER BY t DESC, id DESC) AS rd
+  FROM b
+)
+SELECT series, bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n,
+       MAX(CASE WHEN ra = 1 THEN t END) AS t_first,
+       MAX(CASE WHEN ra = 1 THEN v END) AS v_first,
+       MAX(CASE WHEN rd = 1 THEN t END) AS t_last,
+       MAX(CASE WHEN rd = 1 THEN v END) AS v_last,
+       MIN(v) AS v_min, MAX(v) AS v_max
+FROM r GROUP BY series, bucket
 """
 
     sqls["simhash"] = _simhash_oracle(16)

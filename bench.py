@@ -61,6 +61,8 @@ HEADLINE = [
     "revenue_by_nation",
     "rolling_mean_events",
     "sessionize",
+    "counter_increase",
+    "m4_downsample",
     "asof_join",
     "token_stats",
     "quality_score",

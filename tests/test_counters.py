@@ -1,0 +1,117 @@
+"""Counter-semantics and M4 downsampling tests (tsrollup/counters.py).
+
+Small hand-built frames pin the semantic corners (reset detection, bucket
+attribution, first/last tie-breaks, exact integer bucketing); the tail
+oracles in __spark_entry__ cover the fixture-scale value parity.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tsrollup.counters import counter_increase, m4_downsample
+from tsrollup.planaudit import formatted_plan, n_data_exchanges
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, "
+              "ts timestamp, value double")
+
+
+def _row(uid, etype, eid, secs, value):
+    return (uid, etype, eid, T0 + dt.timedelta(seconds=secs), float(value))
+
+
+class TestCounterIncrease:
+    def test_monotonic_series_sums_deltas(self, spark):
+        df = _events(spark, [_row(1, "a", i, i * 60, 10.0 * (i + 1))
+                             for i in range(5)])
+        out = counter_increase(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        # first sample contributes 0; then 4 deltas of 10 each
+        assert r.n_samples == 5 and r.n_resets == 0
+        assert r.increase == 40.0 and r.last_value == 50.0
+
+    def test_reset_contributes_full_value(self, spark):
+        # 10 -> 30 -> 5 (reset) -> 25: increase = 20 + 5 + 20
+        df = _events(spark, [_row(1, "a", 0, 0, 10), _row(1, "a", 1, 60, 30),
+                             _row(1, "a", 2, 120, 5), _row(1, "a", 3, 180, 25)])
+        r = counter_increase(df).collect()[0]
+        assert r.n_resets == 1
+        assert r.increase == 45.0
+
+    def test_cross_bucket_delta_goes_to_later_bucket(self, spark):
+        # samples at 10:59 and 11:01 — the 11:01 sample's delta lands in
+        # the 11:00 bucket (Prometheus attribution)
+        df = _events(spark, [_row(1, "a", 0, 59 * 60, 100),
+                             _row(1, "a", 1, 61 * 60, 140)])
+        out = {r.bucket_ts.hour: r for r in counter_increase(df).collect()}
+        assert out[10].increase == 0.0 and out[10].n_samples == 1
+        assert out[11].increase == 40.0 and out[11].last_value == 140.0
+
+    def test_series_are_independent(self, spark):
+        # same user, two event types: a drop across types must NOT count
+        # as a reset because the series key is (user, type)
+        df = _events(spark, [_row(1, "a", 0, 0, 100), _row(1, "b", 1, 60, 5),
+                             _row(1, "b", 2, 120, 7)])
+        out = {r.event_type: r for r in counter_increase(df).collect()}
+        assert out["a"].n_resets == 0 and out["a"].increase == 0.0
+        assert out["b"].n_resets == 0 and out["b"].increase == 2.0
+
+    def test_single_exchange_plan(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(counter_increase(df))
+        assert n_data_exchanges(plan) == 1, plan
+
+
+class TestM4Downsample:
+    def test_bucket_stats_exact(self, spark):
+        # 8 samples over 70s, 4 buckets: span_us = 70e6, den = 70e6 + 1
+        rows = [_row(1, "a", i, i * 10, v)
+                for i, v in enumerate([5, 3, 9, 1, 7, 7, 2, 8])]
+        df = _events(spark, rows)
+        out = {r.bucket: r for r in m4_downsample(df, n_buckets=4).collect()}
+        assert sorted(out) == [0, 1, 2, 3]
+        b0 = out[0]  # samples at 0s,10s: values 5,3
+        assert (b0.n, b0.v_first, b0.v_last, b0.v_min, b0.v_max) == \
+            (2, 5.0, 3.0, 3.0, 5.0)
+        b3 = out[3]  # samples at 60s,70s: values 2,8
+        assert (b3.n, b3.v_first, b3.v_last, b3.v_min, b3.v_max) == \
+            (2, 2.0, 8.0, 2.0, 8.0)
+
+    def test_last_sample_lands_in_last_bucket(self, spark):
+        # the max-ts sample must land in bucket n-1, not overflow to n
+        # (hence the span+1 denominator)
+        rows = [_row(1, "a", i, i, float(i)) for i in range(100)]
+        df = _events(spark, rows)
+        out = m4_downsample(df, n_buckets=10).collect()
+        assert max(r.bucket for r in out) == 9
+        assert sum(r.n for r in out) == 100
+
+    def test_tie_break_by_id(self, spark):
+        # two samples at the identical timestamp: first/last pinned by id
+        df = _events(spark, [_row(1, "a", 2, 0, 20.0), _row(1, "a", 1, 0, 10.0)])
+        r = m4_downsample(df, n_buckets=1).collect()[0]
+        assert r.v_first == 10.0 and r.v_last == 20.0
+
+    def test_constant_series_single_bucket(self, spark):
+        # span 0 => den 1, every sample buckets to 0
+        df = _events(spark, [_row(1, "a", i, 0, float(i)) for i in range(3)])
+        out = m4_downsample(df, n_buckets=64).collect()
+        assert len(out) == 1 and out[0].n == 3
+
+    def test_rejects_non_positive_buckets(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        with pytest.raises(ValueError):
+            m4_downsample(df, n_buckets=0)
+
+    def test_single_exchange_plan(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(m4_downsample(df))
+        assert n_data_exchanges(plan) == 1, plan

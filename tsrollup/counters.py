@@ -1,0 +1,134 @@
+"""Monitoring-style counter semantics and visualization downsampling over an
+event stream — the operational-timeseries face of the engine (the reference's
+pipelines consume pre-cleaned arrays; a production ingest has to derive them
+from raw counters first; cf. the delta/derivative preprocessing ahead of the
+reference's conv/pool stacks, e.g. TSFEDL/data.py's signal conditioning).
+
+Two operators, both decimal/integer-exact so a SQL engine reproduces every
+output bit:
+
+- ``counter_increase`` — Prometheus-style ``increase()`` with counter-reset
+  detection, re-aggregated per series × time bucket.
+- ``m4_downsample`` — the M4 width-preserving visualization downsampler
+  (Jugel et al., VLDB 2014): first/last/min/max per pixel bucket.
+
+Both pay ONE exchange: the per-series window partitioning is a subset of
+every later grouping key, so Spark's EnsureRequirements reuses it. At 100 TB
+series are the natural unit of parallelism (millions of users/metrics), and
+nothing here ever widens beyond a series.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def counter_increase(events: DataFrame,
+                     series_cols: Sequence[str] = ("user_id", "event_type"),
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value",
+                     bucket: str = "hour") -> DataFrame:
+    """Prometheus-``increase()`` semantics over a counter sample stream:
+    per series (metric × labels → here the ``series_cols`` tuple), ordered
+    by (ts, id), each sample contributes ``value - prev`` — unless the
+    counter RESET (value dropped), in which case the counter restarted from
+    zero and the contribution is the full current value. Contributions are
+    then re-aggregated per series × ``date_trunc(bucket)`` window.
+
+    A delta that crosses a bucket edge belongs to the LATER sample's bucket
+    (the sample that observed it) — the same attribution Prometheus uses.
+
+    Arithmetic is decimal(18,2)-exact (the fixture's values carry two
+    decimals; the pricing_summary argument), so sums are reproducible
+    bit-for-bit by any SQL engine. One exchange: the lag window hashes on
+    the series, and the (series, bucket) grouping keys are a superset of
+    that partitioning.
+
+    Output: series_cols…, bucket_ts, n_samples, n_resets, increase (double),
+    last_value (double).
+    """
+    scols = list(series_cols)
+    w = Window.partitionBy(*scols).orderBy(ts_col, id_col)
+    val = F.col(value_col).cast("decimal(18,2)")
+    prev = F.lag(val).over(w)
+    delta = val - prev
+    contrib = (F.when(prev.isNull(), F.lit(0).cast("decimal(18,2)"))
+               .when(delta < 0, val)  # reset: counter restarted from 0
+               .otherwise(delta))
+    reset = F.when(prev.isNotNull() & (delta < 0), F.lit(1)) \
+             .otherwise(F.lit(0))
+    bucket_ts = F.date_trunc(bucket, F.col(ts_col))
+    rn_last = F.row_number().over(
+        Window.partitionBy(*scols, bucket_ts)
+        .orderBy(F.desc(ts_col), F.desc(id_col)))
+    return (events
+            .select(*scols, bucket_ts.alias("bucket_ts"),
+                    contrib.alias("_contrib"), reset.alias("_reset"),
+                    val.alias("_val"), rn_last.alias("_rn_last"))
+            .groupBy(*scols, "bucket_ts")
+            .agg(F.count("*").cast("long").alias("n_samples"),
+                 F.sum("_reset").cast("long").alias("n_resets"),
+                 F.sum("_contrib").cast("double").alias("increase"),
+                 F.max(F.when(F.col("_rn_last") == 1, F.col("_val")))
+                  .cast("double").alias("last_value")))
+
+
+def m4_downsample(events: DataFrame, n_buckets: int = 64,
+                  series_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  value_col: str = "value") -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): split each series' time
+    span into ``n_buckets`` equal-width pixel columns and keep, per bucket,
+    the first/last/min/max samples — the exact set a line renderer needs to
+    draw a pixel-perfect plot of the full-resolution series.
+
+    Bucket index is exact integer arithmetic on microseconds:
+    ``(us - min_us) * n_buckets // (span + 1)`` — no float division, so any
+    SQL engine lands every sample in the same bucket. First/last are pinned
+    by (ts, id) row_number (min_by/arg_min tie-breaks differ across
+    engines); min/max are plain double comparisons, no arithmetic.
+
+    ONE exchange for the whole plan: the per-series min/max window, the
+    per-(series, bucket) row_numbers, and the final grouping all hash on
+    (or on a superset of) the series column.
+
+    Output: series, bucket, n, t_first, v_first, t_last, v_last,
+    v_min, v_max.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    # alias BEFORE the first window: renaming the partition column after a
+    # window op hides the hashpartitioning from EnsureRequirements and a
+    # second exchange appears (measured; the plan test pins 1)
+    named = events.select(
+        F.col(series_col).alias("series"), F.col(ts_col).alias("t"),
+        F.col(id_col).alias("_id"), F.col(value_col).alias("v"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"))
+    ws = Window.partitionBy("series")
+    lo = F.min("_us").over(ws)
+    span = F.max("_us").over(ws) - lo
+    staged = named.select(
+        "series", "t", "_id", "v",
+        ((F.col("_us") - lo) * n_buckets).alias("_num"),
+        (span + 1).alias("_den"))
+    # `div` is exact int64 division — a float `/`+floor would misbucket
+    # once span*n_buckets passes 2^53 (a years-long series at 1024 px)
+    staged = staged.withColumn(
+        "bucket", F.expr("_num div _den")).drop("_num", "_den")
+    wb = Window.partitionBy("series", "bucket")
+    rn_a = F.row_number().over(wb.orderBy("t", "_id"))
+    rn_d = F.row_number().over(wb.orderBy(F.desc("t"), F.desc("_id")))
+    return (staged
+            .select("*", rn_a.alias("_ra"), rn_d.alias("_rd"))
+            .groupBy("series", "bucket")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.max(F.when(F.col("_ra") == 1, F.col("t"))).alias("t_first"),
+                 F.max(F.when(F.col("_ra") == 1, F.col("v")))
+                  .alias("v_first"),
+                 F.max(F.when(F.col("_rd") == 1, F.col("t"))).alias("t_last"),
+                 F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("v_last"),
+                 F.min("v").alias("v_min"),
+                 F.max("v").alias("v_max")))
