@@ -21,6 +21,8 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -623,6 +625,63 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.counters import m4_downsample
 
     return m4_downsample(_fact(spark, sf_dir, "events"), n_buckets=64)
+
+
+def q_wfdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WFDB format-212 codec (tsrollup/wfdb.py, ≙ reference wfdb.rdrecord
+    ingestion, data.py:138) exercised distributed with an exact oracle:
+    events quantize to 12-bit ADC via DECIMAL arithmetic (floor(value×10),
+    clamped — float ×10 would misquantize 3.1 to 30), per-user samples
+    order JVM-side (sort_array ∘ collect_list, ONE exchange), pack212 →
+    unpack212 run as two chained Arrow-batched pandas UDFs (the binary blob
+    crosses a real operator boundary), and the decoded stream's aggregates
+    (sum/min/max/first + position-weighted checksum, all int64-exact) must
+    equal what DuckDB computes from the quantization directly — the
+    round-trip is the identity, byte-packing bugs surface as hash
+    mismatches. Per-series state is one record's samples (MIT-BIH:
+    650k samples = 1.3 MB packed), the same bound the streaming ring
+    buffer documents; at 100 TB parallelism is per-series."""
+    from pyspark.sql.functions import pandas_udf
+
+    from tsrollup.wfdb import pack212, unpack212
+
+    ev = _fact(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    adc = F.greatest(F.least(F.floor(val * 10), F.lit(2047)),
+                     F.lit(-2048)).cast("long")
+    series = (ev.select("user_id", "ts", "event_id", adc.alias("adc"))
+              .groupBy("user_id")
+              .agg(F.sort_array(
+                  F.collect_list(F.struct("ts", "event_id", "adc")))
+                  .alias("_s"))
+              .select("user_id",
+                      F.transform("_s", lambda s: s["adc"]).alias("_adc"),
+                      F.size("_s").cast("long").alias("n_samples")))
+
+    @pandas_udf("binary")
+    def _pack(arrs: pd.Series) -> pd.Series:
+        return arrs.map(
+            lambda a: pack212(np.asarray(a, dtype=np.int64)))
+
+    @pandas_udf("struct<sum_adc:long,min_adc:long,max_adc:long,"
+                "first_adc:long,pos_checksum:long>")
+    def _unpack_stats(blobs: pd.Series, ns: pd.Series) -> pd.DataFrame:
+        rows = []
+        for blob, n in zip(blobs, ns):
+            a = unpack212(bytes(blob), int(n))
+            rows.append((int(a.sum()), int(a.min()), int(a.max()),
+                         int(a[0]),
+                         int((a * np.arange(1, a.size + 1)).sum())))
+        return pd.DataFrame(rows, columns=[
+            "sum_adc", "min_adc", "max_adc", "first_adc", "pos_checksum"])
+
+    packed = series.select("user_id", "n_samples",
+                           _pack("_adc").alias("_blob"))
+    stats = packed.select(
+        "user_id", "n_samples",
+        _unpack_stats("_blob", "n_samples").alias("_st"))
+    return stats.select("user_id", "n_samples", "_st.sum_adc", "_st.min_adc",
+                        "_st.max_adc", "_st.first_adc", "_st.pos_checksum")
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "counter_increase": q_counter_increase,
         "m4_downsample": q_m4_downsample,
+        "wfdb_roundtrip": q_wfdb_roundtrip,
     }
 
 
@@ -1946,6 +2006,26 @@ SELECT series, bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n,
        MAX(CASE WHEN rd = 1 THEN v END) AS v_last,
        MIN(v) AS v_min, MAX(v) AS v_max
 FROM r GROUP BY series, bucket
+"""
+
+    # WFDB round-trip: the pack212→unpack212 leg is the identity, so the
+    # oracle computes the decoded stream's aggregates straight from the
+    # DECIMAL quantization — any byte-packing bug breaks the hash
+    sqls["wfdb_roundtrip"] = """
+WITH q AS (
+  SELECT user_id,
+         greatest(least(floor(value::DECIMAL(18,2) * 10), 2047),
+                  -2048)::BIGINT AS adc,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_samples,
+       SUM(adc)::BIGINT AS sum_adc,
+       MIN(adc)::BIGINT AS min_adc, MAX(adc)::BIGINT AS max_adc,
+       MAX(CASE WHEN pos = 1 THEN adc END)::BIGINT AS first_adc,
+       SUM(adc * pos)::BIGINT AS pos_checksum
+FROM q GROUP BY user_id
 """
 
     sqls["simhash"] = _simhash_oracle(16)

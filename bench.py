@@ -63,6 +63,7 @@ HEADLINE = [
     "sessionize",
     "counter_increase",
     "m4_downsample",
+    "wfdb_roundtrip",
     "asof_join",
     "token_stats",
     "quality_score",
