@@ -627,6 +627,19 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m4_downsample(_fact(spark, sf_dir, "events"), n_buckets=64)
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection per (user, event_type) series
+    (tsrollup.counters.cusum_drift). The sequential max(0, S+x−k)
+    recurrence is rewritten as prefix-sum ± running-extremum — three
+    window functions sharing ONE per-series exchange, no fold, no UDF —
+    and decimal(18,2) arithmetic keeps every S_t bit-exact for the DuckDB
+    tail oracle."""
+    from tsrollup.counters import cusum_drift
+
+    return cusum_drift(_fact(spark, sf_dir, "events"),
+                       target=50.0, threshold=200.0)
+
+
 def q_wfdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WFDB format-212 codec (tsrollup/wfdb.py, ≙ reference wfdb.rdrecord
     ingestion, data.py:138) exercised distributed with an exact oracle:
@@ -1360,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase": q_counter_increase,
         "m4_downsample": q_m4_downsample,
         "wfdb_roundtrip": q_wfdb_roundtrip,
+        "cusum_drift": q_cusum_drift,
     }
 
 
@@ -2026,6 +2040,40 @@ SELECT user_id, COUNT(*)::BIGINT AS n_samples,
        MAX(CASE WHEN pos = 1 THEN adc END)::BIGINT AS first_adc,
        SUM(adc * pos)::BIGINT AS pos_checksum
 FROM q GROUP BY user_id
+"""
+
+    # CUSUM via the prefix-sum closed form: S+ = P − min(0, run_min P),
+    # S− = max(0, run_max P) − P; decimal windows are exact, the double
+    # cast is the only float op on either engine
+    sqls["cusum_drift"] = """
+WITH p AS (
+  SELECT user_id, event_type, ts, event_id AS id,
+         SUM(value::DECIMAL(18,2) - 50.00) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS pp
+  FROM events
+), r AS (
+  SELECT user_id, event_type, ts, id, pp,
+         MIN(pp) OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, id ROWS UNBOUNDED PRECEDING) AS rmn,
+         MAX(pp) OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, id ROWS UNBOUNDED PRECEDING) AS rmx
+  FROM p
+), c AS (
+  -- CASE (not least/greatest): DuckDB's least(DECIMAL(38,2), ...) resolves
+  -- to the DOUBLE overload and the whole chain silently goes inexact
+  SELECT user_id, event_type, ts, id, pp,
+         CASE WHEN rmn < 0 THEN rmn ELSE 0::DECIMAL(38,2) END AS mn,
+         CASE WHEN rmx > 0 THEN rmx ELSE 0::DECIMAL(38,2) END AS mx
+  FROM r
+)
+SELECT user_id, event_type, ts, id,
+       (pp - mn)::DOUBLE AS cusum_hi,
+       (mx - pp)::DOUBLE AS cusum_lo,
+       (CASE WHEN (pp - mn)::DOUBLE > 200.0
+                  OR (mx - pp)::DOUBLE > 200.0
+             THEN 1 ELSE 0 END)::INT AS alarm
+FROM c
 """
 
     sqls["simhash"] = _simhash_oracle(16)

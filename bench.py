@@ -64,6 +64,7 @@ HEADLINE = [
     "counter_increase",
     "m4_downsample",
     "wfdb_roundtrip",
+    "cusum_drift",
     "asof_join",
     "token_stats",
     "quality_score",

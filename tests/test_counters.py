@@ -11,7 +11,7 @@ import datetime as dt
 
 import pytest
 
-from tsrollup.counters import counter_increase, m4_downsample
+from tsrollup.counters import counter_increase, cusum_drift, m4_downsample
 from tsrollup.planaudit import formatted_plan, n_data_exchanges
 
 T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
@@ -67,6 +67,45 @@ class TestCounterIncrease:
     def test_single_exchange_plan(self, spark):
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         plan = formatted_plan(counter_increase(df))
+        assert n_data_exchanges(plan) == 1, plan
+
+
+class TestCusumDrift:
+    def _textbook(self, xs, k):
+        """Sequential reference recurrences the closed form must equal."""
+        hi = lo = 0.0
+        out = []
+        for x in xs:
+            hi = max(0.0, hi + (x - k))
+            lo = max(0.0, lo - (x - k))
+            out.append((hi, lo))
+        return out
+
+    def test_matches_textbook_recurrence(self, spark):
+        xs = [55, 40, 70, 30, 90, 10, 45, 65, 20, 80]
+        df = _events(spark, [_row(1, "a", i, i * 60, x)
+                             for i, x in enumerate(xs)])
+        got = sorted(cusum_drift(df, target=50.0, threshold=40.0).collect(),
+                     key=lambda r: r.id)
+        want = self._textbook(xs, 50.0)
+        for r, (hi, lo) in zip(got, want):
+            assert (r.cusum_hi, r.cusum_lo) == (hi, lo)
+            assert r.alarm == int(hi > 40.0 or lo > 40.0)
+
+    def test_resets_after_drift_reverses(self, spark):
+        # big positive spike then equal negative: S+ rises then returns to 0
+        xs = [150, -50]  # target 50: deltas +100, -100
+        df = _events(spark, [_row(1, "a", i, i * 60, x)
+                             for i, x in enumerate(xs)])
+        got = sorted(cusum_drift(df, target=50.0).collect(),
+                     key=lambda r: r.id)
+        assert got[0].cusum_hi == 100.0 and got[1].cusum_hi == 0.0
+
+    def test_series_isolated_and_single_exchange(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 500), _row(1, "b", 1, 60, 50)])
+        got = {r.event_type: r for r in cusum_drift(df).collect()}
+        assert got["a"].cusum_hi == 450.0 and got["b"].cusum_hi == 0.0
+        plan = formatted_plan(cusum_drift(df))
         assert n_data_exchanges(plan) == 1, plan
 
 

@@ -76,6 +76,57 @@ def counter_increase(events: DataFrame,
                   .cast("double").alias("last_value")))
 
 
+def cusum_drift(events: DataFrame,
+                series_cols: Sequence[str] = ("user_id", "event_type"),
+                ts_col: str = "ts", id_col: str = "event_id",
+                value_col: str = "value",
+                target: float = 50.0, threshold: float = 200.0) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) per series, exactly.
+
+    The textbook recurrences are sequential::
+
+        S⁺_t = max(0, S⁺_{t-1} + (x_t − k))      (upward drift)
+        S⁻_t = max(0, S⁻_{t-1} − (x_t − k))      (downward drift)
+
+    but both have closed forms over the prefix sums P_t = Σ_{j≤t}(x_j − k):
+
+        S⁺_t = P_t − min(0, min_{j≤t} P_j)
+        S⁻_t = max(0, max_{j≤t} P_j) − P_t
+
+    so the whole operator is a cumulative sum plus a running min/max —
+    three window functions over ONE per-series partitioning, no sequential
+    fold, no UDF. With ``value`` and ``target`` as decimal(18,2), every
+    P_t is exact and any SQL engine reproduces each output bit.
+
+    Output: series_cols…, ts, id, cusum_hi, cusum_lo (doubles),
+    alarm (1 when either side exceeds ``threshold``).
+    """
+    scols = list(series_cols)
+    w = (Window.partitionBy(*scols).orderBy(ts_col, id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    y = (F.col(value_col).cast("decimal(18,2)")
+         - F.lit(target).cast("decimal(18,2)"))
+    p = F.sum(y).over(w)
+    staged = events.select(
+        *scols, F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
+        p.alias("_p"))
+    wp = (Window.partitionBy(*scols).orderBy("ts", "id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    run_min = F.least(F.lit(0).cast("decimal(28,2)"),
+                      F.min("_p").over(wp))
+    run_max = F.greatest(F.lit(0).cast("decimal(28,2)"),
+                         F.max("_p").over(wp))
+    hi = (F.col("_p") - run_min).cast("double")
+    lo = (run_max - F.col("_p")).cast("double")
+    thr = float(threshold)
+    return (staged
+            .select(*scols, "ts", "id", hi.alias("cusum_hi"),
+                    lo.alias("cusum_lo"))
+            .withColumn("alarm",
+                        ((F.col("cusum_hi") > thr)
+                         | (F.col("cusum_lo") > thr)).cast("int")))
+
+
 def m4_downsample(events: DataFrame, n_buckets: int = 64,
                   series_col: str = "user_id", ts_col: str = "ts",
                   id_col: str = "event_id",
