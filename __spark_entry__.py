@@ -627,6 +627,30 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m4_downsample(_fact(spark, sf_dir, "events"), n_buckets=64)
 
 
+def q_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-sample report per (user, event_type) series vs a 1-hour
+    expected cadence (tsrollup.counters.cadence_gaps). Integer-microsecond
+    `div` gap math, one exchange shared by the lag window and the final
+    per-series grouping; tail-oracle hash-exact."""
+    from tsrollup.counters import cadence_gaps
+
+    return cadence_gaps(_fact(spark, sf_dir, "events"),
+                        cadence_seconds=3600)
+
+
+def q_lag_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-series coupling click×view at hourly lags 0-2
+    (tsrollup.counters.lag_coupling): conditional decimal sums build a
+    per-user hourly grid, the B series shifts by EXACT hour intervals
+    (time-shift join, not row-lag — sparse grids can't misalign), and the
+    decimal(38,4) cross-moments cast to double identically on both
+    engines."""
+    from tsrollup.counters import lag_coupling
+
+    return lag_coupling(_fact(spark, sf_dir, "events"),
+                        type_a="click", type_b="view", max_lag=2)
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift detection per (user, event_type) series
     (tsrollup.counters.cusum_drift). The sequential max(0, S+x−k)
@@ -1374,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "wfdb_roundtrip": q_wfdb_roundtrip,
         "cusum_drift": q_cusum_drift,
+        "cadence_gaps": q_cadence_gaps,
+        "lag_coupling": q_lag_coupling,
     }
 
 
@@ -2074,6 +2100,51 @@ SELECT user_id, event_type, ts, id,
                   OR (mx - pp)::DOUBLE > 200.0
              THEN 1 ELSE 0 END)::INT AS alarm
 FROM c
+"""
+
+    # cadence gaps: integer-microsecond `//` (DuckDB floor-div on positive
+    # deltas ≡ Spark `div`) — counts reproduce exactly
+    sqls["cadence_gaps"] = """
+WITH d AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id, event_type,
+       COUNT(*)::BIGINT AS n_samples,
+       SUM(CASE WHEN delta > 3600000000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_gaps,
+       SUM(CASE WHEN delta > 3600000000
+                THEN delta // 3600000000 - 1 ELSE 0 END)::BIGINT
+         AS missing_slots,
+       MAX(delta)::BIGINT AS longest_gap_us,
+       (MAX(us) - MIN(us))::BIGINT AS span_us
+FROM d GROUP BY user_id, event_type
+"""
+
+    # lag coupling: hourly grid via conditional DECIMAL sums; the B side
+    # shifts by exact hour intervals and equi-joins back; the decimal
+    # cross-moment casts to double identically
+    sqls["lag_coupling"] = """
+WITH g AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         (SUM(CASE WHEN event_type = 'click'
+                   THEN value::DECIMAL(18,2) END))::DECIMAL(18,2) AS a,
+         (SUM(CASE WHEN event_type = 'view'
+                   THEN value::DECIMAL(18,2) END))::DECIMAL(18,2) AS b
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), s AS (
+  SELECT g.user_id, g.b, l.lag,
+         g.bucket_ts + to_hours(l.lag) AS bucket_ts
+  FROM g, (SELECT unnest(range(0, 3)) AS lag) l
+  WHERE g.b IS NOT NULL
+)
+SELECT g.user_id, s.lag::INT AS lag, COUNT(*)::BIGINT AS n_pairs,
+       SUM(g.a * s.b)::DOUBLE AS xmoment
+FROM g JOIN s ON g.user_id = s.user_id AND g.bucket_ts = s.bucket_ts
+WHERE g.a IS NOT NULL
+GROUP BY g.user_id, s.lag
 """
 
     sqls["simhash"] = _simhash_oracle(16)

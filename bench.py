@@ -65,6 +65,8 @@ HEADLINE = [
     "m4_downsample",
     "wfdb_roundtrip",
     "cusum_drift",
+    "cadence_gaps",
+    "lag_coupling",
     "asof_join",
     "token_stats",
     "quality_score",

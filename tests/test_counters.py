@@ -11,7 +11,8 @@ import datetime as dt
 
 import pytest
 
-from tsrollup.counters import counter_increase, cusum_drift, m4_downsample
+from tsrollup.counters import (cadence_gaps, counter_increase, cusum_drift,
+                               lag_coupling, m4_downsample)
 from tsrollup.planaudit import formatted_plan, n_data_exchanges
 
 T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
@@ -68,6 +69,83 @@ class TestCounterIncrease:
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         plan = formatted_plan(counter_increase(df))
         assert n_data_exchanges(plan) == 1, plan
+
+
+class TestCadenceGaps:
+    def test_counts_missing_slots(self, spark):
+        # samples at 0h, 1h, 4h30m: one gap of 3.5h => 3 missing hourly
+        # slots minus the one that would have been the next sample => 2
+        df = _events(spark, [_row(1, "a", 0, 0, 1), _row(1, "a", 1, 3600, 1),
+                             _row(1, "a", 2, 16200, 1)])
+        r = cadence_gaps(df, cadence_seconds=3600).collect()[0]
+        assert r.n_samples == 3 and r.n_gaps == 1
+        assert r.missing_slots == (16200 - 3600) * 1_000_000 \
+            // 3_600_000_000 - 1 == 2
+        assert r.longest_gap_us == 12600 * 1_000_000
+        assert r.span_us == 16200 * 1_000_000
+
+    def test_dense_series_reports_clean(self, spark):
+        df = _events(spark, [_row(1, "a", i, i * 60, 1) for i in range(10)])
+        r = cadence_gaps(df, cadence_seconds=3600).collect()[0]
+        assert r.n_gaps == 0 and r.missing_slots == 0
+
+    def test_single_sample_series(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1)])
+        r = cadence_gaps(df).collect()[0]
+        assert r.n_samples == 1 and r.n_gaps == 0
+        assert r.longest_gap_us is None and r.span_us == 0
+
+    def test_rejects_bad_cadence(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1)])
+        with pytest.raises(ValueError):
+            cadence_gaps(df, cadence_seconds=0)
+
+    def test_single_exchange(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1)])
+        plan = formatted_plan(cadence_gaps(df))
+        assert n_data_exchanges(plan) == 1, plan
+
+
+class TestLagCoupling:
+    def test_lag_zero_and_one(self, spark):
+        # user 1: clicks 2.0@10h, 3.0@11h; views 5.0@10h, 7.0@11h
+        rows = [(1, "click", 0, T0, 2.0),
+                (1, "click", 1, T0 + dt.timedelta(hours=1), 3.0),
+                (1, "view", 2, T0, 5.0),
+                (1, "view", 3, T0 + dt.timedelta(hours=1), 7.0)]
+        df = _events(spark, rows)
+        out = {r.lag: r for r in
+               lag_coupling(df, max_lag=1).collect()}
+        # lag 0: 2*5 + 3*7 = 31 ; lag 1: a@11h * b@10h = 3*5 = 15
+        assert out[0].n_pairs == 2 and out[0].xmoment == 31.0
+        assert out[1].n_pairs == 1 and out[1].xmoment == 15.0
+
+    def test_sparse_grid_time_shift_not_row_shift(self, spark):
+        # views at 10h and 13h, click at 14h: row-lag-1 would pair the
+        # 14h click with the 13h view AND ALSO with 10h at row-lag 2;
+        # time-shift must pair lag1 with 13h only and find nothing at lag2
+        rows = [(1, "view", 0, T0, 10.0),
+                (1, "view", 1, T0 + dt.timedelta(hours=3), 20.0),
+                (1, "click", 2, T0 + dt.timedelta(hours=4), 4.0)]
+        df = _events(spark, rows)
+        out = {r.lag: r for r in lag_coupling(df, max_lag=2).collect()}
+        assert 0 not in out
+        assert out[1].xmoment == 80.0  # 4 * 20
+        assert 2 not in out
+
+    def test_multiple_events_same_bucket_sum_first(self, spark):
+        rows = [(1, "click", 0, T0, 1.5), (1, "click", 1, T0, 2.5),
+                (1, "view", 2, T0, 4.0)]
+        df = _events(spark, rows)
+        out = lag_coupling(df, max_lag=0).collect()
+        assert out[0].xmoment == 16.0  # (1.5+2.5) * 4
+
+    def test_rejects_bad_args(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1)])
+        with pytest.raises(ValueError):
+            lag_coupling(df, max_lag=-1)
+        with pytest.raises(ValueError):
+            lag_coupling(df, bucket="minute")
 
 
 class TestCusumDrift:

@@ -4,18 +4,24 @@ pipelines consume pre-cleaned arrays; a production ingest has to derive them
 from raw counters first; cf. the delta/derivative preprocessing ahead of the
 reference's conv/pool stacks, e.g. TSFEDL/data.py's signal conditioning).
 
-Two operators, both decimal/integer-exact so a SQL engine reproduces every
+All operators are decimal/integer-exact so a SQL engine reproduces every
 output bit:
 
 - ``counter_increase`` — Prometheus-style ``increase()`` with counter-reset
   detection, re-aggregated per series × time bucket.
+- ``cadence_gaps`` — missing-sample report vs an expected cadence
+  (integer-microsecond gap math).
+- ``lag_coupling`` — lagged cross-series co-movement on a common time grid
+  (exact decimal cross-moments; interval-shift join, not row-lag).
+- ``cusum_drift`` — two-sided CUSUM changepoint scores via the closed-form
+  prefix-sum ± running-extremum rewrite (no sequential fold).
 - ``m4_downsample`` — the M4 width-preserving visualization downsampler
   (Jugel et al., VLDB 2014): first/last/min/max per pixel bucket.
 
-Both pay ONE exchange: the per-series window partitioning is a subset of
-every later grouping key, so Spark's EnsureRequirements reuses it. At 100 TB
-series are the natural unit of parallelism (millions of users/metrics), and
-nothing here ever widens beyond a series.
+The per-series operators pay ONE exchange: the window partitioning is a
+subset of every later grouping key, so Spark's EnsureRequirements reuses it.
+At 100 TB series are the natural unit of parallelism (millions of
+users/metrics), and nothing here ever widens beyond a series.
 """
 
 from __future__ import annotations
@@ -74,6 +80,102 @@ def counter_increase(events: DataFrame,
                  F.sum("_contrib").cast("double").alias("increase"),
                  F.max(F.when(F.col("_rn_last") == 1, F.col("_val")))
                   .cast("double").alias("last_value")))
+
+
+def cadence_gaps(events: DataFrame,
+                 series_cols: Sequence[str] = ("user_id", "event_type"),
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 cadence_seconds: int = 3600) -> DataFrame:
+    """Missing-sample report against an expected cadence — the monitoring
+    question "which series have holes, and how big": per series, count the
+    inter-sample deltas exceeding the cadence, the total number of missing
+    slots they imply, and the longest gap.
+
+    All integer microsecond arithmetic (``delta div cadence_us − 1``
+    missing slots per oversized delta — `div` stays exact past 2^53 where
+    float division would drift), so any SQL engine reproduces every count.
+    One exchange: the lag window and the final grouping share the series
+    partitioning.
+
+    Output: series_cols…, n_samples, n_gaps, missing_slots,
+    longest_gap_us, span_us.
+    """
+    if cadence_seconds < 1:
+        raise ValueError("cadence_seconds must be >= 1")
+    cad_us = int(cadence_seconds) * 1_000_000
+    scols = list(series_cols)
+    w = Window.partitionBy(*scols).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    delta = us - F.lag(us).over(w)
+    staged = events.select(*scols, us.alias("_us"), delta.alias("_d"))
+    # when() (not a bare cast) so the first row's NULL delta counts as 0 —
+    # a single-sample series must report 0 gaps, not NULL
+    is_gap = F.col("_d") > cad_us
+    gap_one = F.when(is_gap, F.lit(1)).otherwise(F.lit(0))
+    missing = F.when(is_gap, F.expr(f"_d div {cad_us}") - 1) \
+               .otherwise(F.lit(0))
+    return (staged
+            .groupBy(*scols)
+            .agg(F.count("*").cast("long").alias("n_samples"),
+                 F.sum(gap_one).cast("long").alias("n_gaps"),
+                 F.sum(missing).cast("long").alias("missing_slots"),
+                 F.max("_d").cast("long").alias("longest_gap_us"),
+                 (F.max("_us") - F.min("_us")).cast("long")
+                 .alias("span_us")))
+
+
+def lag_coupling(events: DataFrame, type_a: str = "click",
+                 type_b: str = "view", max_lag: int = 2,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type", value_col: str = "value",
+                 bucket: str = "hour") -> DataFrame:
+    """Lagged cross-series coupling: how much does series A (``type_a``
+    events) co-move with series B ``L`` buckets earlier? Per user, both
+    series aggregate onto a common ``date_trunc(bucket)`` grid
+    (decimal-exact conditional sums), then B is shifted by exact
+    ``L × bucket`` intervals and joined back — a TIME-shift, not a
+    row-shift, so sparse grids don't silently misalign. Emits, per
+    (user, lag), the raw cross-moment Σ aₜ·bₜ₋L and the pair count;
+    normalization (Pearson denominators) is left to the caller since
+    sqrt is not bit-stable cross-engine.
+
+    Shape: ONE exchange touches raw events (the grid aggregation); the lag
+    explode, the (user, bucket) self-join and the final (user, lag) regroup
+    all operate on the aggregated grid — orders of magnitude smaller than
+    the input (|users| × |active buckets| rows), with the shifted side
+    broadcast when it fits. decimal(18,2)×decimal(18,2) products stay
+    exact in decimal(38,4).
+
+    Output: user_id, lag, n_pairs, xmoment (double).
+    """
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+    if bucket not in ("hour", "day"):
+        raise ValueError("bucket must be 'hour' or 'day'")
+    grid = (events
+            .groupBy(F.col(user_col).alias("user_id"),
+                     F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+            .agg(F.sum(F.when(F.col(type_col) == type_a,
+                              F.col(value_col).cast("decimal(18,2)")))
+                 .cast("decimal(18,2)").alias("a"),
+                 F.sum(F.when(F.col(type_col) == type_b,
+                              F.col(value_col).cast("decimal(18,2)")))
+                 .cast("decimal(18,2)").alias("b")))
+    lags = F.explode(F.sequence(F.lit(0), F.lit(int(max_lag)))).alias("lag")
+    shifted = (grid.filter(F.col("b").isNotNull())
+               .select("user_id", "b", F.col("bucket_ts").alias("_src"), lags)
+               .withColumn("bucket_ts",
+                           F.col("_src") + F.make_dt_interval(
+                               F.lit(0), F.col("lag")
+                               * (1 if bucket == "hour" else 24))))
+    a_side = grid.filter(F.col("a").isNotNull()).select(
+        "user_id", "bucket_ts", "a")
+    joined = a_side.join(shifted, ["user_id", "bucket_ts"])
+    return (joined
+            .groupBy("user_id", "lag")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum(F.col("a") * F.col("b")).cast("double")
+                 .alias("xmoment")))
 
 
 def cusum_drift(events: DataFrame,
