@@ -295,6 +295,30 @@ def main() -> int:
                     for name, ts in raw.items() if len(ts) > PASSES}
 
     total = round(sum(timings.values()), 3)
+    # frozen round-4 query scope: the 53-query list BENCH_r04.json recorded.
+    # The headline list keeps growing (+8 queries in round 5), which
+    # inflates `value` round-over-round even when every query got faster —
+    # this subtotal is the apples-to-apples cross-round comparison.
+    r4_scope = {
+        "rollup_base", "rollup_tier_reagg", "rollup_compressed_roundtrip",
+        "rollup_spectral", "rollup_multichannel", "cross_channel_stats",
+        "cross_channel_spectral", "rollup_chunked", "gapfill_ffill",
+        "global_agg", "sliding_windows", "windows_forecast",
+        "znorm_outliers", "segment_islands", "downsample_minute",
+        "range_join", "topk_events", "pricing_summary", "revenue_by_nation",
+        "rolling_mean_events", "asof_join", "token_stats", "quality_score",
+        "dedup_exact", "jaccard_pairs", "minhash_signatures", "lsh_pairs",
+        "simhash", "cosine_knn", "ann_lsh", "embed_near_dups", "ivf_knn",
+        "conv1d_valid", "conv1d_same", "conv1d_same_strided", "conv1d_full",
+        "pool_overlap", "dense_proj", "tier_join", "ewma_scan",
+        "media_features", "one_hot_events", "residual_add",
+        "attention_gate", "activations", "en_loss", "grouping_sets",
+        "hash_split", "per_source_stats", "segment_extract",
+        "windows_excluded", "retention", "pipeline_zoo"}
+    # en_loss merged into residual_add in round 5 (same workload, one row),
+    # so the subtotal slightly UNDER-represents the r4 scope's row count
+    # while covering the same computation
+    total_r4 = round(sum(t for n, t in timings.items() if n in r4_scope), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -305,6 +329,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "total_r4_scope": total_r4,
         "passes_per_query": PASSES,
         "extra_passes": extra_passes,
         "sf": sf_val,
