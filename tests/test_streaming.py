@@ -386,3 +386,100 @@ def test_stateful_rolling_rejects_event_time_timeout():
 
     with pytest.raises(ValueError, match="ProcessingTimeTimeout"):
         stream_stateful_rolling(None, timeout="EventTimeTimeout")
+
+
+def test_stream_sessionize_matches_batch_sessionize(spark, tmp_path):
+    """Native session windows (streaming) must reproduce the batch
+    gap-sessionization operator exactly once the watermark closes every
+    session — the same 30-min-gap rule the sessionize oracle pins."""
+    from tsrollup.segments import sessionize
+    from tsrollup.streaming import stream_sessionize
+
+    rng = np.random.default_rng(13)
+    n = 400
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 6 * 86400, n)), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    src = tmp_path / "events"
+    src.mkdir()
+    ev.to_parquet(src / "p0.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("user_id long, event_id long, ts timestamp, "
+                          "value double")
+                  .parquet(str(src)))
+        q = (stream_sessionize(stream, gap_minutes=30, watermark="1 hour")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await_done(q)
+
+    run_once()
+    # push the watermark past every session close, then drain again
+    flush = pd.DataFrame({
+        "user_id": np.array([9999], dtype=np.int64),
+        "event_id": np.array([10**9], dtype=np.int64),
+        "ts": [pd.Timestamp("2026-02-01")], "value": [0.0]})
+    flush.to_parquet(src / "p1.parquet", coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+    run_once()
+
+    got = (spark.read.parquet(sink).filter("user_id <> 9999")
+           .toPandas().sort_values(["user_id", "start_ts"])
+           .reset_index(drop=True))
+    from pyspark.sql import functions as F
+
+    s = sessionize(spark.createDataFrame(ev), gap_minutes=30)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    want_raw = (s.groupBy("user_id", "session_id")
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.min("ts").alias("start_ts"),
+                     F.max("ts").alias("end_ts"),
+                     (F.max(us) - F.min(us)).cast("long")
+                     .alias("duration_us"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("sum_value"))
+                .drop("session_id"))
+    want = (want_raw.toPandas().sort_values(["user_id", "start_ts"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    for c in ("user_id", "n_events", "start_ts", "end_ts", "duration_us",
+              "sum_value"):
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_stream_sessionize_gap_boundary(spark):
+    """A gap of exactly gap_minutes stays in-session (the batch oracle's
+    STRICTLY-greater split rule); one microsecond more splits."""
+    import datetime as dt
+
+    from tsrollup.streaming import stream_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 0, t0, 1.0),
+        (1, 1, t0 + dt.timedelta(minutes=30), 2.0),           # == gap: same
+        (2, 2, t0, 1.0),
+        (2, 3, t0 + dt.timedelta(minutes=30, microseconds=1), 2.0),  # split
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    out = stream_sessionize(df, gap_minutes=30).toPandas()
+    per_user = out.groupby("user_id").size()
+    assert per_user[1] == 1 and per_user[2] == 2
+    merged = out[out.user_id == 1].iloc[0]
+    assert merged.n_events == 2 and merged.duration_us == 1_800_000_000
+
+
+def test_stream_sessionize_rejects_bad_gap(spark):
+    from tsrollup.streaming import stream_sessionize
+
+    with pytest.raises(ValueError):
+        stream_sessionize(spark.range(1), gap_minutes=0)

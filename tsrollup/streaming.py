@@ -234,6 +234,48 @@ def stream_minute_rollup(events: DataFrame, watermark: str = "10 minutes",
                     "count", "sum", "min", "max"))
 
 
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming gap-based sessionization with Spark's NATIVE session
+    windows — the streaming twin of ``segments.sessionize`` (same 30-min
+    gap rule the batch oracle pins). ``session_window`` merges events whose
+    event-time gap is below ``gap_minutes`` into one growing window and the
+    state store handles merges/expiry; a session EMITS (append mode) once
+    the watermark passes its close — i.e. after ``gap_minutes + watermark
+    delay`` of event-time silence. No custom state code: the operator is a
+    groupBy on ``F.session_window``, so Catalyst picks the streaming
+    session-aggregation physical plan and the state-store format stays
+    upgrade-compatible (vs hand-rolled applyInPandasWithState state).
+
+    Emitted rows carry the same aggregate surface the batch operator
+    produces (n_events, start/end, duration_us, decimal-exact sum_value);
+    parity for watermark-closed sessions is pytest-verified against
+    ``segments.sessionize`` on the same data (start/end/duration are
+    bit-equal; the session boundary rule is identical: gap STRICTLY
+    greater than ``gap_minutes`` splits — session_window treats a gap of
+    exactly ``gap_minutes`` as same-session, matching the batch rule).
+
+    Works identically in batch mode (session_window is a plain
+    aggregation there) — the parity test exploits that.
+    """
+    if gap_minutes < 1:
+        raise ValueError("gap_minutes must be >= 1")
+    sw = F.session_window("ts", f"{gap_minutes} minutes").alias("w")
+    # withWatermark is a no-op on a batch frame → one code path, batch twin
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id", sw)
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("ts").alias("start_ts"),
+                 F.max("ts").alias("end_ts"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
+            .select("user_id", "n_events", "start_ts", "end_ts",
+                    (F.unix_micros(F.col("end_ts"))
+                     - F.unix_micros(F.col("start_ts")))
+                    .cast("long").alias("duration_us"),
+                    "sum_value"))
+
+
 def reaggregate_time_tier(points: DataFrame,
                           tier: str = "hour") -> DataFrame:
     """Batch maintenance over the STREAMED minute tier: re-aggregate the
