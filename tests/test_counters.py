@@ -70,6 +70,13 @@ class TestCounterIncrease:
         plan = formatted_plan(counter_increase(df))
         assert n_data_exchanges(plan) == 1, plan
 
+    def test_rejects_unknown_bucket(self, spark):
+        # date_trunc returns NULL on a bad unit and every row would
+        # collapse into one NULL bucket — must raise instead
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        with pytest.raises(ValueError):
+            counter_increase(df, bucket="hr")
+
 
 class TestCadenceGaps:
     def test_counts_missing_slots(self, spark):
@@ -146,6 +153,15 @@ class TestLagCoupling:
             lag_coupling(df, max_lag=-1)
         with pytest.raises(ValueError):
             lag_coupling(df, bucket="minute")
+
+    def test_day_bucket_calendar_shift(self, spark):
+        # day buckets shift by CALENDAR days (DST-safe), joined exactly
+        rows = [(1, "view", 0, T0, 6.0),
+                (1, "click", 1, T0 + dt.timedelta(days=1), 3.0)]
+        df = _events(spark, rows)
+        out = {r.lag: r for r in
+               lag_coupling(df, max_lag=1, bucket="day").collect()}
+        assert out[1].xmoment == 18.0 and out[1].n_pairs == 1
 
 
 class TestCusumDrift:

@@ -77,6 +77,18 @@ class TestRecordCodec:
         with pytest.raises(ValueError, match="checksum"):
             decode_record(files["r.hea"], bytes(bad))
 
+    def test_missing_sample_count_inferred_from_dat_size(self):
+        # a spec-legal header with no n_samples field: length comes from
+        # the .dat size instead of silently decoding zero samples
+        sig = np.arange(10).reshape(5, 2)
+        files = encode_record("r", sig)
+        hea = ("r 2 360\n"  # no n_samples field; checksums unknown (0)
+               "r.dat 212 200(0)/mV 12 0 0 0 0 ch0\n"
+               "r.dat 212 200(0)/mV 12 0 0 0 0 ch1\n")
+        h, back = decode_record(hea.encode(), files["r.dat"])
+        assert h.n_samples == 5
+        assert back.tolist() == sig.tolist()
+
     def test_unsupported_format_named(self):
         files = encode_record("r", np.array([[1]]))
         hea = files["r.hea"].decode().replace(" 212 ", " 16 ")
@@ -104,6 +116,20 @@ class TestAnnotations:
     def test_decreasing_time_rejected(self):
         with pytest.raises(ValueError):
             encode_annotations([(5, 1, 0, 0, 0, None), (4, 1, 0, 0, 0, None)])
+
+    def test_oversized_aux_rejected_not_corrupted(self):
+        # a 10-bit length field can't address >1023 bytes; a masked write
+        # would desync the reader into parsing payload as annotations
+        with pytest.raises(ValueError, match="1023"):
+            encode_annotations([(5, 1, 0, 0, 0, "x" * 1100)])
+
+    def test_out_of_range_fields_rejected(self):
+        with pytest.raises(ValueError, match="code"):
+            encode_annotations([(5, 59, 0, 0, 0, None)])  # pseudo-code
+        with pytest.raises(ValueError, match="code"):
+            encode_annotations([(5, 0, 0, 0, 0, None)])   # EOF code
+        with pytest.raises(ValueError, match="num"):
+            encode_annotations([(5, 1, 0, 0, 1024, None)])
 
 
 def _reference_segments(adc, gain, baseline, anns, labels,

@@ -56,6 +56,10 @@ def counter_increase(events: DataFrame,
     Output: series_cols…, bucket_ts, n_samples, n_resets, increase (double),
     last_value (double).
     """
+    if bucket not in ("minute", "hour", "day", "week", "month"):
+        # an unrecognized unit makes date_trunc return NULL and every row
+        # silently collapses into one NULL bucket per series
+        raise ValueError(f"unsupported bucket {bucket!r}")
     scols = list(series_cols)
     w = Window.partitionBy(*scols).orderBy(ts_col, id_col)
     val = F.col(value_col).cast("decimal(18,2)")
@@ -162,12 +166,16 @@ def lag_coupling(events: DataFrame, type_a: str = "click",
                               F.col(value_col).cast("decimal(18,2)")))
                  .cast("decimal(18,2)").alias("b")))
     lags = F.explode(F.sequence(F.lit(0), F.lit(int(max_lag)))).alias("lag")
+    # hour buckets: fixed-duration (day-time) interval — hour bucket starts
+    # are always 3600 s apart as instants. day buckets: CALENDAR interval —
+    # around a DST transition date_trunc('day') starts are 23/25 h apart,
+    # so a fixed 24 h shift would miss the join and silently drop pairs
+    shift = (F.make_dt_interval(F.lit(0), F.col("lag"))
+             if bucket == "hour" else
+             F.make_interval(F.lit(0), F.lit(0), F.lit(0), F.col("lag")))
     shifted = (grid.filter(F.col("b").isNotNull())
                .select("user_id", "b", F.col("bucket_ts").alias("_src"), lags)
-               .withColumn("bucket_ts",
-                           F.col("_src") + F.make_dt_interval(
-                               F.lit(0), F.col("lag")
-                               * (1 if bucket == "hour" else 24))))
+               .withColumn("bucket_ts", F.col("_src") + shift))
     a_side = grid.filter(F.col("a").isNotNull()).select(
         "user_id", "bucket_ts", "a")
     joined = a_side.join(shifted, ["user_id", "bucket_ts"])

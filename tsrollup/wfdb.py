@@ -176,15 +176,24 @@ def encode_record(record: str, signals: np.ndarray, fs: float = 360.0,
 
 def decode_record(hea: bytes, dat: bytes) -> tuple[RecordHeader, np.ndarray]:
     """(header, (T, n_sig) int64 ADC) from raw file bytes; verifies the
-    per-signal checksums when the header carries them."""
+    per-signal checksums when the header carries them. A header without a
+    sample count infers it from the ``.dat`` size (the wfdb-library
+    behavior) — for an odd flattened count the format-212 pad sample is
+    indistinguishable from data, so such records may carry one trailing
+    zero frame; headers written by :func:`encode_record` always carry the
+    exact count."""
     h = parse_header(hea.decode("ascii"))
     for s in h.signals:
         if s.fmt != 212:
             raise NotImplementedError(
                 f"WFDB format {s.fmt} not supported (record {h.record}); "
                 "this reader implements format 212 (MIT-BIH)")
-    flat = unpack212(dat, h.n_samples * h.n_sig)
-    sig = flat.reshape(h.n_samples, h.n_sig)
+    n_samples = h.n_samples
+    if n_samples == 0 and len(dat):
+        n_samples = (len(dat) // 3 * 2) // h.n_sig
+        h = RecordHeader(h.record, h.n_sig, h.fs, n_samples, h.signals)
+    flat = unpack212(dat, n_samples * h.n_sig)
+    sig = flat.reshape(n_samples, h.n_sig)
     for i, s in enumerate(h.signals):
         got = wfdb_checksum(sig[:, i])
         if s.checksum and got != s.checksum:
@@ -205,6 +214,11 @@ def encode_annotations(anns: list[tuple]) -> bytes:
 
     t_prev, chn_prev, num_prev = 0, 0, 0
     for time, code, sub, chn, num, aux in anns:
+        if not 1 <= code < _SKIP:  # 0 = EOF, 59-63 = pseudo-annotations
+            raise ValueError(f"annotation code={code} out of data range")
+        for field, v in (("sub", sub), ("chn", chn), ("num", num)):
+            if not 0 <= v <= 0x3FF:
+                raise ValueError(f"annotation {field}={v} exceeds 10 bits")
         delta = time - t_prev
         if delta < 0:
             raise ValueError("annotation times must be non-decreasing")
@@ -225,6 +239,13 @@ def encode_annotations(anns: list[tuple]) -> bytes:
             num_prev = num
         if aux:
             b = aux.encode("ascii") if isinstance(aux, str) else bytes(aux)
+            if len(b) > 0x3FF:
+                # the 10-bit length field can't address more — a masked
+                # write would desync the reader into parsing payload bytes
+                # as annotation words
+                raise ValueError(
+                    f"aux string of {len(b)} bytes exceeds the MIT "
+                    "format's 1023-byte limit")
             word(_AUX, len(b))
             out.write(b + (b"\x00" if len(b) % 2 else b""))
     word(0, 0)  # EOF
