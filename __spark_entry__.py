@@ -627,6 +627,18 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m4_downsample(_fact(spark, sf_dir, "events"), n_buckets=64)
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM count table with Kneser-Ney continuation numerators
+    (tsrollup.text.bigram_lm_counts): top-100 bigrams by occurrence with
+    doc frequency and N₁₊(•w2) — ONE corpus pass (continuation counts
+    derive from the bigram table itself), TakeOrderedAndProject k-cut on a
+    total order, broadcast join. All counts exact integers; tail-oracle
+    hash-exact."""
+    from tsrollup.text import bigram_lm_counts
+
+    return bigram_lm_counts(_docs(spark, sf_dir), k=100)
+
+
 def q_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-sample report per (user, event_type) series vs a 1-hour
     expected cadence (tsrollup.counters.cadence_gaps). Integer-microsecond
@@ -1400,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "cadence_gaps": q_cadence_gaps,
         "lag_coupling": q_lag_coupling,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -2145,6 +2158,28 @@ SELECT g.user_id, s.lag::INT AS lag, COUNT(*)::BIGINT AS n_pairs,
 FROM g JOIN s ON g.user_id = s.user_id AND g.bucket_ts = s.bucket_ts
 WHERE g.a IS NOT NULL
 GROUP BY g.user_id, s.lag
+"""
+
+    # bigram LM counts: DuckDB arrays are 1-based (range(1, len) pairs
+    # ws[i] with ws[i+1]); continuation counts derive from the distinct-pair
+    # table exactly as in the Spark plan
+    sqls["bigram_lm"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), p AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+), bg AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n_occ,
+         COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM p GROUP BY w1, w2
+), cont AS (
+  SELECT w2, COUNT(*)::BIGINT AS n_left_contexts FROM bg GROUP BY w2
+), topk AS (
+  SELECT * FROM bg ORDER BY n_occ DESC, w1, w2 LIMIT 100
+)
+SELECT t.w1, t.w2, t.n_occ, t.n_docs, c.n_left_contexts
+FROM topk t JOIN cont c USING (w2)
 """
 
     sqls["simhash"] = _simhash_oracle(16)

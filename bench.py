@@ -70,6 +70,7 @@ HEADLINE = [
     "asof_join",
     "token_stats",
     "quality_score",
+    "bigram_lm",
     "repetition",
     "pack_offsets",
     "vocab_topk",

@@ -214,3 +214,47 @@ def test_mixture_sample_matches_hashlib_reference(spark):
     assert all(by_src["s1"])              # rate 1: everything survives
     frac = sum(by_src["s2"]) / len(by_src["s2"])
     assert 0.2 < frac < 0.6               # rate 0.4 lands in a sane band
+
+
+class TestBigramLM:
+    def test_planted_counts_and_continuation(self, spark):
+        from tsrollup.text import bigram_lm_counts
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "a b x"), (3, "z b q")],
+            "doc_id long, text string")
+        out = {(r.w1, r.w2): r for r in
+               bigram_lm_counts(docs, k=100).collect()}
+        ab = out[("a", "b")]
+        # "a b" occurs twice in doc 1, once in doc 2
+        assert ab.n_occ == 3 and ab.n_docs == 2
+        # continuation N1+(. b): distinct left contexts of "b" = {a, z}
+        assert ab.n_left_contexts == 2
+        assert out[("z", "b")].n_left_contexts == 2
+        # "b a" (doc 1) has continuation N1+(. a) = {b} only
+        assert out[("b", "a")].n_left_contexts == 1
+
+    def test_single_word_and_empty_docs_yield_no_pairs(self, spark):
+        from tsrollup.text import bigram_lm_counts
+
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, "x y")], "doc_id long, text string")
+        out = bigram_lm_counts(docs, k=10).collect()
+        assert len(out) == 1 and (out[0].w1, out[0].w2) == ("x", "y")
+
+    def test_k_cut_total_order(self, spark):
+        from tsrollup.text import bigram_lm_counts
+
+        # four bigrams with equal counts: cut must take the (w1, w2)
+        # lexicographic head deterministically
+        docs = spark.createDataFrame(
+            [(1, "a a"), (2, "a b"), (3, "b a"), (4, "b b")],
+            "doc_id long, text string")
+        out = bigram_lm_counts(docs, k=2).collect()
+        assert sorted((r.w1, r.w2) for r in out) == [("a", "a"), ("a", "b")]
+
+    def test_rejects_bad_k(self, spark):
+        from tsrollup.text import bigram_lm_counts
+
+        with pytest.raises(ValueError):
+            bigram_lm_counts(spark.range(1), k=0)

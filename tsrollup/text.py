@@ -217,6 +217,51 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text"
             .orderBy(F.desc("n_occ"), F.asc("word")).limit(k))
 
 
+def bigram_lm_counts(df: DataFrame, k: int = 100, text_col: str = "text"
+                     ) -> DataFrame:
+    """Bigram language-model count table with Kneser-Ney continuation
+    counts — the statistics a count-based LM (or a data-quality perplexity
+    filter) needs: per bigram, the occurrence count, the document
+    frequency, and ``n_left_contexts`` of the SECOND word — the number of
+    DISTINCT words preceding it anywhere in the corpus, i.e. the
+    Kneser-Ney continuation numerator N₁₊(•w).
+
+    Scale shape: the pair stream crosses the wire ONCE — bigrams form
+    JVM-side (transform over a slice, no per-row Python) and an explicit
+    ``repartition(w1, w2)`` feeds BOTH aggregation grains exchange-free
+    (HashPartitioning on a subset satisfies every later grouping:
+    (w1,w2,doc) dedup, the bigram fold, and — being one stage — AQE
+    reuses the materialized shuffle for the continuation branch). A
+    ``countDistinct`` instead would plan an expand that ships the stream
+    twice at near-raw width. Continuation counts DERIVE from the bigram
+    table (one row per distinct pair ⇒ grouping by w2 and counting rows
+    IS N₁₊(•w2)) — no second corpus scan. The k-cut is
+    TakeOrderedAndProject over a (n_occ desc, w1, w2) total order, and
+    the k winners broadcast onto the word-grain continuation table.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = (df
+             .select("doc_id", words(text_col).alias("_ws"))
+             .select("doc_id",
+                     F.explode(F.expr(
+                         "transform(slice(_ws, 1, size(_ws) - 1), "
+                         "(w, i) -> struct(w AS w1, _ws[i + 1] AS w2))"))
+                     .alias("p"))
+             .select("doc_id", "p.w1", "p.w2")
+             .repartition("w1", "w2"))
+    per_doc = (pairs.groupBy("w1", "w2", "doc_id")
+               .agg(F.count("*").alias("_n")))
+    bg = (per_doc.groupBy("w1", "w2")
+          .agg(F.sum("_n").cast("long").alias("n_occ"),
+               F.count("*").cast("long").alias("n_docs")))
+    cont = (bg.groupBy("w2")
+            .agg(F.count("*").cast("long").alias("n_left_contexts")))
+    topk = bg.orderBy(F.desc("n_occ"), F.asc("w1"), F.asc("w2")).limit(k)
+    return (F.broadcast(topk).join(cont, "w2")
+            .select("w1", "w2", "n_occ", "n_docs", "n_left_contexts"))
+
+
 def mixture_sample(df: DataFrame, rates: dict[str, float],
                    default: float = 1.0, source_col: str = "source",
                    id_col: str = "doc_id", salt: int = 7) -> DataFrame:
