@@ -639,6 +639,37 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_counts(_docs(spark, sf_dir), k=100)
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction scan (tsrollup.text.pii_scan). The fixture
+    corpus carries no digits, so the query PLANTS deterministic PII derived
+    from doc_id — email when doc_id%2=0, an IP when doc_id%3=0, a phone
+    when doc_id%5=0, all exact integer arithmetic both engines reproduce —
+    and the regex counts + masked lengths must hash-match DuckDB's RE2
+    over the identical augmented text (patterns live in the RE2 ∩
+    Java-regex dialect subset, tsrollup.text.PII_PATTERNS). Pure map:
+    codegen'd regexp expressions, zero exchanges."""
+    from tsrollup.text import pii_scan
+
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(
+            F.lit(" reach u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), ((F.col("doc_id") * 3) % 256).cast("string"),
+            F.lit(" "))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")))
+    return pii_scan(docs.select("doc_id", aug.alias("text")))
+
+
 def q_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-sample report per (user, event_type) series vs a 1-hour
     expected cadence (tsrollup.counters.cadence_gaps). Integer-microsecond
@@ -1413,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cadence_gaps": q_cadence_gaps,
         "lag_coupling": q_lag_coupling,
         "bigram_lm": q_bigram_lm,
+        "pii_scan": q_pii_scan,
     }
 
 
@@ -2180,6 +2212,48 @@ WITH w AS (
 )
 SELECT t.w1, t.w2, t.n_occ, t.n_docs, c.n_left_contexts
 FROM topk t JOIN cont c USING (w2)
+"""
+
+    # PII scan over the SAME deterministically-augmented text; regex
+    # classes are RE2 ∩ Java-dialect so counts/replacements agree
+    sqls["pii_scan"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' reach u' || doc_id::VARCHAR || '@ex'
+                      || (doc_id % 7)::VARCHAR || '.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                      || ((doc_id * 3) % 256)::VARCHAR || ' '
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+         AS n_email,
+       len(regexp_extract_all(text,
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text,
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+       (len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+        + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')))
+         ::BIGINT AS n_pii,
+       length(text)::BIGINT AS text_len,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<PII>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PII>', 'g'))::BIGINT
+         AS redacted_len
+FROM aug
 """
 
     sqls["simhash"] = _simhash_oracle(16)

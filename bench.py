@@ -71,6 +71,7 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "bigram_lm",
+    "pii_scan",
     "repetition",
     "pack_offsets",
     "vocab_topk",

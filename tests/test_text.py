@@ -258,3 +258,50 @@ class TestBigramLM:
 
         with pytest.raises(ValueError):
             bigram_lm_counts(spark.range(1), k=0)
+
+
+class TestPiiScan:
+    def test_planted_pii_counted_and_redacted(self, spark):
+        from tsrollup.text import pii_scan
+
+        docs = spark.createDataFrame(
+            [(1, "mail a.b+x@foo.co now, backup c@d.org"),
+             (2, "host 192.168.0.1 dialed 555-123-4567"),
+             (3, "clean text only"),
+             (4, "almost: 1.2.3 and 555-12-34567 and a@b")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in pii_scan(docs).collect()}
+        assert out[1].n_email == 2 and out[1].n_pii == 2
+        assert out[2].n_ipv4 == 1 and out[2].n_phone == 1
+        assert out[3].n_pii == 0
+        assert out[3].redacted_len == out[3].text_len
+        # near-misses must NOT match (partial IP, bad phone, bare a@b)
+        assert out[4].n_pii == 0
+        # redaction replaced two emails with the 5-char mask
+        t1 = docs.filter("doc_id = 1").collect()[0].text
+        assert out[1].redacted_len == len(t1) - len("a.b+x@foo.co") \
+            - len("c@d.org") + 2 * 5
+
+    def test_custom_pattern_class(self, spark):
+        from tsrollup.text import pii_scan
+
+        docs = spark.createDataFrame(
+            [(1, "key sk-abcdef0123456789 leaked")],
+            "doc_id long, text string")
+        out = pii_scan(docs, patterns={
+            "secret": r"\bsk-[A-Za-z0-9]{16}\b"}).collect()[0]
+        assert out.n_secret == 1 and out.n_pii == 1
+
+    def test_rejects_empty_patterns(self, spark):
+        from tsrollup.text import pii_scan
+
+        with pytest.raises(ValueError):
+            pii_scan(spark.range(1), patterns={})
+
+    def test_zero_exchange_plan(self, spark):
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+        from tsrollup.text import pii_scan
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = formatted_plan(pii_scan(docs))
+        assert n_data_exchanges(plan) == 0, plan

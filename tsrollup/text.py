@@ -262,6 +262,51 @@ def bigram_lm_counts(df: DataFrame, k: int = 100, text_col: str = "text"
             .select("w1", "w2", "n_occ", "n_docs", "n_left_contexts"))
 
 
+PII_PATTERNS: dict[str, str] = {
+    # the RE2 ∩ Java-regex dialect subset: character classes, bounded
+    # repetition, \b word boundaries — no backrefs, no lookaround — so
+    # Spark (java.util.regex) and any RE2-based SQL engine (DuckDB,
+    # BigQuery) count and replace identically
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text",
+             patterns: dict[str, str] | None = None,
+             mask: str = "<PII>") -> DataFrame:
+    """PII detection + redaction scan — the scrubbing pass a training-data
+    pipeline runs before anything else: per doc, the match count for every
+    pattern class, the total, and the length of the text after ALL classes
+    are masked (redaction itself is the same ``regexp_replace`` chain;
+    emitting lengths keeps the driver-gate output scalar).
+
+    Pure map — ``regexp_count``/``regexp_replace`` are JVM-side codegen'd
+    expressions, no shuffle, no Python; at 100 TB this runs at scan speed
+    and composes with any downstream filter (``n_pii = 0`` keeps a doc).
+    Patterns must stay in the RE2 ∩ Java dialect subset (see
+    ``PII_PATTERNS``) for cross-engine reproducibility.
+
+    Output: doc_id, n_<class>…, n_pii, text_len, redacted_len.
+    """
+    pats = PII_PATTERNS if patterns is None else dict(patterns)
+    if not pats:
+        raise ValueError("at least one pattern class is required")
+    cols = [F.col("doc_id")]
+    total = F.lit(0)
+    red = F.col(text_col)
+    for name, pat in pats.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        cols.append(c.cast("long").alias(f"n_{name}"))
+        total = total + c
+        red = F.regexp_replace(red, pat, mask)
+    return df.select(
+        *cols, total.cast("long").alias("n_pii"),
+        F.length(text_col).cast("long").alias("text_len"),
+        F.length(red).cast("long").alias("redacted_len"))
+
+
 def mixture_sample(df: DataFrame, rates: dict[str, float],
                    default: float = 1.0, source_col: str = "source",
                    id_col: str = "doc_id", salt: int = 7) -> DataFrame:
