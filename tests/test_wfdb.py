@@ -245,3 +245,36 @@ def test_wfdb_ingest_cli(spark, record_dir, tmp_path, monkeypatch):
     rows = (sig.filter("record = 100 and channel = 1")
             .orderBy("pos").select("adc").toPandas()["adc"].tolist())
     assert rows == recs["100"][0][:, 1].tolist()
+
+
+class TestProperties:
+    """Hypothesis round-trips: any 12-bit sample stream and any legal
+    annotation stream must survive pack→unpack bit-exactly."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(-2048, 2047), max_size=300))
+    def test_fmt212_roundtrip(self, xs):
+        a = np.asarray(xs, dtype=np.int64)
+        assert unpack212(pack212(a), a.size).tolist() == xs
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 1 << 30),      # time delta to previous
+                  st.integers(1, 49),           # data code
+                  st.integers(0, 1023),         # sub
+                  st.integers(0, 1023),         # chn
+                  st.integers(0, 1023),         # num
+                  st.one_of(st.none(),
+                            st.text(alphabet=st.characters(
+                                min_codepoint=32, max_codepoint=126),
+                                max_size=40))),
+        max_size=30))
+    def test_annotation_roundtrip(self, rows):
+        t, anns = 0, []
+        for dt_, code, sub, chn, num, aux in rows:
+            t += dt_
+            anns.append((t, code, sub, chn, num, aux or None))
+        assert decode_annotations(encode_annotations(anns)) == anns
