@@ -298,7 +298,7 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     # frozen round-4 query scope: the 53-query list BENCH_r04.json recorded.
-    # The headline list keeps growing (53 → 65 rows across round 5), which
+    # The headline list keeps growing (53 → 67 rows across round 5), which
     # inflates `value` round-over-round even when every query got faster —
     # this subtotal is the apples-to-apples cross-round comparison.
     r4_scope = {

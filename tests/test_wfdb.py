@@ -82,9 +82,9 @@ class TestRecordCodec:
         # the .dat size instead of silently decoding zero samples
         sig = np.arange(10).reshape(5, 2)
         files = encode_record("r", sig)
-        hea = ("r 2 360\n"  # no n_samples field; checksums unknown (0)
-               "r.dat 212 200(0)/mV 12 0 0 0 0 ch0\n"
-               "r.dat 212 200(0)/mV 12 0 0 0 0 ch1\n")
+        hea = ("r 2 360\n"  # no n_samples; short signal lines = no checksum
+               "r.dat 212 200(0)/mV\n"
+               "r.dat 212 200(0)/mV\n")
         h, back = decode_record(hea.encode(), files["r.dat"])
         assert h.n_samples == 5
         assert back.tolist() == sig.tolist()
@@ -127,9 +127,23 @@ class TestAnnotations:
         with pytest.raises(ValueError, match="code"):
             encode_annotations([(5, 59, 0, 0, 0, None)])  # pseudo-code
         with pytest.raises(ValueError, match="code"):
+            encode_annotations([(5, 50, 0, 0, 0, None)])  # past ACMAX=49
+        with pytest.raises(ValueError, match="code"):
             encode_annotations([(5, 0, 0, 0, 0, None)])   # EOF code
         with pytest.raises(ValueError, match="num"):
             encode_annotations([(5, 1, 0, 0, 1024, None)])
+
+    def test_literal_zero_checksum_is_verified(self):
+        # 0 is a legal checksum (sum-cancelling signal) and must be
+        # CHECKED, not treated as absent
+        sig = np.array([[5], [-5]])  # checksum 0
+        files = encode_record("r", sig)
+        assert decode_record(files["r.hea"], files["r.dat"])[1].tolist() \
+            == sig.tolist()
+        bad = bytearray(files["r.dat"])
+        bad[0] ^= 0x01
+        with pytest.raises(ValueError, match="checksum"):
+            decode_record(files["r.hea"], bytes(bad))
 
 
 def _reference_segments(adc, gain, baseline, anns, labels,

@@ -41,9 +41,10 @@ def main() -> int:
     ap.add_argument("--app-name", default="wfdb-ingest")
     args = ap.parse_args()
 
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from tsrollup.io import read_table, write_table
+    from tsrollup.io import write_table
     from tsrollup.session import get_spark
     from tsrollup.wfdb import read_wfdb_annotations, read_wfdb_signals
 
@@ -62,17 +63,19 @@ def main() -> int:
                 "mv", F.transform(
                     "adc",
                     lambda a: (a - F.col("baseline")) / F.col("gain")))
+        # row counts ride the write via Observation metrics — re-reading a
+        # just-written --long table would scan the whole archive twice
+        obs_sig, obs_ann = Observation("signals"), Observation("annotations")
+        sig = sig.observe(obs_sig, F.count(F.lit(1)).alias("n"))
         write_table(sig, os.path.join(args.out, "signals"),
                     partition_by=["record"])
         ann = read_wfdb_annotations(spark, args.src,
                                     ext=args.annotations_ext)
+        ann = ann.observe(obs_ann, F.count(F.lit(1)).alias("n"))
         write_table(ann, os.path.join(args.out, "annotations"),
                     partition_by=["record"])
-        n_sig = read_table(spark, os.path.join(args.out, "signals")).count()
-        n_ann = read_table(
-            spark, os.path.join(args.out, "annotations")).count()
-        print(f"wfdb_ingest: wrote {n_sig} signal rows, "
-              f"{n_ann} annotation rows to {args.out}")
+        print(f"wfdb_ingest: wrote {obs_sig.get['n']} signal rows, "
+              f"{obs_ann.get['n']} annotation rows to {args.out}")
         return 0
     finally:
         spark.stop()

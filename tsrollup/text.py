@@ -10,7 +10,7 @@ of exact integer counts, so bits match across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny stopword lexicons for the n-gram-free language-ID heuristic
@@ -226,18 +226,19 @@ def bigram_lm_counts(df: DataFrame, k: int = 100, text_col: str = "text"
     DISTINCT words preceding it anywhere in the corpus, i.e. the
     Kneser-Ney continuation numerator N₁₊(•w).
 
-    Scale shape: the pair stream crosses the wire ONCE — bigrams form
-    JVM-side (transform over a slice, no per-row Python) and an explicit
-    ``repartition(w1, w2)`` feeds BOTH aggregation grains exchange-free
-    (HashPartitioning on a subset satisfies every later grouping:
-    (w1,w2,doc) dedup, the bigram fold, and — being one stage — AQE
-    reuses the materialized shuffle for the continuation branch). A
-    ``countDistinct`` instead would plan an expand that ships the stream
-    twice at near-raw width. Continuation counts DERIVE from the bigram
-    table (one row per distinct pair ⇒ grouping by w2 and counting rows
-    IS N₁₊(•w2)) — no second corpus scan. The k-cut is
-    TakeOrderedAndProject over a (n_occ desc, w1, w2) total order, and
-    the k winners broadcast onto the word-grain continuation table.
+    Scale shape: the pair stream crosses the wire ONCE, in ONE lineage —
+    bigrams form JVM-side (transform over a slice, no per-row Python), an
+    explicit ``repartition(w1, w2)`` feeds both aggregation grains
+    exchange-free (HashPartitioning on a subset satisfies the
+    (w1,w2,doc) dedup and the bigram fold; a ``countDistinct`` instead
+    would plan an expand shipping the stream twice at near-raw width),
+    and the continuation count rides a WINDOW over the bigram table (one
+    row per distinct pair ⇒ counting the w2 partition IS N₁₊(•w2)) — a
+    branch-and-join formulation would re-execute the whole corpus scan
+    for the second branch (measured: AQE does not reuse the repartition
+    shuffle across branches). Only the bigram-grain rows re-hash for the
+    window; the k-cut is TakeOrderedAndProject over a (n_occ desc, w1,
+    w2) total order.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -255,11 +256,10 @@ def bigram_lm_counts(df: DataFrame, k: int = 100, text_col: str = "text"
     bg = (per_doc.groupBy("w1", "w2")
           .agg(F.sum("_n").cast("long").alias("n_occ"),
                F.count("*").cast("long").alias("n_docs")))
-    cont = (bg.groupBy("w2")
-            .agg(F.count("*").cast("long").alias("n_left_contexts")))
-    topk = bg.orderBy(F.desc("n_occ"), F.asc("w1"), F.asc("w2")).limit(k)
-    return (F.broadcast(topk).join(cont, "w2")
-            .select("w1", "w2", "n_occ", "n_docs", "n_left_contexts"))
+    cont = F.count("*").over(Window.partitionBy("w2")) \
+            .cast("long").alias("n_left_contexts")
+    return (bg.select("w1", "w2", "n_occ", "n_docs", cont)
+            .orderBy(F.desc("n_occ"), F.asc("w1"), F.asc("w2")).limit(k))
 
 
 PII_PATTERNS: dict[str, str] = {
@@ -293,6 +293,10 @@ def pii_scan(df: DataFrame, text_col: str = "text",
     pats = PII_PATTERNS if patterns is None else dict(patterns)
     if not pats:
         raise ValueError("at least one pattern class is required")
+    if "pii" in pats:
+        # n_pii is the reserved total column — a class of that name would
+        # emit a duplicate column and break every downstream reference
+        raise ValueError("'pii' is a reserved class name (n_pii = total)")
     cols = [F.col("doc_id")]
     total = F.lit(0)
     red = F.col(text_col)

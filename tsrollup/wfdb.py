@@ -101,7 +101,8 @@ class SignalSpec:
     baseline: int
     units: str
     description: str
-    checksum: int
+    checksum: int | None  # None = field absent from the header (no check);
+    #                       0 is a LEGAL checksum value and is verified
 
 
 @dataclass(frozen=True)
@@ -142,7 +143,8 @@ def parse_header(text: str) -> RecordHeader:
             filename=m.group("file"), fmt=int(m.group("fmt")), gain=gain,
             baseline=base, units=m.group("units") or "mV",
             description=(m.group("desc") or "").strip(),
-            checksum=int(m.group("cksum")) if m.group("cksum") else 0))
+            checksum=int(m.group("cksum"))
+            if m.group("cksum") is not None else None))
     return RecordHeader(record, n_sig, fs, n_samples, tuple(sigs))
 
 
@@ -150,7 +152,8 @@ def format_header(h: RecordHeader) -> str:
     out = [f"{h.record} {h.n_sig} {h.fs:g} {h.n_samples}"]
     for s in h.signals:
         out.append(f"{s.filename} {s.fmt} {s.gain:g}({s.baseline})/{s.units}"
-                   f" 12 0 0 {s.checksum} 0 {s.description}")
+                   f" 12 0 0 {s.checksum if s.checksum is not None else 0}"
+                   f" 0 {s.description}")
     return "\n".join(out) + "\n"
 
 
@@ -195,8 +198,10 @@ def decode_record(hea: bytes, dat: bytes) -> tuple[RecordHeader, np.ndarray]:
     flat = unpack212(dat, n_samples * h.n_sig)
     sig = flat.reshape(n_samples, h.n_sig)
     for i, s in enumerate(h.signals):
+        if s.checksum is None:  # field absent from the header: no check
+            continue
         got = wfdb_checksum(sig[:, i])
-        if s.checksum and got != s.checksum:
+        if got != s.checksum:
             raise ValueError(f"checksum mismatch record {h.record} "
                              f"signal {i}: header {s.checksum}, data {got}")
     return h, sig
@@ -214,7 +219,7 @@ def encode_annotations(anns: list[tuple]) -> bytes:
 
     t_prev, chn_prev, num_prev = 0, 0, 0
     for time, code, sub, chn, num, aux in anns:
-        if not 1 <= code < _SKIP:  # 0 = EOF, 59-63 = pseudo-annotations
+        if not 1 <= code <= 49:  # ACMAX=49; 0 = EOF, 50+ undefined/pseudo
             raise ValueError(f"annotation code={code} out of data range")
         for field, v in (("sub", sub), ("chn", chn), ("num", num)):
             if not 0 <= v <= 0x3FF:
