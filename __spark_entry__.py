@@ -670,6 +670,19 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(docs.select("doc_id", aug.alias("text")))
 
 
+def q_cusum_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm episodes from the CUSUM scores — maximal consecutive alarm
+    runs per series rolled up to one row each
+    (tsrollup.counters.cusum_episodes). The whole composition (scores →
+    rank → islands key → episode agg → numbering) shares ONE per-series
+    exchange; the DuckDB tail oracle builds the identical chain over the
+    shared cusum CTE."""
+    from tsrollup.counters import cusum_episodes
+
+    return cusum_episodes(_fact(spark, sf_dir, "events"),
+                          target=50.0, threshold=200.0)
+
+
 def q_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-sample report per (user, event_type) series vs a 1-hour
     expected cadence (tsrollup.counters.cadence_gaps). Integer-microsecond
@@ -1445,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_coupling": q_lag_coupling,
         "bigram_lm": q_bigram_lm,
         "pii_scan": q_pii_scan,
+        "cusum_episodes": q_cusum_episodes,
     }
 
 
@@ -2115,8 +2129,9 @@ FROM q GROUP BY user_id
 
     # CUSUM via the prefix-sum closed form: S+ = P − min(0, run_min P),
     # S− = max(0, run_max P) − P; decimal windows are exact, the double
-    # cast is the only float op on either engine
-    sqls["cusum_drift"] = """
+    # cast is the only float op on either engine. The CTE chain is shared
+    # with cusum_episodes (same scores, episode rollup on top).
+    _cusum_ctes = """
 WITH p AS (
   SELECT user_id, event_type, ts, event_id AS id,
          SUM(value::DECIMAL(18,2) - 50.00) OVER (
@@ -2137,14 +2152,42 @@ WITH p AS (
          CASE WHEN rmn < 0 THEN rmn ELSE 0::DECIMAL(38,2) END AS mn,
          CASE WHEN rmx > 0 THEN rmx ELSE 0::DECIMAL(38,2) END AS mx
   FROM r
+), scored AS (
+  SELECT user_id, event_type, ts, id,
+         (pp - mn)::DOUBLE AS cusum_hi,
+         (mx - pp)::DOUBLE AS cusum_lo,
+         (CASE WHEN (pp - mn)::DOUBLE > 200.0
+                    OR (mx - pp)::DOUBLE > 200.0
+               THEN 1 ELSE 0 END)::INT AS alarm
+  FROM c
+)"""
+    sqls["cusum_drift"] = _cusum_ctes + """
+SELECT user_id, event_type, ts, id, cusum_hi, cusum_lo, alarm FROM scored
+"""
+
+    # episodes: gaps-and-islands (rank − alarm_rank) over the same scores
+    sqls["cusum_episodes"] = _cusum_ctes + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, id) AS rn
+  FROM scored
+), alarms AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, id) AS grp
+  FROM ranked WHERE alarm = 1
+), ep AS (
+  SELECT user_id, event_type, grp,
+         COUNT(*)::BIGINT AS n_samples,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))::BIGINT AS duration_us,
+         MAX(cusum_hi) AS peak_hi, MAX(cusum_lo) AS peak_lo
+  FROM alarms GROUP BY user_id, event_type, grp
 )
-SELECT user_id, event_type, ts, id,
-       (pp - mn)::DOUBLE AS cusum_hi,
-       (mx - pp)::DOUBLE AS cusum_lo,
-       (CASE WHEN (pp - mn)::DOUBLE > 200.0
-                  OR (mx - pp)::DOUBLE > 200.0
-             THEN 1 ELSE 0 END)::INT AS alarm
-FROM c
+SELECT user_id, event_type,
+       row_number() OVER (PARTITION BY user_id, event_type
+                          ORDER BY start_ts)::BIGINT AS episode,
+       n_samples, start_ts, end_ts, duration_us, peak_hi, peak_lo
+FROM ep
 """
 
     # cadence gaps: integer-microsecond `//` (DuckDB floor-div on positive

@@ -65,6 +65,7 @@ HEADLINE = [
     "m4_downsample",
     "wfdb_roundtrip",
     "cusum_drift",
+    "cusum_episodes",
     "cadence_gaps",
     "lag_coupling",
     "asof_join",

@@ -12,7 +12,7 @@ import datetime as dt
 import pytest
 
 from tsrollup.counters import (cadence_gaps, counter_increase, cusum_drift,
-                               lag_coupling, m4_downsample)
+                               cusum_episodes, lag_coupling, m4_downsample)
 from tsrollup.planaudit import formatted_plan, n_data_exchanges
 
 T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
@@ -200,6 +200,33 @@ class TestCusumDrift:
         got = {r.event_type: r for r in cusum_drift(df).collect()}
         assert got["a"].cusum_hi == 450.0 and got["b"].cusum_hi == 0.0
         plan = formatted_plan(cusum_drift(df))
+        assert n_data_exchanges(plan) == 1, plan
+
+
+class TestCusumEpisodes:
+    def test_runs_split_on_non_alarm_samples(self, spark):
+        # target 0, threshold 15: S+ spikes to 18 (alarm), bleeds down
+        # through 13/8/5 (quiet — the moderate negatives keep S- <= 13,
+        # under threshold; a crash-style drop would fire the S- side
+        # instead), then climbs to 23/26 (second episode)
+        xs = [18, -5, -5, -3, 18, 3]
+        df = _events(spark, [_row(1, "a", i, i * 60, x)
+                             for i, x in enumerate(xs)])
+        eps = sorted(cusum_episodes(df, target=0.0, threshold=15.0)
+                     .collect(), key=lambda r: r.episode)
+        assert [e.episode for e in eps] == [1, 2]
+        assert [e.n_samples for e in eps] == [1, 2]
+        assert eps[0].peak_hi == 18.0
+        assert eps[1].peak_hi == 26.0
+        assert eps[1].duration_us == 60_000_000
+
+    def test_no_alarms_no_rows(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        assert cusum_episodes(df).collect() == []
+
+    def test_single_exchange_composition(self, spark):
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(cusum_episodes(df))
         assert n_data_exchanges(plan) == 1, plan
 
 

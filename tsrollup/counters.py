@@ -15,6 +15,8 @@ output bit:
   (exact decimal cross-moments; interval-shift join, not row-lag).
 - ``cusum_drift`` — two-sided CUSUM changepoint scores via the closed-form
   prefix-sum ± running-extremum rewrite (no sequential fold).
+- ``cusum_episodes`` — maximal runs of consecutive alarming samples
+  (gaps-and-islands over the scores), one summarized row per episode.
 - ``m4_downsample`` — the M4 width-preserving visualization downsampler
   (Jugel et al., VLDB 2014): first/last/min/max per pixel bucket.
 
@@ -235,6 +237,56 @@ def cusum_drift(events: DataFrame,
             .withColumn("alarm",
                         ((F.col("cusum_hi") > thr)
                          | (F.col("cusum_lo") > thr)).cast("int")))
+
+
+def cusum_episodes(events: DataFrame,
+                   series_cols: Sequence[str] = ("user_id", "event_type"),
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value",
+                   target: float = 50.0,
+                   threshold: float = 200.0) -> DataFrame:
+    """Alarm EPISODES from the CUSUM scores: maximal runs of consecutive
+    alarming samples per series, each summarized once — what an on-call
+    pipeline pages on (an episode), not the per-sample stream
+    :func:`cusum_drift` emits.
+
+    Composition stays in ONE exchange: the per-sample scores, the global
+    sample rank, the within-alarms rank (the gaps-and-islands key
+    ``rank − alarm_rank``), the episode aggregation, and the episode
+    numbering all partition on (a superset of) the series tuple, so
+    EnsureRequirements reuses the single per-series hash exchange
+    end-to-end. Every value is decimal/integer-exact (see cusum_drift).
+
+    Output: series_cols…, episode, n_samples, start_ts, end_ts,
+    duration_us, peak_hi, peak_lo.
+    """
+    scols = list(series_cols)
+    scored = cusum_drift(events, series_cols=series_cols, ts_col=ts_col,
+                         id_col=id_col, value_col=value_col,
+                         target=target, threshold=threshold)
+    w = Window.partitionBy(*scols).orderBy("ts", "id")
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    alarms = (ranked.filter(F.col("alarm") == 1)
+              .withColumn("_grp",
+                          F.col("_rn") - F.row_number().over(w)))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ep = (alarms
+          .select(*scols, "_grp", "ts", us.alias("_us"),
+                  "cusum_hi", "cusum_lo")
+          .groupBy(*scols, "_grp")
+          .agg(F.count("*").cast("long").alias("n_samples"),
+               F.min("ts").alias("start_ts"),
+               F.max("ts").alias("end_ts"),
+               (F.max("_us") - F.min("_us")).cast("long")
+               .alias("duration_us"),
+               F.max("cusum_hi").alias("peak_hi"),
+               F.max("cusum_lo").alias("peak_lo")))
+    number = F.row_number().over(
+        Window.partitionBy(*scols).orderBy("start_ts"))
+    return (ep.select(*scols, number.cast("long").alias("episode"),
+                      "n_samples",
+                      "start_ts", "end_ts", "duration_us",
+                      "peak_hi", "peak_lo"))
 
 
 def m4_downsample(events: DataFrame, n_buckets: int = 64,
