@@ -683,6 +683,43 @@ def q_cusum_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                           target=50.0, threshold=200.0)
 
 
+def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise Aggregate Approximation + SAX symbol per frame
+    (tsrollup.features.paa_sax) — the classical training-free counterpart
+    of the reference's conv/pool feature maps (models_keras.py:59-63).
+    Array-native F.slice/F.aggregate per frame, zero exchanges; symbols
+    avoid z-normalize via the exact integer cross-multiplication
+    frame_sum > b·frame_len, so the DuckDB tail oracle (positions grouped
+    by the p·F div n assignment rule) hash-matches every column."""
+    from tsrollup.features import paa_sax
+
+    return paa_sax(_tokenized(spark, sf_dir), frames=8,
+                   breakpoints=(3, 5, 7))
+
+
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SAX word per doc (tsrollup.features.sax_words): per-frame
+    symbols as letters concatenated in frame order, computed INSIDE one
+    row (transform over the frame sequence) — a pure map with zero row
+    amplification. DuckDB rebuilds the word with string_agg(chr(97+sym)
+    ORDER BY frame)."""
+    from tsrollup.features import sax_words
+
+    return sax_words(_tokenized(spark, sf_dir), frames=8,
+                     breakpoints=(3, 5, 7))
+
+
+def q_acf_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact autocorrelation raw moments at lags 1-4 per doc
+    (tsrollup.features.acf_moments): slice/zip_with cross-moments, all
+    int64-exact (normalization left to the caller — the lag_coupling
+    argument), one IEEE division for mean_prod. Shuffle-free; the DuckDB
+    oracle is the equivalent position self-join per lag."""
+    from tsrollup.features import acf_moments
+
+    return acf_moments(_tokenized(spark, sf_dir), max_lag=4)
+
+
 def q_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-sample report per (user, event_type) series vs a 1-hour
     expected cadence (tsrollup.counters.cadence_gaps). Integer-microsecond
@@ -1459,6 +1496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "pii_scan": q_pii_scan,
         "cusum_episodes": q_cusum_episodes,
+        "paa_sax": q_paa_sax,
+        "sax_words": q_sax_words,
+        "acf_moments": q_acf_moments,
     }
 
 
@@ -2819,6 +2859,80 @@ scored AS (
   FROM scored
 )
 SELECT qid, id, cos_sim, rank::INT AS rank FROM r WHERE rank <= 5
+"""
+
+    # PAA + SAX: positions grouped by the exact assignment rule p·F div n
+    # (== the engine's ceil-bound slices); symbols via the division-free
+    # integer cross-multiplication frame_sum > b·frame_len
+    sqls["paa_sax"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, len(tokens) AS n, unnest(tokens) AS tk,
+         unnest(range(0, len(tokens))) AS p
+  FROM tok
+)
+SELECT doc_id, (p * 8 // n)::INT AS frame,
+       COUNT(*)::BIGINT AS frame_len,
+       SUM(tk)::BIGINT AS frame_sum,
+       SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS paa,
+       (CASE WHEN SUM(tk)::BIGINT > 3 * COUNT(*)::BIGINT THEN 1 ELSE 0 END
+        + CASE WHEN SUM(tk)::BIGINT > 5 * COUNT(*)::BIGINT THEN 1 ELSE 0 END
+        + CASE WHEN SUM(tk)::BIGINT > 7 * COUNT(*)::BIGINT THEN 1 ELSE 0 END
+       )::INT AS symbol
+FROM pos GROUP BY doc_id, p * 8 // n
+"""
+
+    sqls["sax_words"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, len(tokens) AS n, unnest(tokens) AS tk,
+         unnest(range(0, len(tokens))) AS p
+  FROM tok
+), fr AS (
+  SELECT doc_id, (p * 8 // n)::INT AS frame,
+         SUM(tk)::BIGINT AS fs, COUNT(*)::BIGINT AS fl
+  FROM pos GROUP BY doc_id, p * 8 // n
+)
+SELECT doc_id, COUNT(*)::INT AS n_frames,
+       string_agg(chr(97
+         + CASE WHEN fs > 3 * fl THEN 1 ELSE 0 END
+         + CASE WHEN fs > 5 * fl THEN 1 ELSE 0 END
+         + CASE WHEN fs > 7 * fl THEN 1 ELSE 0 END), ''
+         ORDER BY frame) AS sax_word
+FROM fr GROUP BY doc_id
+"""
+
+    # ACF raw moments: the engine's slice/zip_with cross-moments as a
+    # position self-join per lag; every column except mean_prod is an
+    # exact integer, mean_prod is one IEEE division
+    sqls["acf_moments"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+), lags AS (SELECT unnest(range(1, 5))::INT AS lag)
+SELECT a.doc_id, lag,
+       COUNT(*)::BIGINT AS n_pairs,
+       SUM(a.tk * b.tk)::BIGINT AS sxy,
+       SUM(a.tk)::BIGINT AS sx,
+       SUM(b.tk)::BIGINT AS sy,
+       (COUNT(*) * SUM(a.tk * b.tk)
+        - SUM(a.tk) * SUM(b.tk))::BIGINT AS cov_num,
+       SUM(a.tk * b.tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE
+         AS mean_prod
+FROM pos a
+CROSS JOIN lags
+JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
+GROUP BY a.doc_id, lag
 """
 
     return sqls

@@ -108,6 +108,9 @@ HEADLINE = [
     "windows_excluded",
     "retention",
     "pipeline_zoo",
+    "paa_sax",
+    "sax_words",
+    "acf_moments",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

@@ -1,0 +1,155 @@
+"""PAA / SAX / autocorrelation feature tests (tsrollup/features.py).
+
+Hand-computed goldens pin the semantic corners (frame bounds, short docs,
+symbol ordinals, lag alignment); NumPy parity covers random inputs; the plan
+tests pin the shuffle-free shape. Fixture-scale value parity vs DuckDB lives
+in the __spark_entry__ tail oracles (paa_sax, acf_moments, sax_words).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tsrollup.features import acf_moments, paa, paa_sax, sax_words
+from tsrollup.planaudit import formatted_plan, n_data_exchanges
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+class TestPaa:
+    def test_hand_computed_frames(self, spark):
+        df = _docs(spark, [("d1", list(range(1, 11)))])
+        out = {r.frame: r for r in paa(df, frames=3).collect()}
+        assert set(out) == {0, 1, 2}
+        assert (out[0].frame_len, out[0].frame_sum, out[0].paa) == (4, 10, 2.5)
+        assert (out[1].frame_len, out[1].frame_sum, out[1].paa) == (3, 18, 6.0)
+        assert (out[2].frame_len, out[2].frame_sum, out[2].paa) == (3, 27, 9.0)
+
+    def test_frame_bounds_match_assignment_rule(self):
+        # slice bounds [ceil(fn/F), ceil((f+1)n/F)) == {p : p*F // n == f}
+        for n in (1, 2, 3, 7, 8, 9, 63, 64, 65, 1000):
+            for frames in (1, 2, 3, 8, 16):
+                by_rule = {}
+                for p in range(n):
+                    by_rule.setdefault(p * frames // n, []).append(p)
+                for f in range(frames):
+                    start = (f * n + frames - 1) // frames
+                    stop = ((f + 1) * n + frames - 1) // frames
+                    assert list(range(start, stop)) == by_rule.get(f, [])
+
+    def test_short_doc_skips_empty_frames(self, spark):
+        df = _docs(spark, [("d1", [5, 9])])
+        out = {r.frame: r for r in paa(df, frames=8).collect()}
+        assert set(out) == {0, 4}
+        assert out[0].frame_sum == 5 and out[4].frame_sum == 9
+
+    def test_empty_tokens_emits_nothing(self, spark):
+        df = _docs(spark, [("d1", [])])
+        assert paa(df, frames=4).count() == 0
+
+    def test_numpy_parity_random(self, spark):
+        rng = np.random.default_rng(7)
+        rows = [(f"d{i}", rng.integers(0, 40, size=int(m)).tolist())
+                for i, m in enumerate(rng.integers(1, 200, size=20))]
+        out = paa(_docs(spark, rows), frames=8).collect()
+        got = {(r.doc_id, r.frame): (r.frame_len, r.frame_sum, r.paa)
+               for r in out}
+        want = {}
+        for doc_id, toks in rows:
+            x = np.asarray(toks)
+            fr = np.arange(len(x)) * 8 // len(x)
+            for f in np.unique(fr):
+                seg = x[fr == f]
+                want[(doc_id, int(f))] = (
+                    len(seg), int(seg.sum()), seg.sum() / len(seg))
+        assert got == want
+
+    def test_frames_validation(self, spark):
+        with pytest.raises(ValueError):
+            paa(_docs(spark, []), frames=0)
+
+
+class TestSax:
+    def test_symbol_ordinals(self, spark):
+        # means 2.5 / 6 / 9 vs breakpoints (3,5,7) -> symbols 0 / 2 / 3
+        df = _docs(spark, [("d1", list(range(1, 11)))])
+        out = {r.frame: r.symbol
+               for r in paa_sax(df, frames=3, breakpoints=(3, 5, 7)).collect()}
+        assert out == {0: 0, 1: 2, 2: 3}
+
+    def test_boundary_is_strict(self, spark):
+        # frame mean exactly == breakpoint must NOT count (strict >)
+        df = _docs(spark, [("d1", [3, 3, 3])])
+        out = paa_sax(df, frames=1, breakpoints=(3,)).collect()
+        assert out[0].symbol == 0
+
+    def test_word_concatenates_in_frame_order(self, spark):
+        df = _docs(spark, [("d1", list(range(1, 11)))])
+        r = sax_words(df, frames=3, breakpoints=(3, 5, 7)).collect()[0]
+        assert r.sax_word == "acd" and r.n_frames == 3
+
+    def test_word_skips_empty_frames(self, spark):
+        # 2 tokens over 8 frames: only frames 0 and 4 are non-empty
+        df = _docs(spark, [("d1", [1, 9])])
+        r = sax_words(df, frames=8, breakpoints=(3, 5, 7)).collect()[0]
+        assert r.sax_word == "ad" and r.n_frames == 2
+
+    def test_empty_tokens_emits_no_word(self, spark):
+        df = _docs(spark, [("d1", [])])
+        assert sax_words(df, frames=4).count() == 0
+
+    def test_breakpoint_validation(self, spark):
+        with pytest.raises(ValueError):
+            paa_sax(_docs(spark, []), breakpoints=(5, 3))
+        with pytest.raises(ValueError):
+            sax_words(_docs(spark, []), breakpoints=(3, 3))
+
+
+class TestAcf:
+    def test_hand_computed_lags(self, spark):
+        df = _docs(spark, [("d1", [1, 2, 3, 4])])
+        out = {r.lag: r for r in acf_moments(df, max_lag=2).collect()}
+        l1, l2 = out[1], out[2]
+        assert (l1.n_pairs, l1.sxy, l1.sx, l1.sy) == (3, 20, 6, 9)
+        assert l1.cov_num == 3 * 20 - 6 * 9
+        assert l1.mean_prod == 20 / 3
+        assert (l2.n_pairs, l2.sxy, l2.sx, l2.sy) == (2, 11, 3, 7)
+        assert l2.cov_num == 2 * 11 - 3 * 7
+
+    def test_short_docs_drop_out_of_range_lags(self, spark):
+        df = _docs(spark, [("d1", [7]), ("d2", [7, 8])])
+        out = acf_moments(df, max_lag=3).collect()
+        assert {(r.doc_id, r.lag) for r in out} == {("d2", 1)}
+
+    def test_numpy_parity_random(self, spark):
+        rng = np.random.default_rng(11)
+        rows = [(f"d{i}", rng.integers(0, 30, size=int(m)).tolist())
+                for i, m in enumerate(rng.integers(1, 120, size=15))]
+        out = acf_moments(_docs(spark, rows), max_lag=4).collect()
+        got = {(r.doc_id, r.lag): (r.n_pairs, r.sxy, r.sx, r.sy, r.cov_num)
+               for r in out}
+        want = {}
+        for doc_id, toks in rows:
+            x = np.asarray(toks, dtype=np.int64)
+            for lag in range(1, 5):
+                if len(x) <= lag:
+                    continue
+                h, t = x[:-lag], x[lag:]
+                want[(doc_id, lag)] = (
+                    len(h), int(h @ t), int(h.sum()), int(t.sum()),
+                    len(h) * int(h @ t) - int(h.sum()) * int(t.sum()))
+        assert got == want
+
+    def test_lag_validation(self, spark):
+        with pytest.raises(ValueError):
+            acf_moments(_docs(spark, []), max_lag=0)
+
+
+class TestPlanShape:
+    def test_all_operators_are_shuffle_free(self, spark):
+        df = _docs(spark, [("d1", [1, 2, 3])])
+        for out in (paa_sax(df), sax_words(df), acf_moments(df)):
+            assert n_data_exchanges(formatted_plan(out)) == 0

@@ -1,0 +1,203 @@
+"""Per-sequence representation features: PAA, SAX, and exact autocorrelation.
+
+The reference extracts learned features from fixed-length windows of a
+signal (conv/pool stacks over the ``(N, T, V)`` tensor, e.g.
+``TSFEDL/models_keras.py:59-63``); the classical, training-free counterparts
+of that feature map are Piecewise Aggregate Approximation (Keogh et al.,
+KAIS 2001), its SAX symbolization (Lin et al., DMKD 2007), and the
+autocorrelation function — the standard pre-deep-learning representations
+of the very same per-window statistics this engine rolls up.
+
+Scale shape (the whole module is shuffle-free): every operator is a per-row
+computation on the token ARRAY — ``F.slice`` / ``F.aggregate`` /
+``F.zip_with`` higher-order functions, never a position explode — so a
+100 TB corpus pays a scan and zero exchanges. The only row amplification is
+a constant per doc (``frames`` PAA rows, ``max_lag`` ACF rows), exploded
+AFTER the per-frame math so the amplified rows are already tiny scalars.
+
+Cross-engine determinism (every op has a DuckDB value oracle in
+__spark_entry__.py):
+
+* frame assignment is exact integer arithmetic — position ``p`` of an
+  ``n``-token doc lands in frame ``p·F div n`` (the standard PAA index set,
+  equal-width within ±1);
+* frame sums / lengths / lag cross-moments are exact int64 (tokens are
+  word lengths ≤ a few hundred, docs ≤ a few thousand tokens: products sit
+  far below 2^53);
+* the only floats are single IEEE divisions of exact integers (PAA mean,
+  lag mean-product), bitwise identical in any engine;
+* SAX symbols avoid the classical z-normalize→breakpoint lookup (whose
+  sqrt/σ is libm-unsafe cross-engine): with integer breakpoints ``b`` the
+  compare is the exact cross-multiplication ``frame_sum > b · frame_len``
+  — no division at all. The alphabet is ordinal: symbol = number of
+  breakpoints strictly below the frame mean.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default SAX breakpoints in token-value space (word-length tokens cluster
+#: around 3-8; three integer breakpoints give a 4-letter alphabet a..d)
+SAX_BREAKPOINTS = (3, 5, 7)
+
+
+def paa(df: DataFrame, frames: int = 8,
+        tokens_col: str = "tokens") -> DataFrame:
+    """Piecewise Aggregate Approximation: split each doc's token series into
+    ``frames`` equal-width frames (±1 position) and emit one row per
+    non-empty frame with its exact sum/length and IEEE mean.
+
+    Frame f covers positions [ceil(f·n/F), ceil((f+1)·n/F)) — the exact
+    complement of the assignment ``p·F div n``, so a SQL engine grouping
+    exploded positions by that quotient reproduces every row.
+
+    Output: doc_id, frame, frame_len (long), frame_sum (long),
+    paa (double = frame_sum / frame_len).
+    """
+    if frames < 1:
+        raise ValueError("frames must be >= 1")
+    n = F.size(tokens_col).cast("long")
+    f = F.col("frame")
+    # ceil(a/b) = (a + b - 1) div b on non-negative ints — exact
+    start = F.expr(f"(frame * _n + {frames} - 1) div {frames}")
+    nxt = F.expr(f"((frame + 1) * _n + {frames} - 1) div {frames}")
+    length = (nxt - start).cast("int")
+    frame_slice = F.slice(tokens_col, (start + 1).cast("int"), length)
+    fsum = F.aggregate(frame_slice, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x.cast("long"))
+    return (df
+            .select("doc_id", tokens_col, n.alias("_n"),
+                    F.explode(F.sequence(F.lit(0), F.lit(frames - 1)))
+                    .alias("frame"))
+            .select("doc_id", f.cast("int").alias("frame"),
+                    length.alias("_len"), fsum.alias("frame_sum"))
+            .filter(F.col("_len") > 0)
+            .select("doc_id", "frame",
+                    F.col("_len").cast("long").alias("frame_len"),
+                    "frame_sum",
+                    (F.col("frame_sum").cast("double")
+                     / F.col("_len").cast("double")).alias("paa")))
+
+
+def sax_symbol(frame_sum: Column, frame_len: Column,
+               breakpoints: Sequence[int]) -> Column:
+    """Ordinal SAX symbol for one frame: the number of breakpoints strictly
+    below the frame mean, via the exact integer cross-multiplication
+    ``frame_sum > b · frame_len`` (no division, no z-normalize — see module
+    docstring)."""
+    sym = F.lit(0)
+    for b in breakpoints:
+        sym = sym + F.when(frame_sum > F.lit(int(b)) * frame_len,
+                           F.lit(1)).otherwise(F.lit(0))
+    return sym.cast("int")
+
+
+def paa_sax(df: DataFrame, frames: int = 8,
+            breakpoints: Sequence[int] = SAX_BREAKPOINTS,
+            tokens_col: str = "tokens") -> DataFrame:
+    """PAA frames + SAX symbol per frame. Output adds ``symbol`` (int,
+    0..len(breakpoints)) to :func:`paa`'s columns."""
+    bps = [int(b) for b in breakpoints]
+    if bps != sorted(set(bps)):
+        raise ValueError("breakpoints must be strictly increasing")
+    p = paa(df, frames=frames, tokens_col=tokens_col)
+    return p.withColumn(
+        "symbol", sax_symbol(F.col("frame_sum"), F.col("frame_len"), bps))
+
+
+def sax_words(df: DataFrame, frames: int = 8,
+              breakpoints: Sequence[int] = SAX_BREAKPOINTS,
+              tokens_col: str = "tokens") -> DataFrame:
+    """One SAX word per doc — the per-frame symbols as letters a, b, c, …
+    concatenated in frame order. Array-native: the whole word is computed
+    inside one row (transform over the frame sequence), so the operator is
+    a pure map — zero shuffle, zero row amplification.
+
+    Output: doc_id, n_frames (int, frames actually non-empty), sax_word.
+    """
+    bps = [int(b) for b in breakpoints]
+    if bps != sorted(set(bps)):
+        raise ValueError("breakpoints must be strictly increasing")
+    if frames < 1:
+        raise ValueError("frames must be >= 1")
+    n = F.size(tokens_col).cast("long")
+
+    def letter(f: Column) -> Column:
+        # ceil via floor((a + F - 1)/F): the / is a double divide inside the
+        # lambda (expr-div can't see the lambda variable), exact here —
+        # f·n + F − 1 ≤ frames·4096 ≪ 2^53
+        start = F.floor(((f * n) + frames - 1) / frames)
+        nxt = F.floor((((f + 1) * n) + frames - 1) / frames)
+        length = (nxt - start).cast("int")
+        fsum = F.aggregate(
+            F.slice(tokens_col, (start + 1).cast("int"), length),
+            F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+        sym = sax_symbol(fsum, length.cast("long"), bps)
+        # chr(97 + symbol): 'a' + ordinal — identical in DuckDB chr()
+        return F.when(length > 0, F.char(sym + 97)).otherwise(F.lit(""))
+
+    fseq = F.sequence(F.lit(0), F.lit(frames - 1))
+    word = F.array_join(F.transform(fseq, letter), "")
+    return df.select(
+        "doc_id",
+        F.least(n, F.lit(frames)).cast("int").alias("n_frames"),
+        word.alias("sax_word")).filter(F.col("n_frames") > 0)
+
+
+def acf_moments(df: DataFrame, max_lag: int = 4,
+                tokens_col: str = "tokens") -> DataFrame:
+    """Exact autocorrelation raw moments per doc at lags 1..``max_lag``.
+
+    For lag L over an n-token doc the n−L aligned pairs (x_t, x_{t+L})
+    yield the exact integer moments
+
+        n_pairs = n − L,   sxy = Σ x_t·x_{t+L},
+        sx = Σ_{t<n−L} x_t,   sy = Σ_{t≥L} x_t,
+        cov_num = n_pairs·sxy − sx·sy            (the covariance numerator)
+
+    — everything int64-exact, so any SQL engine reproduces each bit. The
+    one float, ``mean_prod = sxy / n_pairs``, is a single IEEE division.
+    Normalization (÷ σ², a sqrt-free variance ratio) is left to the caller:
+    like lag_coupling's Pearson denominators it is not bit-stable as a
+    hash target, while the numerators are.
+
+    Plan shape: pure per-row map — lags explode to ``max_lag`` rows per doc
+    BEFORE the slice/zip_with math, but the arrays never explode; zero
+    exchanges at any scale.
+
+    Output: doc_id, lag, n_pairs, sxy, sx, sy, cov_num (longs),
+    mean_prod (double). Docs shorter than lag+1 emit no row for that lag.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    n = F.size(tokens_col)
+    lag = F.col("lag")
+    m = (n - lag).cast("int")  # pair count, > 0 after the filter
+    head = F.slice(tokens_col, 1, m)
+    tail = F.slice(tokens_col, lag + 1, m)
+
+    def s(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda acc, x: acc + x.cast("long"))
+
+    sxy = s(F.zip_with(head, tail,
+                       lambda a, b: a.cast("long") * b.cast("long")))
+    sx, sy = s(head), s(tail)
+    return (df
+            .select("doc_id", tokens_col, n.alias("_n"),
+                    F.explode(F.sequence(F.lit(1), F.lit(max_lag)))
+                    .alias("lag"))
+            .filter(F.col("_n") > lag)
+            .select("doc_id", lag.cast("int").alias("lag"),
+                    m.cast("long").alias("n_pairs"),
+                    sxy.alias("sxy"), sx.alias("sx"), sy.alias("sy"))
+            .withColumn("cov_num",
+                        F.col("n_pairs") * F.col("sxy")
+                        - F.col("sx") * F.col("sy"))
+            .withColumn("mean_prod",
+                        F.col("sxy").cast("double")
+                        / F.col("n_pairs").cast("double")))
