@@ -720,6 +720,17 @@ def q_acf_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_moments(_tokenized(spark, sf_dir), max_lag=4)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by TF-IDF
+    (tsrollup.text.tfidf_topk, linear-IDF variant): single-lineage plan —
+    document frequency rides a window over the tf table, the corpus size
+    joins as a broadcast 1-row aggregate, score is exact-int product + one
+    IEEE division so the rank boundary is deterministic cross-engine."""
+    from tsrollup.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def q_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-sample report per (user, event_type) series vs a 1-hour
     expected cadence (tsrollup.counters.cadence_gaps). Integer-microsecond
@@ -1499,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paa_sax": q_paa_sax,
         "sax_words": q_sax_words,
         "acf_moments": q_acf_moments,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -2906,6 +2918,26 @@ SELECT doc_id, COUNT(*)::INT AS n_frames,
          + CASE WHEN fs > 7 * fl THEN 1 ELSE 0 END), ''
          ORDER BY frame) AS sax_word
 FROM fr GROUP BY doc_id
+"""
+
+    # TF-IDF top-5 per doc, linear-IDF variant: score = tf·N/df (exact
+    # int product, one IEEE division); (score desc, word asc) is a total
+    # order within a doc since words are distinct after the tf grouping
+    sqls["tfidf_topk"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+       FROM w GROUP BY doc_id, word),
+d AS (SELECT *, (COUNT(*) OVER (PARTITION BY word))::BIGINT AS df_docs
+      FROM tf),
+n AS (SELECT COUNT(*)::BIGINT AS n_corpus FROM documents),
+s AS (SELECT doc_id, word, tf, df_docs,
+             (tf * n_corpus)::BIGINT::DOUBLE / df_docs::DOUBLE AS score
+      FROM d, n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, word ASC) AS rank FROM s)
+SELECT doc_id, rank::INT AS rank, word, tf, df_docs, score
+FROM r WHERE rank <= 5
 """
 
     # ACF raw moments: the engine's slice/zip_with cross-moments as a

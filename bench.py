@@ -111,6 +111,7 @@ HEADLINE = [
     "paa_sax",
     "sax_words",
     "acf_moments",
+    "tfidf_topk",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

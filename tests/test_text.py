@@ -305,3 +305,55 @@ class TestPiiScan:
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = formatted_plan(pii_scan(docs))
         assert n_data_exchanges(plan) == 0, plan
+
+
+class TestTfidfTopk:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_computed_scores_and_ranks(self, spark):
+        from tsrollup.text import tfidf_topk
+        # N=3; "cat" in d1 only (df=1), "the" in all (df=3)
+        df = self._docs(spark, [
+            (1, "the cat cat"), (2, "the dog"), (3, "the bird")])
+        out = {(r.doc_id, r.word): r for r in tfidf_topk(df, k=3).collect()}
+        r = out[(1, "cat")]
+        assert (r.tf, r.df_docs, r.score) == (2, 1, 6.0)  # 2*3/1
+        assert r.rank == 1
+        assert out[(1, "the")].score == 1.0  # 1*3/3
+        assert out[(2, "dog")].rank == 1 and out[(2, "dog")].score == 3.0
+
+    def test_tie_breaks_on_word_asc(self, spark):
+        from tsrollup.text import tfidf_topk
+        df = self._docs(spark, [(1, "b a"), (2, "a b")])
+        out = {r.word: r.rank for r in
+               tfidf_topk(df, k=2).where("doc_id = 1").collect()}
+        assert out == {"a": 1, "b": 2}  # equal scores, word asc
+
+    def test_k_cut(self, spark):
+        from tsrollup.text import tfidf_topk
+        df = self._docs(spark, [(1, "a b c d e f g")])
+        assert tfidf_topk(df, k=3).count() == 3
+
+    def test_ln_variant_numpy_parity(self, spark):
+        # approx, not ==: JVM Math.log(3.0) is 1 ulp off glibc's — the
+        # exact libm instability that keeps the ln variant OUT of the
+        # value oracle (module docstring)
+        import math
+        import pytest as _pytest
+        from tsrollup.text import tfidf_topk
+        df = self._docs(spark, [
+            (1, "x x y the"), (2, "the y"), (3, "the z")])
+        out = {(r.doc_id, r.word): r.score
+               for r in tfidf_topk(df, k=10, idf="ln").collect()}
+        assert out[(1, "x")] == _pytest.approx(
+            2.0 * math.log(3.0), rel=1e-14)
+        assert out[(1, "the")] == 0.0
+
+    def test_validation(self, spark):
+        from tsrollup.text import tfidf_topk
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            tfidf_topk(self._docs(spark, []), k=0)
+        with _pytest.raises(ValueError):
+            tfidf_topk(self._docs(spark, []), idf="log10")

@@ -262,6 +262,59 @@ def bigram_lm_counts(df: DataFrame, k: int = 100, text_col: str = "text"
             .orderBy(F.desc("n_occ"), F.asc("w1"), F.asc("w2")).limit(k))
 
 
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               idf: str = "linear") -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    keyword-extraction / doc-signature pass of a training-data pipeline
+    (e.g. topic balancing, near-dup triage beyond raw shingles).
+
+    IDF variant: ``linear`` (default) scores ``tf · N / df`` — exact
+    integer product, one IEEE division — so the score AND the (score desc,
+    word asc) rank order are bit-reproducible by any SQL engine.
+    ``ln`` scores the classical ``tf · ln(N/df)``; natural log is
+    libm-unsafe cross-engine (the softmax-entropy argument, COVERAGE.md
+    §2.3) so the ln variant is pytest-pinned vs NumPy and stays out of
+    the value oracle.
+
+    Scale shape — ONE lineage, no self-join: the (doc, word) tf table is
+    aggregated once (map-side partials before the exchange), document
+    frequency rides a WINDOW over it (one row per distinct (doc, word) ⇒
+    counting the word partition IS df — the bigram_lm_counts trick; a
+    groupBy+join branch would re-execute the corpus scan), and the
+    per-doc k-cut is a row_number window. Three exchanges on the
+    aggregated tf grain — orders of magnitude below raw corpus width —
+    plus the single-row exchange of the corpus-count aggregate, which
+    joins as a broadcast 1-row frame (never a driver-side collect).
+
+    Output: doc_id, rank (1..k), word, tf, df_docs, score.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if idf not in ("linear", "ln"):
+        raise ValueError(f"unknown idf variant {idf!r}")
+    w = df.select("doc_id", F.explode(words(text_col)).alias("word"))
+    tf = (w.groupBy("word", "doc_id")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dfreq = F.count("*").over(Window.partitionBy("word")) \
+             .cast("long").alias("df_docs")
+    n1 = df.agg(F.count("*").cast("long").alias("_n_corpus"))
+    scored = tf.select("doc_id", "word", "tf", dfreq) \
+               .crossJoin(F.broadcast(n1))
+    if idf == "linear":
+        score = (F.col("tf") * F.col("_n_corpus")).cast("double") \
+                 / F.col("df_docs").cast("double")
+    else:
+        score = F.col("tf").cast("double") * F.log(
+            F.col("_n_corpus").cast("double") / F.col("df_docs").cast("double"))
+    scored = scored.withColumn("score", score)
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("score"), F.asc("word")))
+    return (scored.withColumn("rank", rank.cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "word", "tf", "df_docs", "score"))
+
+
 PII_PATTERNS: dict[str, str] = {
     # the RE2 ∩ Java-regex dialect subset: character classes, bounded
     # repetition, \b word boundaries — no backrefs, no lookaround — so
