@@ -731,6 +731,20 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source quantiles of doc length
+    (tsrollup.rollup.group_quantiles): histogram selection — raw rows
+    aggregate to a (source, value) histogram before any window, so a
+    Zipf-heavy source never sorts on one reducer — with rational-arithmetic
+    ranks (⌈p·n⌉ via integer div; float 0.9·n is off-by-one at n=10).
+    Every output is an actual element (inverted-CDF / quantile_disc
+    definition), integer-exact in the DuckDB tail oracle."""
+    from tsrollup.rollup import group_quantiles
+
+    return group_quantiles(_docs(spark, sf_dir),
+                           group_cols=("source",), value_col="n_chars")
+
+
 def q_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-sample report per (user, event_type) series vs a 1-hour
     expected cadence (tsrollup.counters.cadence_gaps). Integer-microsecond
@@ -1511,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": q_sax_words,
         "acf_moments": q_acf_moments,
         "tfidf_topk": q_tfidf_topk,
+        "quantile_summary": q_quantile_summary,
     }
 
 
@@ -2938,6 +2953,29 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, word ASC) AS rank FROM s)
 SELECT doc_id, rank::INT AS rank, word, tf, df_docs, score
 FROM r WHERE rank <= 5
+"""
+
+    # exact histogram-selection quantiles: rank = ceil(p*n) in integer
+    # arithmetic, value picked from the cumulative histogram — the same
+    # plan the engine runs, so every column is integer-exact
+    sqls["quantile_summary"] = """
+WITH h AS (
+  SELECT source, n_chars AS v, COUNT(*)::BIGINT AS c
+  FROM documents GROUP BY source, n_chars
+), p AS (
+  SELECT source, v, c,
+         (SUM(c) OVER (PARTITION BY source ORDER BY v
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+         (SUM(c) OVER (PARTITION BY source))::BIGINT AS n
+  FROM h
+)
+SELECT source, SUM(c)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_distinct,
+       MIN(v) AS vmin, MAX(v) AS vmax,
+       MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS p25,
+       MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN v END) AS p50,
+       MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS p75,
+       MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90
+FROM p GROUP BY source
 """
 
     # ACF raw moments: the engine's slice/zip_with cross-moments as a

@@ -112,6 +112,7 @@ HEADLINE = [
     "sax_words",
     "acf_moments",
     "tfidf_topk",
+    "quantile_summary",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

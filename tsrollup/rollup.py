@@ -30,7 +30,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import BASE_WINDOW, N_BANDS, TIER_FACTOR
@@ -431,6 +431,64 @@ def per_source_stats(rolled: DataFrame, salt_buckets: int = 32) -> DataFrame:
              F.min("mn").cast("long").alias("token_min"),
              F.max("mx").cast("long").alias("token_max"))
     )
+
+
+#: default quantile set: label -> (numerator, denominator) of the exact
+#: rational probability — rank = ceil(p·n) computed in integer arithmetic
+QUANTILES_DEFAULT = {"p25": (1, 4), "p50": (1, 2),
+                     "p75": (3, 4), "p90": (9, 10)}
+
+
+def group_quantiles(df: DataFrame, group_cols=("source",),
+                    value_col: str = "n_chars",
+                    quantiles: dict[str, tuple[int, int]] | None = None
+                    ) -> DataFrame:
+    """EXACT per-group quantiles of a discrete-domain column, at scale.
+
+    Definition (the lower / inverted-CDF quantile, DuckDB's
+    ``quantile_disc``): q_p = the rank-⌈p·n⌉ value in sort order — an
+    actual element, never an interpolation, so the result is exact-integer
+    and any SQL engine reproduces it bit-for-bit. Probabilities are
+    RATIONALS (num, den): rank = (num·n + den − 1) div den — no float
+    ceil, whose 0.9·n is off-by-one at n = 10 (0.9 is not a binary
+    fraction).
+
+    Scale shape — histogram selection, NOT a per-group sort: raw rows
+    aggregate to a (group, value) histogram first (map-side partials; the
+    only exchange that touches raw data), then the cumulative-count window
+    and the rank probes run over the histogram — |distinct values| rows
+    per group, not |rows|. A window-over-raw-rows formulation would sort
+    every row of a group on ONE reducer (a Zipf-heavy source at 100 TB is
+    a straight OOM); this never materializes a group's rows in one place.
+    Contract: the value domain is discrete/bounded (token counts, char
+    lengths, status codes) so the histogram is small; for unbounded
+    continuous domains use percentile_approx (sketch-mergeable) instead.
+
+    Output: group_cols…, n_rows, n_distinct, vmin, vmax, one column per
+    quantile label.
+    """
+    qs = dict(quantiles if quantiles is not None else QUANTILES_DEFAULT)
+    for label, (num, den) in qs.items():
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {label}: need 0 < num <= den, "
+                             f"got {num}/{den}")
+    groups = list(group_cols)
+    hist = (df.groupBy(*groups, F.col(value_col).alias("_v"))
+            .agg(F.count("*").cast("long").alias("_c")))
+    wg = Window.partitionBy(*groups)
+    cum = F.sum("_c").over(wg.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0))
+    n = F.sum("_c").over(wg)
+    probed = hist.select(*groups, "_v", "_c", cum.alias("_cum"),
+                         n.alias("_n"))
+    aggs = [F.sum("_c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.min("_v").alias("vmin"), F.max("_v").alias("vmax")]
+    for label, (num, den) in qs.items():
+        rank = F.expr(f"({num} * _n + {den} - 1) div {den}")
+        aggs.append(F.min(F.when(F.col("_cum") >= rank, F.col("_v")))
+                    .alias(label))
+    return probed.groupBy(*groups).agg(*aggs)
 
 
 RETENTION_DEFAULT = {"1m": 1440, "1h": 168, "1d": 365}
