@@ -731,6 +731,19 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visual downsampling to 32 points per doc
+    (tsrollup.features.lttb) — the perceptual companion of m4_downsample.
+    Selection is integer-exact (denominator-cleared triangle areas,
+    first-hit tie-break) and pytest-pinned against an independent
+    Fraction-arithmetic reference; the sequential cross-bucket dependence
+    has no SQL analog, so this is rows-only by the documented
+    convention. Pure mapInPandas, zero shuffle."""
+    from tsrollup.features import lttb
+
+    return lttb(_tokenized(spark, sf_dir), n_out=32)
+
+
 def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-source quantiles of doc length
     (tsrollup.rollup.group_quantiles): histogram selection — raw rows
@@ -1526,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_moments": q_acf_moments,
         "tfidf_topk": q_tfidf_topk,
         "quantile_summary": q_quantile_summary,
+        "lttb": q_lttb,
     }
 
 

@@ -113,6 +113,7 @@ HEADLINE = [
     "acf_moments",
     "tfidf_topk",
     "quantile_summary",
+    "lttb",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

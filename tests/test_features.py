@@ -153,3 +153,83 @@ class TestPlanShape:
         df = _docs(spark, [("d1", [1, 2, 3])])
         for out in (paa_sax(df), sax_words(df), acf_moments(df)):
             assert n_data_exchanges(formatted_plan(out)) == 0
+
+
+def _lttb_reference(y, n_out):
+    """Independent scalar reference: textbook LTTB with exact Fractions
+    for the next-bucket average (no denominator clearing, no numpy)."""
+    from fractions import Fraction
+
+    n = len(y)
+    if n <= n_out:
+        return list(range(n))
+    nb = n_out - 2
+    m = n - 2
+    bounds = [1 + -((-(k * m)) // nb) for k in range(nb + 1)]
+    sel = [0]
+    for k in range(nb):
+        lo, hi = bounds[k], bounds[k + 1]
+        if k + 1 < nb:
+            nlo, nhi = bounds[k + 1], bounds[k + 2]
+            ax = Fraction(sum(range(nlo, nhi)), nhi - nlo)
+            ay = Fraction(sum(int(v) for v in y[nlo:nhi]), nhi - nlo)
+        else:
+            ax, ay = Fraction(n - 1), Fraction(int(y[n - 1]))
+        xa, ya = sel[-1], int(y[sel[-1]])
+        best, best_area = None, Fraction(-1)
+        for p in range(lo, hi):
+            area = abs((Fraction(xa) - ax) * (int(y[p]) - ya)
+                       - (xa - p) * (ay - ya))
+            if area > best_area:
+                best, best_area = p, area
+        sel.append(best)
+    sel.append(n - 1)
+    return sel
+
+
+class TestLttb:
+    def test_identity_when_short(self, spark):
+        from tsrollup.features import lttb
+        df = _docs(spark, [("d1", [5, 6, 7])])
+        out = sorted(lttb(df, n_out=8).collect(), key=lambda r: r.k)
+        assert [(r.pos, r.val) for r in out] == [(0, 5), (1, 6), (2, 7)]
+
+    def test_endpoints_always_kept(self, spark):
+        from tsrollup.features import lttb
+        rng = np.random.default_rng(3)
+        toks = rng.integers(0, 30, size=200).tolist()
+        out = sorted(lttb(_docs(spark, [("d1", toks)]), n_out=10).collect(),
+                     key=lambda r: r.k)
+        assert out[0].pos == 0 and out[-1].pos == 199
+        assert len(out) == 10
+        poss = [r.pos for r in out]
+        assert poss == sorted(poss) and len(set(poss)) == 10
+
+    def test_peak_is_kept(self, spark):
+        from tsrollup.features import lttb
+        # flat series with one spike: the spike must survive downsampling
+        toks = [5] * 100
+        toks[37] = 500
+        out = lttb(_docs(spark, [("d1", toks)]), n_out=6).collect()
+        assert any(r.pos == 37 and r.val == 500 for r in out)
+
+    def test_matches_fraction_reference(self, spark):
+        from tsrollup.features import lttb, lttb_indices
+        rng = np.random.default_rng(17)
+        for trial in range(20):
+            n = int(rng.integers(10, 400))
+            n_out = int(rng.integers(3, min(n + 5, 50)))
+            y = rng.integers(0, 100, size=n)
+            got = lttb_indices(y, n_out).tolist()
+            assert got == _lttb_reference(y, n_out), (trial, n, n_out)
+
+    def test_empty_and_validation(self, spark):
+        from tsrollup.features import lttb
+        assert lttb(_docs(spark, [("d1", [])]), n_out=4).count() == 0
+        with pytest.raises(ValueError):
+            lttb(_docs(spark, []), n_out=2)
+
+    def test_plan_is_pure_map(self, spark):
+        from tsrollup.features import lttb
+        df = _docs(spark, [("d1", [1, 2, 3, 4])])
+        assert n_data_exchanges(formatted_plan(lttb(df))) == 0

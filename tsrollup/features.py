@@ -35,8 +35,10 @@ __spark_entry__.py):
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -201,3 +203,102 @@ def acf_moments(df: DataFrame, max_lag: int = 4,
             .withColumn("mean_prod",
                         F.col("sxy").cast("double")
                         / F.col("n_pairs").cast("double")))
+
+
+# ------------------------------------------------------------- LTTB ---------
+
+def lttb_indices(y: np.ndarray, n_out: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets selection (Steinarsson 2013) over one
+    integer series, made fully DETERMINISTIC: position index is x, the
+    classical float bucket bounds and bucket-average anchor are replaced by
+    exact integer arithmetic —
+
+    * interior bucket bounds use the same ceil-division rule as PAA
+      (positions 1..n−2 split into n_out−2 frames);
+    * the triangle-area argmax clears the next-bucket-average denominator:
+      with (sx, sy, c) the next bucket's sums/count and (xa, ya) the
+      previously selected point, the compared magnitude is
+      ``|(xa·c − sx)·(y_p − ya) − (xa − x_p)·(sy − c·ya)|`` — exact int64
+      (positions and word-length tokens keep every product ≪ 2^63);
+    * ties break to the SMALLEST position (np.argmax's first-hit rule).
+
+    Returns the sorted selected positions (always includes 0 and n−1).
+    """
+    n = len(y)
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    if n <= n_out:
+        return np.arange(n, dtype=np.int64)
+    nb = n_out - 2
+    m = n - 2  # interior positions 1..n-2
+    # bucket k covers positions [1+ceil(k*m/nb), 1+ceil((k+1)*m/nb))
+    bounds = 1 + (np.arange(nb + 1, dtype=np.int64) * m + nb - 1) // nb
+    y = np.asarray(y, dtype=np.int64)
+    sel = np.empty(n_out, dtype=np.int64)
+    sel[0], sel[-1] = 0, n - 1
+    xa, ya = 0, int(y[0])
+    for k in range(nb):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        if k + 1 < nb:  # anchor: average of the NEXT bucket (sums, exact)
+            nlo, nhi = int(bounds[k + 1]), int(bounds[k + 2])
+            c = nhi - nlo
+            sx = (nlo + nhi - 1) * c // 2  # sum of consecutive positions
+            sy = int(y[nlo:nhi].sum())
+        else:  # last interior bucket: anchor is the fixed last point
+            c, sx, sy = 1, n - 1, int(y[n - 1])
+        xs = np.arange(lo, hi, dtype=np.int64)
+        ys = y[lo:hi]
+        area2c = np.abs((xa * c - sx) * (ys - ya) - (xa - xs) * (sy - c * ya))
+        pick = lo + int(np.argmax(area2c))
+        sel[k + 1] = pick
+        xa, ya = pick, int(y[pick])
+    return sel
+
+
+def lttb(df: DataFrame, n_out: int = 32,
+         tokens_col: str = "tokens") -> DataFrame:
+    """LTTB downsampling of every doc's token series to ``n_out`` visually
+    representative points — the perceptual companion of counters.m4_downsample
+    (M4 keeps extremes per pixel; LTTB keeps the max-triangle-area shape).
+
+    Scale shape: the series is already one row (the engine's data model),
+    so this is a pure ``mapInPandas`` — zero shuffle, embarrassingly
+    parallel per doc. Inside a batch the bucket math is vectorized NumPy
+    per doc (the doc loop is per-SERIES, not per-element — the same grain
+    as the rollup kernels). Selection is integer-exact (see
+    :func:`lttb_indices`), so results are bit-stable across platforms and
+    pytest-pinned against an independent reference implementation; the
+    sequential cross-bucket dependence has no SQL analog, so the query is
+    rows-only by the documented convention.
+
+    Output: doc_id, k (0..n_out−1 selection index), pos, val.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    pruned = df.select("doc_id", tokens_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, ks, poss, vals = [], [], [], []
+            for doc_id, toks in zip(pdf["doc_id"].to_numpy(),
+                                    pdf[tokens_col].to_numpy()):
+                y = np.asarray(toks, dtype=np.int64)
+                if not len(y):
+                    continue
+                idx = lttb_indices(y, n_out)
+                ids.append(np.repeat(doc_id, len(idx)))
+                ks.append(np.arange(len(idx), dtype=np.int32))
+                poss.append(idx.astype(np.int32))
+                vals.append(y[idx].astype(np.int32))
+            if not ids:
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids),
+                "k": np.concatenate(ks),
+                "pos": np.concatenate(poss),
+                "val": np.concatenate(vals)})
+
+    return pruned.mapInPandas(
+        run, "doc_id string, k int, pos int, val int")
