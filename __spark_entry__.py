@@ -731,6 +731,21 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus mix as EXACT
+    total-variation distance (tsrollup.features.source_drift_tv) — the
+    distribution-space twin of cusum_drift. Chi-squared/KL need per-cell
+    division or logs; TV clears to one denominator per source, so the
+    numerators are exact decimal integers and the distance is a single
+    IEEE division — the DuckDB tail oracle matches every bit. One
+    raw-data exchange (the source×value histogram); the grid expansion
+    runs at histogram grain."""
+    from tsrollup.features import source_drift_tv
+    from tsrollup.text import tokenize_words
+
+    return source_drift_tv(tokenize_words(_docs(spark, sf_dir)))
+
+
 def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB visual downsampling to 32 points per doc
     (tsrollup.features.lttb) — the perceptual companion of m4_downsample.
@@ -1539,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_moments": q_acf_moments,
         "tfidf_topk": q_tfidf_topk,
         "quantile_summary": q_quantile_summary,
+        "source_drift": q_source_drift,
         "lttb": q_lttb,
     }
 
@@ -2967,6 +2983,33 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, word ASC) AS rank FROM s)
 SELECT doc_id, rank::INT AS rank, word, tf, df_docs, score
 FROM r WHERE rank <= 5
+"""
+
+    # source drift as exact TV distance: complete source x value grid so
+    # unobserved cells contribute |0 - rt*ct|; numerators exact integers,
+    # the distance one IEEE division
+    sqls["source_drift"] = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_transform(string_split(text, ' '), w -> length(w))) AS v
+  FROM documents
+), h AS (
+  SELECT source, v, COUNT(*)::BIGINT AS o FROM tok GROUP BY source, v
+), vals AS (SELECT v, SUM(o)::BIGINT AS ct FROM h GROUP BY v),
+srcs AS (SELECT source, SUM(o)::BIGINT AS rt FROM h GROUP BY source),
+nn AS (SELECT SUM(ct)::BIGINT AS n FROM vals),
+grid AS (
+  SELECT s.source, s.rt, va.v, va.ct, nn.n, COALESCE(h.o, 0)::BIGINT AS o
+  FROM srcs s CROSS JOIN vals va CROSS JOIN nn
+  LEFT JOIN h ON h.source = s.source AND h.v = va.v
+)
+SELECT source, MAX(rt)::BIGINT AS n_tokens,
+       SUM(CASE WHEN o > 0 THEN 1 ELSE 0 END)::BIGINT AS n_values,
+       MAX(ABS(o * n - rt * ct))::DOUBLE AS linf_num,
+       SUM(ABS(o * n - rt * ct))::DOUBLE AS tv_num,
+       SUM(ABS(o * n - rt * ct))::DOUBLE
+         / (2 * MAX(rt) * MAX(n))::DOUBLE AS tv
+FROM grid GROUP BY source
 """
 
     # exact histogram-selection quantiles: rank = ceil(p*n) in integer

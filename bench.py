@@ -113,6 +113,7 @@ HEADLINE = [
     "acf_moments",
     "tfidf_topk",
     "quantile_summary",
+    "source_drift",
     "lttb",
 ]
 

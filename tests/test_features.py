@@ -233,3 +233,54 @@ class TestLttb:
         from tsrollup.features import lttb
         df = _docs(spark, [("d1", [1, 2, 3, 4])])
         assert n_data_exchanges(formatted_plan(lttb(df))) == 0
+
+
+class TestSourceDriftTv:
+    def _sdf(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, source string, tokens array<int>")
+
+    def test_identical_distributions_have_zero_tv(self, spark):
+        df = self._sdf(spark, [("d1", "a", [1, 2, 3]),
+                               ("d2", "b", [1, 2, 3])])
+        from tsrollup.features import source_drift_tv
+        out = {r.source: r for r in source_drift_tv(df).collect()}
+        assert out["a"].tv == 0.0 and out["b"].tv == 0.0
+        assert out["a"].n_tokens == 3
+
+    def test_disjoint_distributions(self, spark):
+        # a={1,1}, b={9,9}: each source's dist is TV=0.5 from the 50/50 mix
+        from tsrollup.features import source_drift_tv
+        df = self._sdf(spark, [("d1", "a", [1, 1]), ("d2", "b", [9, 9])])
+        out = {r.source: r.tv for r in source_drift_tv(df).collect()}
+        assert out == {"a": 0.5, "b": 0.5}
+
+    def test_numpy_parity_random(self, spark):
+        from tsrollup.features import source_drift_tv
+        rng = np.random.default_rng(23)
+        rows = []
+        for i in range(30):
+            src = f"s{i % 4}"
+            rows.append((f"d{i}", src,
+                         rng.integers(0, 12, size=int(
+                             rng.integers(1, 60))).tolist()))
+        out = {r.source: r for r in
+               source_drift_tv(self._sdf(spark, rows)).collect()}
+        # exact integer reference
+        from collections import Counter
+        per_src, allc = {}, Counter()
+        for _, src, toks in rows:
+            per_src.setdefault(src, Counter()).update(toks)
+            allc.update(toks)
+        n = sum(allc.values())
+        for src, c in per_src.items():
+            rt = sum(c.values())
+            # the full source x value grid: unobserved values contribute
+            # |0 - rt*ct|
+            devs = [abs(c.get(v, 0) * n - rt * allc[v]) for v in allc]
+            r = out[src]
+            assert r.n_tokens == rt
+            assert r.n_values == len(c)
+            assert r.tv_num == float(sum(devs))
+            assert r.linf_num == float(max(devs))
+            assert r.tv == sum(devs) / float(2 * rt * n)

@@ -205,6 +205,61 @@ def acf_moments(df: DataFrame, max_lag: int = 4,
                         / F.col("n_pairs").cast("double")))
 
 
+def source_drift_tv(df: DataFrame, group_col: str = "source",
+                    tokens_col: str = "tokens") -> DataFrame:
+    """Distribution drift of each source vs the whole corpus, as EXACT
+    total-variation distance over the token-value histogram — the
+    distribution-space twin of counters.cusum_drift (which detects drift
+    in time): has a source's token distribution diverged from the mix?
+
+    Chi-squared / KL need per-cell division or logs (libm-unsafe); TV
+    clears to ONE common denominator per source:
+
+        TV(s) = ½ Σ_v |o_sv/rt_s − ct_v/N|
+              = Σ_v |o_sv·N − rt_s·ct_v|  /  (2·rt_s·N)
+
+    The numerator sum is exact integer arithmetic in decimal(38,0)
+    (products of two decimal(18,0) totals — safe past int64 for
+    trillion-token corpora), the distance is one division of two exact
+    values, so any SQL engine reproduces every bit at fixture scale.
+
+    Scale shape: raw tokens hit ONE exchange — the (source, value)
+    histogram aggregation with map-side partials. TV needs the COMPLETE
+    source × value grid (a value a source never emits still contributes
+    |0 − rt·ct|), so the histogram expands against the cross join of the
+    two marginal tables — all at histogram grain (|sources| × |distinct
+    values| rows, tiny; the value domain is discrete/bounded, the
+    group_quantiles contract), with the grand total as a broadcast 1-row
+    aggregate.
+
+    Output: source, n_tokens, n_values (observed distinct values),
+    linf_num, tv_num, tv (doubles exact below 2^53; tv ∈ [0, 1]).
+    """
+    d18 = "decimal(18,0)"
+    t = df.select(F.col(group_col).alias("source"),
+                  F.explode(tokens_col).alias("v"))
+    hist = t.groupBy("source", "v").agg(F.count("*").cast("long").alias("o"))
+    vals = hist.groupBy("v").agg(F.sum("o").cast("long").alias("ct"))
+    srcs = hist.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    n1 = vals.agg(F.sum("ct").cast("long").alias("n"))
+    grid = (srcs.crossJoin(F.broadcast(vals))
+            .join(hist, ["source", "v"], "left")
+            .crossJoin(F.broadcast(n1))
+            .withColumn("_o", F.coalesce(F.col("o"), F.lit(0)).cast(d18)))
+    dev = F.abs(F.col("_o") * F.col("n").cast(d18)
+                - F.col("rt").cast(d18) * F.col("ct").cast(d18))
+    probed = grid.select("source", "rt", "n", "_o", dev.alias("_dev"))
+    return (probed.groupBy("source")
+            .agg(F.max("rt").alias("n_tokens"),
+                 F.sum(F.when(F.col("_o") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_values"),
+                 F.max("_dev").cast("double").alias("linf_num"),
+                 F.sum("_dev").cast("double").alias("tv_num"),
+                 (F.sum("_dev").cast("double")
+                  / (F.lit(2).cast(d18) * F.max("rt").cast(d18)
+                     * F.max("n").cast(d18)).cast("double")).alias("tv")))
+
+
 # ------------------------------------------------------------- LTTB ---------
 
 def lttb_indices(y: np.ndarray, n_out: int) -> np.ndarray:
