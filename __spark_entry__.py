@@ -245,6 +245,35 @@ def q_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_cols(read_rollup(spark, out))
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh VALUE-checked end-to-end
+    (tsrollup.checkpoint.refresh_incremental): half the corpus lands as
+    epoch 0, the remainder arrives later and only the DELTA rolls up as
+    epoch 1 (per-source watermark filter, dynamic epoch-partition
+    overwrite, watermarks committed after data). The union of epochs must
+    hash-match the same SQL oracle as rollup_base — refreshing
+    incrementally is bit-equal to one clean rollup of the full input."""
+    from tsrollup.checkpoint import doc_seq, refresh_incremental, \
+        read_incremental
+
+    base = _scratch(sf_dir, "incr")
+    inp, out = f"{base}/input", f"{base}/store"
+    full = _tokenized(spark, sf_dir)
+    # the fixture doc_id is a bare integer string (no dashes): doc_seq's
+    # last-dash-segment rule yields it whole, and ids are consecutive —
+    # so "the first half arrived earlier" is seq < n/2 (monotone-arrival
+    # contract; a hash split would put late seqs in epoch 0 and the
+    # watermark would wrongly exclude the remainder)
+    half = full.count() // 2
+    full.filter(doc_seq() < half).write.mode("overwrite").parquet(inp)
+    refresh_incremental(spark, inp, out, epoch=0, tiers={"w": 1},
+                        window=W0, seq=doc_seq())
+    full.write.mode("overwrite").parquet(inp)
+    refresh_incremental(spark, inp, out, epoch=1, tiers={"w": 1},
+                        window=W0, seq=doc_seq())
+    return _rollup_cols(read_incremental(spark, out))
+
+
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup VALUE-checked end-to-end (SURVEY §2.11):
     the sequences table streamed through readStream → the same mapInArrow
@@ -1555,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "quantile_summary": q_quantile_summary,
         "source_drift": q_source_drift,
+        "incremental_rollup": q_incremental_rollup,
         "lttb": q_lttb,
     }
 
@@ -1608,6 +1638,9 @@ def oracle_sql() -> dict[str, str]:
     # kill→resume checkpointed store and the streaming sink must both equal
     # the batch rollup oracle exactly (resumability / exactly-once contracts)
     sqls["checkpoint_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
+    # incremental refresh must be bit-equal to one clean rollup of the
+    # full input — the SAME oracle as rollup_base/checkpoint_rollup
+    sqls["incremental_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     sqls["stream_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     # chunk → reassemble must reproduce the unchunked rollup exactly
     sqls["rollup_chunked"] = _ROLLUP_ORACLE_BODY.format(span=W0)

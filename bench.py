@@ -44,10 +44,10 @@ HEADLINE = [
     "cross_channel_stats",
     "cross_channel_spectral",
     "rollup_chunked",
-    # checkpoint_rollup / stream_rollup are end-to-end correctness
-    # demonstrations (write input + store/sink, fixed multi-second I/O);
-    # the driver's correctness gate value-checks them at sf0.01 — they are
-    # deliberately not part of the perf headline.
+    # checkpoint_rollup / stream_rollup / incremental_rollup are
+    # end-to-end correctness demonstrations (write input + store/sink,
+    # fixed multi-second I/O); the driver's correctness gate value-checks
+    # them at sf0.01 — they are deliberately not part of the perf headline.
     "gapfill_ffill",
     "global_agg",
     "sliding_windows",

@@ -1,0 +1,137 @@
+"""Incremental continuous-aggregate refresh
+(tsrollup.checkpoint.refresh_incremental).
+
+The invariant everything here drives at: after any sequence of appends +
+refreshes (+ crashes + re-runs), the epoch-partitioned store holds exactly
+the rows of ONE clean rollup of the full input — bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from tsrollup.checkpoint import (doc_seq, read_incremental, read_watermarks,
+                                 refresh_incremental)
+from tsrollup.datagen import write_sequences
+from tsrollup.rollup import rollup_sequences
+
+TIERS = {"1m": 1, "1h": 4}
+
+
+def _rows(df):
+    cols = ["doc_id", "tier", "window_start", "count", "sum", "sumsq",
+            "min", "max", "mean", "var"]
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _write_first_n(spark, full_path: str, out_path: str, n: int) -> None:
+    """Deterministic 'corpus at arrival n': the first n docs by seq."""
+    df = spark.read.parquet(full_path)
+    keep = df.withColumn("_s", doc_seq()).filter(f"_s < {n}").drop("_s")
+    keep.coalesce(1).write.mode("overwrite").parquet(out_path)
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    full = str(tmp_path / "full.parquet")
+    write_sequences(full, seed=13, n_docs=60, min_len=64, max_len=512)
+    return full
+
+
+class TestRefreshIncremental:
+    def test_initial_refresh_matches_clean_rollup(self, spark, tmp_path,
+                                                  corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        n = refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        assert n == 40
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(read_incremental(spark, root)) == _rows(want)
+        assert read_watermarks(spark, root) != {}
+
+    def test_append_refresh_is_incremental_and_exact(self, spark, tmp_path,
+                                                     corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        # 20 more docs arrive
+        _write_first_n(spark, corpus, inp, 60)
+        n = refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        assert n == 20  # only the delta was rolled up
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        got = read_incremental(spark, root)
+        assert _rows(got) == _rows(want)
+        # the new epoch holds ONLY the delta's docs
+        e1 = got.filter("epoch = 1").select("doc_id").distinct().count()
+        assert e1 == 20
+
+    def test_noop_when_no_new_docs(self, spark, tmp_path, corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        before = _rows(read_incremental(spark, root))
+        assert refresh_incremental(spark, inp, root, epoch=1,
+                                   tiers=TIERS) == 0
+        assert _rows(read_incremental(spark, root)) == before
+
+    def test_rerun_of_committed_epoch_is_noop(self, spark, tmp_path, corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        before = _rows(read_incremental(spark, root))
+        assert refresh_incremental(spark, inp, root, epoch=1,
+                                   tiers=TIERS) == 0
+        assert _rows(read_incremental(spark, root)) == before
+
+    def test_crash_between_data_and_watermark_converges(self, spark,
+                                                        tmp_path, corpus):
+        # simulate: epoch-1 data committed but the watermark append lost
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        wm_dir = os.path.join(root, "_watermarks")
+        snapshot = str(tmp_path / "wm_snapshot")
+        shutil.copytree(wm_dir, snapshot)
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        want = _rows(read_incremental(spark, root))
+        # roll the watermarks back to the pre-epoch-1 state (the "crash")
+        shutil.rmtree(wm_dir)
+        shutil.copytree(snapshot, wm_dir)
+        n = refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        assert n == 20  # the delta recomputes...
+        assert _rows(read_incremental(spark, root)) == want  # ...unchanged
+
+    def test_new_source_is_fully_included(self, spark, tmp_path):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        a = spark.createDataFrame(
+            [("web-0001-00000000", list(range(64)), 64, "web")],
+            "doc_id string, tokens array<int>, n_tok int, source string")
+        a.write.mode("overwrite").parquet(inp)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        b = a.union(spark.createDataFrame(
+            [("mars-0001-00000000", list(range(64)), 64, "mars")],
+            a.schema))
+        b.write.mode("overwrite").parquet(inp)
+        assert refresh_incremental(spark, inp, root, epoch=1,
+                                   tiers=TIERS) == 1
+        docs = {r.doc_id for r in
+                read_incremental(spark, root).select("doc_id")
+                .distinct().collect()}
+        assert docs == {"web-0001-00000000", "mars-0001-00000000"}
+
+    def test_epoch_validation(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            refresh_incremental(spark, "x", str(tmp_path / "s"), epoch=-1)
