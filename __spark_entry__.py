@@ -788,6 +788,19 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(_tokenized(spark, sf_dir), n_out=32)
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (user, event_type) series × hour bucket
+    (tsrollup.counters.time_weighted_avg) — the TimescaleDB time_weight /
+    LOCF-integral idiom over the irregular events stream: each sample
+    counts for the TIME it held, not once per row. Integer-microsecond
+    weights × decimal(18,2) values keep every sum exact; the two
+    divisions run in double (cross-engine decimal-division scale rules
+    differ, double division does not). One exchange."""
+    from tsrollup.counters import time_weighted_avg
+
+    return time_weighted_avg(_fact(spark, sf_dir, "events"))
+
+
 def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-source quantiles of doc length
     (tsrollup.rollup.group_quantiles): histogram selection — raw rows
@@ -1584,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "quantile_summary": q_quantile_summary,
         "source_drift": q_source_drift,
+        "time_weighted_avg": q_time_weighted_avg,
         "incremental_rollup": q_incremental_rollup,
         "lttb": q_lttb,
     }
@@ -3016,6 +3030,32 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, word ASC) AS rank FROM s)
 SELECT doc_id, rank::INT AS rank, word, tf, df_docs, score
 FROM r WHERE rank <= 5
+"""
+
+    # time-weighted average: LOCF segments attributed to the left
+    # endpoint's bucket. The weighted sum stays an exact INT64
+    # (cents x microseconds) — wide-decimal sums past 2^53 convert to
+    # double 1 ulp apart across engines (measured); int64::double is the
+    # shared hardware conversion
+    sqls["time_weighted_avg"] = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, ts, value, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+), s AS (
+  SELECT user_id, event_type, date_trunc('hour', ts) AS bucket_ts,
+         (nxt - us)::BIGINT AS held,
+         (value::DECIMAL(18,2) * 100)::BIGINT * (nxt - us)::BIGINT AS vw
+  FROM e
+)
+SELECT user_id, event_type, bucket_ts,
+       COUNT(*)::BIGINT AS n_samples,
+       COALESCE(SUM(held), 0)::BIGINT AS held_us,
+       SUM(vw)::BIGINT AS vw_cents_us,
+       SUM(vw)::BIGINT::DOUBLE / 1e8 AS vw_sum,
+       SUM(vw)::BIGINT::DOUBLE / (SUM(held)::BIGINT * 100)::DOUBLE AS twa
+FROM s GROUP BY user_id, event_type, bucket_ts
 """
 
     # source drift as exact TV distance: complete source x value grid so

@@ -114,6 +114,7 @@ HEADLINE = [
     "tfidf_topk",
     "quantile_summary",
     "source_drift",
+    "time_weighted_avg",
     "lttb",
 ]
 

@@ -275,3 +275,50 @@ class TestM4Downsample:
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         plan = formatted_plan(m4_downsample(df))
         assert n_data_exchanges(plan) == 1, plan
+
+
+class TestTimeWeightedAvg:
+    def test_hand_computed_locf_integral(self, spark):
+        from tsrollup.counters import time_weighted_avg
+        # v=10 held 60s, v=40 held 180s, last sample holds nothing:
+        # twa = (10*60 + 40*180) / 240 = 32.5
+        df = _events(spark, [_row(1, "a", 0, 0, 10), _row(1, "a", 1, 60, 40),
+                             _row(1, "a", 2, 240, 99)])
+        r = time_weighted_avg(df).collect()[0]
+        assert r.n_samples == 3
+        assert r.held_us == 240_000_000
+        assert r.twa == (10 * 60 + 40 * 180) / 240
+        assert r.vw_sum == 10.0 * 60 + 40 * 180
+
+    def test_burst_does_not_overweight(self, spark):
+        from tsrollup.counters import time_weighted_avg
+        # 10 held for 100s, then a burst of 5 samples of 90 held 1s each,
+        # then the terminal sample: plain avg would be ~76, twa stays low
+        rows = [_row(1, "a", 0, 0, 10)]
+        rows += [_row(1, "a", i, 100 + (i - 1), 90) for i in range(1, 6)]
+        rows.append(_row(1, "a", 9, 105, 0))
+        r = time_weighted_avg(df := _events(spark, rows)).collect()[0]
+        assert r.twa == (10 * 100 + 90 * 5) / 105
+
+    def test_last_sample_only_bucket_emits_null(self, spark):
+        from tsrollup.counters import time_weighted_avg
+        df = _events(spark, [_row(1, "a", 0, 0, 5)])
+        r = time_weighted_avg(df).collect()[0]
+        assert r.n_samples == 1 and r.held_us == 0
+        assert r.twa is None and r.vw_sum is None
+
+    def test_segment_attributed_to_left_endpoint_bucket(self, spark):
+        from tsrollup.counters import time_weighted_avg
+        # sample at 10:59 holds 120s across the hour edge: the whole
+        # segment belongs to hour 10 (the holder's bucket)
+        df = _events(spark, [_row(1, "a", 0, 59 * 60, 7.0),
+                             _row(1, "a", 1, 61 * 60, 3.0)])
+        out = {r.bucket_ts.hour: r for r in time_weighted_avg(df).collect()}
+        assert out[10].held_us == 120_000_000 and out[10].twa == 7.0
+        assert out[11].held_us == 0 and out[11].twa is None
+
+    def test_bucket_validation(self, spark):
+        from tsrollup.counters import time_weighted_avg
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            time_weighted_avg(_events(spark, []), bucket="fortnight")

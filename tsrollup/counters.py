@@ -289,6 +289,66 @@ def cusum_episodes(events: DataFrame,
                       "peak_hi", "peak_lo"))
 
 
+def time_weighted_avg(events: DataFrame,
+                      series_cols: Sequence[str] = ("user_id", "event_type"),
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      value_col: str = "value",
+                      bucket: str = "hour") -> DataFrame:
+    """Time-weighted average over an IRREGULAR sample stream (the
+    TimescaleDB ``time_weight``/LOCF-integral idiom): a plain AVG
+    over-weights burst periods — each sample should count for the TIME it
+    held, not once per row.
+
+    Semantics: per series ordered by (ts, id), each sample holds its value
+    until the next sample (last-observation-carried-forward); the segment
+    ``[t_i, t_{i+1})`` contributes ``v_i · (t_{i+1} − t_i)`` and is
+    attributed to the bucket of its LEFT endpoint — the sample that held
+    the value (counter_increase attributes to the observer; a holding
+    segment belongs to the holder). Segments are not split at bucket
+    edges; a series' final sample holds nothing (no next observation) and
+    contributes only to ``n_samples``. Buckets where every sample is the
+    series' last emit NULL twa (0/0), not 0.
+
+    Exactness: the weighted sum is kept as an exact INT64 —
+    cents (value × 100, the fixture's two decimals) × microseconds —
+    never as a wide decimal: a decimal whose unscaled value passes 2^53
+    converts to double through engine-specific software rounding
+    (measured: Spark and DuckDB differ by 1 ulp on the same
+    decimal(38,2) sum), while int64 → double is the one hardware
+    round-to-nearest conversion every engine shares. vw_sum and twa are
+    then single IEEE divisions of exactly-converted integers. One
+    exchange: the lead window hashes on the series and the
+    (series, bucket) grouping keys are a superset.
+
+    Output: series_cols…, bucket_ts, n_samples, held_us (long),
+    vw_cents_us (long, exact Σ cents·Δus), vw_sum (double, Σ v·Δt in
+    value·seconds), twa (double).
+    """
+    if bucket not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    scols = list(series_cols)
+    w = Window.partitionBy(*scols).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    nxt = F.lead(us).over(w)
+    held = (nxt - us)  # NULL on the series' last sample
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    vw = cents * held
+    bucket_ts = F.date_trunc(bucket, F.col(ts_col))
+    staged = events.select(
+        *scols, bucket_ts.alias("bucket_ts"),
+        held.alias("_held"), vw.alias("_vw"))
+    sum_vw = F.sum("_vw").cast("long")
+    sum_held = F.sum("_held").cast("long")
+    return (staged
+            .groupBy(*scols, "bucket_ts")
+            .agg(F.count("*").cast("long").alias("n_samples"),
+                 F.coalesce(sum_held, F.lit(0)).alias("held_us"),
+                 sum_vw.alias("vw_cents_us"),
+                 (sum_vw.cast("double") / F.lit(1e8)).alias("vw_sum"),
+                 (sum_vw.cast("double")
+                  / (sum_held * 100).cast("double")).alias("twa")))
+
+
 def m4_downsample(events: DataFrame, n_buckets: int = 64,
                   series_col: str = "user_id", ts_col: str = "ts",
                   id_col: str = "event_id",
