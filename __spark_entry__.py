@@ -788,6 +788,19 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(_tokenized(spark, sf_dir), n_out=32)
 
 
+def q_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid gap-filling with LOCF per user × hour
+    (tsrollup.counters.grid_gapfill — the time_bucket_gapfill idiom):
+    missing hours between a series' first and last active bucket
+    MATERIALIZE as rows carrying the last observed value. One raw-data
+    exchange; grid explode, join-back and the LOCF window run at grid
+    grain. Bit-exact tail oracle (DuckDB generate_series +
+    last_value IGNORE NULLS)."""
+    from tsrollup.counters import grid_gapfill
+
+    return grid_gapfill(_fact(spark, sf_dir, "events"))
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per (user, event_type) series × hour bucket
     (tsrollup.counters.time_weighted_avg) — the TimescaleDB time_weight /
@@ -1598,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_summary": q_quantile_summary,
         "source_drift": q_source_drift,
         "time_weighted_avg": q_time_weighted_avg,
+        "grid_gapfill": q_grid_gapfill,
         "incremental_rollup": q_incremental_rollup,
         "lttb": q_lttb,
     }
@@ -3030,6 +3044,41 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, word ASC) AS rank FROM s)
 SELECT doc_id, rank::INT AS rank, word, tf, df_docs, score
 FROM r WHERE rank <= 5
+"""
+
+    # grid gap-fill: generate_series grid per series, left join the
+    # per-bucket aggregates, LOCF via last_value IGNORE NULLS — stepping,
+    # pins and sums all engine-exact
+    sqls["grid_gapfill"] = """
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), o AS (
+  SELECT user_id, b, COUNT(*)::BIGINT AS n_samples,
+         SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+         MAX(CASE WHEN rn = 1 THEN value::DECIMAL(18,2) END)::DOUBLE
+           AS last_in_bucket
+  FROM e GROUP BY user_id, b
+), s AS (
+  SELECT user_id, MIN(b) AS mn, MAX(b) AS mx FROM o GROUP BY user_id
+), g AS (
+  SELECT user_id,
+         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM s
+), j AS (
+  SELECT g.user_id, g.bucket_ts, o.n_samples, o.sum_value, o.last_in_bucket
+  FROM g LEFT JOIN o ON o.user_id = g.user_id AND o.b = g.bucket_ts
+)
+SELECT user_id, bucket_ts,
+       COALESCE(n_samples, 0)::BIGINT AS n_samples,
+       sum_value,
+       last_value(last_in_bucket IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS UNBOUNDED PRECEDING) AS locf_value,
+       (CASE WHEN n_samples IS NULL THEN 1 ELSE 0 END)::INT AS is_gap
+FROM j
 """
 
     # time-weighted average: LOCF segments attributed to the left

@@ -115,6 +115,7 @@ HEADLINE = [
     "quantile_summary",
     "source_drift",
     "time_weighted_avg",
+    "grid_gapfill",
     "lttb",
 ]
 

@@ -322,3 +322,57 @@ class TestTimeWeightedAvg:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             time_weighted_avg(_events(spark, []), bucket="fortnight")
+
+
+class TestGridGapfill:
+    def test_missing_buckets_materialize_with_locf(self, spark):
+        from tsrollup.counters import grid_gapfill
+        # samples in hours 10 and 13 -> hours 11, 12 materialize as gaps
+        df = _events(spark, [_row(1, "a", 0, 0, 7.0),
+                             _row(1, "a", 1, 3 * 3600, 9.0)])
+        out = {r.bucket_ts.hour: r for r in grid_gapfill(df).collect()}
+        assert sorted(out) == [10, 11, 12, 13]
+        assert (out[11].is_gap, out[12].is_gap) == (1, 1)
+        assert out[11].n_samples == 0 and out[11].sum_value is None
+        assert out[11].locf_value == 7.0 and out[12].locf_value == 7.0
+        assert out[13].locf_value == 9.0 and out[13].is_gap == 0
+
+    def test_last_in_bucket_pinned_by_ts_then_id(self, spark):
+        from tsrollup.counters import grid_gapfill
+        # two samples in hour 10, later ts wins; tie on ts -> higher id
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0),
+                             _row(1, "a", 1, 30 * 60, 2.0),
+                             _row(1, "a", 2, 30 * 60, 3.0),
+                             _row(1, "a", 3, 3600, 9.0)])
+        out = {r.bucket_ts.hour: r for r in grid_gapfill(df).collect()}
+        assert out[10].locf_value == 3.0
+        assert out[10].sum_value == 6.0
+        assert out[10].n_samples == 3
+
+    def test_series_are_independent(self, spark):
+        from tsrollup.counters import grid_gapfill
+        df = _events(spark, [_row(1, "a", 0, 0, 5.0),
+                             _row(2, "a", 1, 2 * 3600, 8.0)])
+        rows = grid_gapfill(df).collect()
+        assert {(r.user_id, r.bucket_ts.hour) for r in rows} == \
+            {(1, 10), (2, 12)}
+
+    def test_single_sample_single_bucket(self, spark):
+        from tsrollup.counters import grid_gapfill
+        r = grid_gapfill(_events(spark, [_row(1, "a", 0, 0, 4.0)])).collect()
+        assert len(r) == 1 and r[0].is_gap == 0 and r[0].locf_value == 4.0
+
+    def test_bucket_validation(self, spark):
+        from tsrollup.counters import grid_gapfill
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            grid_gapfill(_events(spark, []), bucket="fortnight")
+
+    def test_one_raw_exchange(self, spark):
+        from tsrollup.counters import grid_gapfill
+        from tsrollup.planaudit import formatted_plan, count_op
+        df = _events(spark, [_row(1, "a", 0, 0, 4.0)])
+        plan = formatted_plan(grid_gapfill(df))
+        # no per-group python, no cartesian
+        assert count_op(plan, "FlatMapGroupsInPandas") == 0
+        assert count_op(plan, "CartesianProduct") == 0

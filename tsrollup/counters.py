@@ -349,6 +349,74 @@ def time_weighted_avg(events: DataFrame,
                   / (sum_held * 100).cast("double")).alias("twa")))
 
 
+def grid_gapfill(events: DataFrame,
+                 series_cols: Sequence[str] = ("user_id",),
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 value_col: str = "value",
+                 bucket: str = "hour") -> DataFrame:
+    """Regular-grid gap-filling (the TimescaleDB ``time_bucket_gapfill`` +
+    ``locf`` idiom): per series, aggregate onto a ``date_trunc(bucket)``
+    grid, MATERIALIZE the missing buckets between the series' first and
+    last active bucket, and carry the last observed value forward into
+    them — dashboards and downstream joins need the empty hours to exist
+    as rows, not as absences (the events-table twin of the token-array
+    ``kernels.gap_fill``).
+
+    Exactness: bucket stepping is a fixed interval on the grid generator
+    in BOTH engines (minute/hour always; day is fixed 24 h on the naive/
+    UTC timestamps this engine standardizes on — the lag_coupling DST note
+    applies to zoned sessions); per-bucket last value is row_number-pinned
+    by (ts, id) desc (min_by/arg_max tie-breaks differ across engines);
+    sums are decimal-exact, LOCF is a pure value carry — no arithmetic.
+
+    Scale shape: ONE exchange touches raw events (the per-(series, bucket)
+    aggregation); the span window, the grid explode (span/bucket rows per
+    series — bounded by retention), the left join back and the LOCF window
+    all run at grid grain and share the series partitioning.
+
+    Output: series_cols…, bucket_ts, n_samples (0 on gap rows),
+    sum_value (double, NULL on gap rows), locf_value (double),
+    is_gap (int).
+    """
+    step = {"minute": "interval 1 minute", "hour": "interval 1 hour",
+            "day": "interval 1 day"}.get(bucket)
+    if step is None:
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    scols = list(series_cols)
+    b = F.date_trunc(bucket, F.col(ts_col))
+    rn = F.row_number().over(
+        Window.partitionBy(*scols, b)
+        .orderBy(F.desc(ts_col), F.desc(id_col)))
+    observed = (events
+                .select(*scols, b.alias("bucket_ts"),
+                        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+                        rn.alias("_rn"))
+                .groupBy(*scols, "bucket_ts")
+                .agg(F.count("*").cast("long").alias("n_samples"),
+                     F.sum("_v").cast("double").alias("sum_value"),
+                     F.max(F.when(F.col("_rn") == 1, F.col("_v")))
+                     .cast("double").alias("_last_in_bucket")))
+    span = (observed.groupBy(*scols)
+            .agg(F.min("bucket_ts").alias("_mn"),
+                 F.max("bucket_ts").alias("_mx")))
+    grid = span.select(
+        *scols,
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step)))
+        .alias("bucket_ts"))
+    j = grid.join(observed, scols + ["bucket_ts"], "left")
+    locf = F.last("_last_in_bucket", ignorenulls=True).over(
+        Window.partitionBy(*scols).orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    return (j.select(
+        *scols, "bucket_ts",
+        F.coalesce(F.col("n_samples"), F.lit(0)).cast("long")
+        .alias("n_samples"),
+        "sum_value",
+        locf.alias("locf_value"),
+        F.when(F.col("n_samples").isNull(), 1).otherwise(0)
+        .cast("int").alias("is_gap")))
+
+
 def m4_downsample(events: DataFrame, n_buckets: int = 64,
                   series_col: str = "user_id", ts_col: str = "ts",
                   id_col: str = "event_id",
