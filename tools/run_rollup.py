@@ -18,6 +18,12 @@ a killed run resumes where it stopped; disjoint bucket ranges can be driven
 by concurrent submissions via --bucket-lo/--bucket-hi (each submission owns
 [lo, hi); --max-buckets additionally bounds one invocation).
 Per-source metrics are appended after the buckets finish.
+
+--refresh EPOCH switches to incremental continuous-aggregate maintenance
+(checkpoint.refresh_incremental): only the docs that arrived since the last
+refresh (per-source watermarks on the monotone doc sequence) roll up, into
+the epoch's own partitions — the nightly top-up submit, vs the full
+bucketed backfill above.
 """
 
 from __future__ import annotations
@@ -46,6 +52,11 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--compressed", action="store_true",
                     help="store codec-packed tiers (Gorilla/delta-of-delta)")
+    ap.add_argument("--refresh", type=int, default=None, metavar="EPOCH",
+                    help="incremental refresh mode: roll up only docs past "
+                    "the stored per-source watermarks, committed as this "
+                    "epoch (idempotent per epoch; incompatible with the "
+                    "bucket sharding flags)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -82,6 +93,21 @@ def main() -> int:
               file=sys.stderr)
         spark.stop()
         return 2
+    if args.refresh is not None:
+        if (args.bucket_lo is not None or args.max_buckets is not None
+                or args.compressed):
+            print("ERROR: --refresh is incompatible with the bucket "
+                  "sharding flags and --compressed", file=sys.stderr)
+            spark.stop()
+            return 2
+        from tsrollup.checkpoint import refresh_incremental
+
+        n = refresh_incremental(spark, args.input, args.output,
+                                epoch=args.refresh, run_id=args.run_id,
+                                window=args.window or BASE_WINDOW)
+        print(f"epoch {args.refresh}: rolled up {n} new doc(s)")
+        spark.stop()
+        return 0
     brange = (None if args.bucket_lo is None
               else (args.bucket_lo, args.bucket_hi))
     done = run_checkpointed(
