@@ -775,6 +775,19 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_drift_tv(tokenize_words(_docs(spark, sf_dir)))
 
 
+def q_holt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend + 1-step
+    forecast) per doc (tsrollup.convolve.holt_last) — the 2-state
+    upgrade of ewma_scan's recurrent readout, one struct-accumulator
+    F.aggregate fold, zero shuffle. Rows-only by the documented
+    convention (a 2-state fold has no SQL analog; DuckDB list_reduce
+    takes no initial value — probed); bitwise-pinned against a Python
+    replica in tests."""
+    from tsrollup.convolve import holt_last
+
+    return holt_last(_tokenized(spark, sf_dir), alpha=0.5, beta=0.25)
+
+
 def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB visual downsampling to 32 points per doc
     (tsrollup.features.lttb) — the perceptual companion of m4_downsample.
@@ -1613,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "grid_gapfill": q_grid_gapfill,
         "incremental_rollup": q_incremental_rollup,
+        "holt_scan": q_holt_scan,
         "lttb": q_lttb,
     }
 

@@ -116,6 +116,7 @@ HEADLINE = [
     "source_drift",
     "time_weighted_avg",
     "grid_gapfill",
+    "holt_scan",
     "lttb",
 ]
 

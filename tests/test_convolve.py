@@ -218,3 +218,67 @@ def test_conv1d_dilations_property_vs_numpy(spark, toks_df, stride,
             np.testing.assert_array_equal(have.values, np.asarray(want))
             checked += 1
     assert checked > 50
+
+
+class TestHoltLast:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    @staticmethod
+    def _ref(xs, a, b):
+        l = float(xs[0])
+        bb = float(xs[1]) - float(xs[0]) if len(xs) > 1 else 0.0
+        for x in xs[1:]:
+            nl = a * float(x) + (1.0 - a) * (l + bb)
+            nb = b * (nl - l) + (1.0 - b) * bb
+            l, bb = nl, nb
+        return l, bb
+
+    def test_matches_bitwise_python_replica(self, spark):
+        import numpy as np
+        from tsrollup.convolve import holt_last
+        rng = np.random.default_rng(31)
+        rows = [(f"d{i}", rng.integers(0, 40, size=int(m)).tolist())
+                for i, m in enumerate(rng.integers(1, 150, size=12))]
+        out = {r.doc_id: r for r in
+               holt_last(self._docs(spark, rows), 0.5, 0.25).collect()}
+        for doc_id, xs in rows:
+            l, b = self._ref(xs, 0.5, 0.25)
+            r = out[doc_id]
+            assert (r.holt_level, r.holt_trend) == (l, b), doc_id
+            assert r.holt_forecast == l + b
+
+    def test_linear_trend_is_tracked_exactly(self, spark):
+        from tsrollup.convolve import holt_last
+        # a pure linear ramp: with init b1 = x2-x1 the recurrences keep
+        # level on the line and trend at the slope for any alpha/beta —
+        # exactly so in floats only when alpha/beta are binary fractions
+        # (0.3/0.7 would drift a few ulp off the line)
+        df = self._docs(spark, [("d1", list(range(0, 40, 2)))])
+        r = holt_last(df, 0.5, 0.25).collect()[0]
+        assert r.holt_trend == 2.0
+        assert r.holt_level == 38.0
+        assert r.holt_forecast == 40.0
+
+    def test_single_token_doc(self, spark):
+        from tsrollup.convolve import holt_last
+        r = holt_last(self._docs(spark, [("d1", [9])])).collect()[0]
+        assert (r.holt_level, r.holt_trend, r.holt_forecast) == (9.0, 0.0, 9.0)
+
+    def test_empty_doc_emits_nothing(self, spark):
+        from tsrollup.convolve import holt_last
+        assert holt_last(self._docs(spark, [("d1", [])])).count() == 0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from tsrollup.convolve import holt_last
+        with _pytest.raises(ValueError):
+            holt_last(self._docs(spark, []), alpha=0.0)
+        with _pytest.raises(ValueError):
+            holt_last(self._docs(spark, []), beta=1.5)
+
+    def test_shuffle_free(self, spark):
+        from tsrollup.convolve import holt_last
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+        df = self._docs(spark, [("d1", [1, 2, 3])])
+        assert n_data_exchanges(formatted_plan(holt_last(df))) == 0

@@ -266,6 +266,54 @@ def _ewma_fold(tok: Column, alpha: float) -> Column:
                        lambda acc, x: a * x.cast("double") + (F.lit(1.0) - a) * acc)
 
 
+def holt_last(df: DataFrame, alpha: float = 0.5, beta: float = 0.25,
+              tokens_col: str = "tokens") -> DataFrame:
+    """Holt double-exponential smoothing (level + trend), final state +
+    one-step forecast per doc — the trend-aware upgrade of the EWMA scan
+    (the reference's seq→vector recurrent readout with a 2-d hidden
+    state). Textbook recurrences, strictly sequential::
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    init l₁ = x₁, b₁ = x₂ − x₁ (b₁ = 0 for single-token docs).
+
+    Runs as ONE ``F.aggregate`` fold with a struct accumulator — pure
+    JVM per-row, zero shuffle, float op order pinned so the pytest
+    replica matches bit-for-bit. Rows-only query by the documented
+    convention: a 2-state fold has no SQL analog (DuckDB 1.0's
+    list_reduce takes no initial value and its accumulator must share
+    the element type — probed).
+
+    Output: doc_id, n_tok, holt_level, holt_trend, holt_forecast
+    (= level + trend, the 1-step-ahead prediction).
+    """
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError("need 0 < alpha <= 1 and 0 <= beta <= 1")
+    tok = F.col(tokens_col)
+    x1 = F.element_at(tok, 1).cast("double")
+    x2 = F.element_at(tok, 2).cast("double")
+    b1 = F.when(F.size(tok) >= 2, x2 - x1).otherwise(F.lit(0.0))
+    # the fold consumes x_2.. onward only when it exists; for n==1 the
+    # init IS the final state
+    rest = F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0)))
+    a, bt = F.lit(float(alpha)), F.lit(float(beta))
+    init = F.struct(x1.alias("l"), b1.alias("b"))
+
+    def step(acc: Column, x: Column) -> Column:
+        nl = a * x.cast("double") + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        nb = bt * (nl - acc["l"]) + (F.lit(1.0) - bt) * acc["b"]
+        return F.struct(nl.alias("l"), nb.alias("b"))
+
+    state = F.aggregate(rest, init, step)
+    return (df.filter(F.size(tok) > 0)
+            .select("doc_id",
+                    F.size(tok).cast("long").alias("n_tok"),
+                    state["l"].alias("holt_level"),
+                    state["b"].alias("holt_trend"),
+                    (state["l"] + state["b"]).alias("holt_forecast")))
+
+
 def ewma_bidir(df: DataFrame, alpha: float = 0.125,
                tokens_col: str = "tokens") -> DataFrame:
     """Bidirectional scan analog (reference Bidirectional(LSTM),
