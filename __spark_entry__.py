@@ -3065,14 +3065,15 @@ FROM r WHERE rank <= 5
     # pins and sums all engine-exact
     sqls["grid_gapfill"] = """
 WITH e AS (
-  SELECT user_id, date_trunc('hour', ts) AS b, value, ts, event_id,
+  SELECT user_id, date_trunc('hour', ts) AS b,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS cents, ts, event_id,
          row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
                             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ), o AS (
   SELECT user_id, b, COUNT(*)::BIGINT AS n_samples,
-         SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value,
-         MAX(CASE WHEN rn = 1 THEN value::DECIMAL(18,2) END)::DOUBLE
+         SUM(cents)::BIGINT::DOUBLE / 100.0 AS sum_value,
+         MAX(CASE WHEN rn = 1 THEN cents END)::DOUBLE / 100.0
            AS last_in_bucket
   FROM e GROUP BY user_id, b
 ), s AS (

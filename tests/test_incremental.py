@@ -135,3 +135,45 @@ class TestRefreshIncremental:
     def test_epoch_validation(self, spark, tmp_path):
         with pytest.raises(ValueError):
             refresh_incremental(spark, "x", str(tmp_path / "s"), epoch=-1)
+
+
+class TestRefreshGuards:
+    def test_committed_epoch_with_new_data_is_refused_noop(self, spark,
+                                                           tmp_path, corpus):
+        # review finding: re-running a committed epoch AFTER newer docs
+        # arrived must not overwrite that epoch's partitions
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        before = _rows(read_incremental(spark, root))
+        _write_first_n(spark, corpus, inp, 60)  # 20 new docs arrive
+        n = refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        assert n == 0  # up-front no-op, nothing rewritten
+        assert _rows(read_incremental(spark, root)) == before
+        # the new docs land in a NEW epoch, store converges to the full set
+        assert refresh_incremental(spark, inp, root, epoch=1,
+                                   tiers=TIERS) == 20
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(read_incremental(spark, root)) == _rows(want)
+
+    def test_null_seq_docs_raise_loudly(self, spark, tmp_path):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [("web-0001-00000000", list(range(64)), 64, "web"),
+             ("web-batch-final", list(range(64)), 64, "web")],
+            "doc_id string, tokens array<int>, n_tok int, source string")
+        df.write.mode("overwrite").parquet(inp)
+        with pytest.raises(Exception, match="NULL ingest sequence"):
+            refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+
+    def test_n_buckets_is_threaded(self, spark, tmp_path, corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS,
+                            n_buckets=4)
+        buckets = {r.bucket for r in read_incremental(spark, root)
+                   .select("bucket").distinct().collect()}
+        assert buckets <= set(range(4)) and len(buckets) > 1

@@ -104,7 +104,8 @@ def main() -> int:
 
         n = refresh_incremental(spark, args.input, args.output,
                                 epoch=args.refresh, run_id=args.run_id,
-                                window=args.window or BASE_WINDOW)
+                                window=args.window or BASE_WINDOW,
+                                n_buckets=args.buckets)
         print(f"epoch {args.refresh}: rolled up {n} new doc(s)")
         spark.stop()
         return 0

@@ -183,25 +183,39 @@ def doc_seq(col: str = "doc_id") -> Column:
     per-arrival sequence number (the trailing dash segment). Production
     tables should carry an explicit ingest-sequence column instead — a real
     (source, seq) literal predicate then prunes parquet/Iceberg files via
-    min/max stats, which a derived expression cannot."""
-    return F.element_at(F.split(F.col(col), "-"), -1).cast("long")
+    min/max stats, which a derived expression cannot.
+
+    try_cast, not cast: a non-integer trailing segment must yield NULL in
+    BOTH ANSI modes (ANSI cast throws CAST_INVALID_INPUT mid-scan) so
+    refresh_incremental's NULL-seq validation can report it as one loud,
+    counted error instead of a task failure."""
+    return F.element_at(F.split(F.col(col), "-"), -1).try_cast("long")
 
 
-def read_watermarks(spark: SparkSession, output_root: str) -> dict[str, int]:
-    """Current per-source high-water marks (max over committed epochs).
-    Bounded driver-side collect: one row per (source, epoch) — |sources| is
-    small by contract (the mixture/per_source_stats argument)."""
+def _watermark_state(spark: SparkSession, output_root: str
+                     ) -> tuple[dict[str, int], set[int]]:
+    """(per-source high-water marks, committed epoch ids). Bounded
+    driver-side collect: one row per (source, epoch) — |sources| is small
+    by contract (the mixture/per_source_stats argument)."""
     try:
         wm = read_table(spark, f"{output_root}/_watermarks")
     except Exception as e:  # noqa: BLE001
         from .io import is_missing_table_error
 
         if is_missing_table_error(e):
-            return {}
+            return {}, set()
         raise
-    rows = (wm.groupBy("source")
-            .agg(F.max("max_seq").alias("mx")).collect())
-    return {r["source"]: int(r["mx"]) for r in rows}
+    rows = wm.select("source", "max_seq", "epoch").collect()
+    marks: dict[str, int] = {}
+    for r in rows:
+        marks[r["source"]] = max(marks.get(r["source"], -1),
+                                 int(r["max_seq"]))
+    return marks, {int(r["epoch"]) for r in rows}
+
+
+def read_watermarks(spark: SparkSession, output_root: str) -> dict[str, int]:
+    """Current per-source high-water marks (max over committed epochs)."""
+    return _watermark_state(spark, output_root)[0]
 
 
 def refresh_incremental(spark: SparkSession, input_path: str,
@@ -209,7 +223,8 @@ def refresh_incremental(spark: SparkSession, input_path: str,
                         run_id: str = "refresh-0",
                         window: int = BASE_WINDOW,
                         tiers: dict[str, int] = TIER_FACTOR,
-                        seq: Column | None = None) -> int:
+                        seq: Column | None = None,
+                        n_buckets: int = 8) -> int:
     """Continuous-aggregate REFRESH for an append-only corpus: roll up only
     the documents that arrived since the last refresh and commit them as a
     new epoch — the incremental-maintenance leg the north rule's
@@ -232,8 +247,17 @@ def refresh_incremental(spark: SparkSession, input_path: str,
        commit. A crash between 1 and 2 leaves the watermarks unmoved, so
        the re-run recomputes the SAME delta (same filter ⇒ same bytes)
        and overwrites the same epoch partitions — convergent, never
-       duplicated. Re-running a fully committed epoch sees an empty delta
-       and is a no-op.
+       duplicated. Re-running a FULLY COMMITTED epoch is an up-front
+       no-op: its id is in the watermark table, so the call returns 0
+       without touching data — if it instead recomputed "its" delta after
+       still-newer docs arrived, the dynamic overwrite would REPLACE the
+       epoch's original partitions and destroy committed rows (review
+       finding; guarded + tested). New arrivals always go to a NEW epoch.
+
+    Docs whose ``seq`` is NULL (an id that doesn't end in an integer, with
+    the default :func:`doc_seq`) would otherwise be silently excluded from
+    every epoch while the full backfill path includes them — the refresh
+    counts them in the same stats pass and raises instead.
 
     Returns the number of new docs rolled up. Read the store with
     :func:`read_incremental`; total rows across epochs equal one clean
@@ -241,7 +265,9 @@ def refresh_incremental(spark: SparkSession, input_path: str,
     """
     if epoch < 0:
         raise ValueError("epoch must be >= 0")
-    wm = read_watermarks(spark, output_root)
+    wm, committed = _watermark_state(spark, output_root)
+    if epoch in committed:
+        return 0  # fully committed — never rewrite an epoch's partitions
     s = seq if seq is not None else doc_seq()
     src = read_table(spark, input_path)
     if wm:
@@ -252,22 +278,30 @@ def refresh_incremental(spark: SparkSession, input_path: str,
                                       F.col("source")), F.lit(-1))
     else:
         thr = F.lit(-1)
+    # stats + NULL-seq validation BEFORE the data write (the filter is
+    # deterministic, so pre- and post-write stats are identical — and the
+    # validation must fire before anything is committed)
+    stats = (src.filter(s.isNull() | (s > thr))
+             .groupBy("source")
+             .agg(F.max(s).cast("long").alias("max_seq"),
+                  F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                  F.sum(s.isNull().cast("long")).alias("n_null_seq"))
+             .collect())
+    n_null = sum(int(r["n_null_seq"]) for r in stats)
+    if n_null:
+        raise ValueError(
+            f"{n_null} doc(s) have a NULL ingest sequence (doc_id does not "
+            "end in an integer?) — they would be silently excluded from "
+            "every refresh; fix the ids or pass an explicit seq column")
+    if not stats:
+        return 0
     delta = src.filter(s > thr)
     out = rollup_sequences(delta, window, tiers) \
-        .withColumn("bucket", _bucket_col(8)) \
+        .withColumn("bucket", _bucket_col(n_buckets)) \
         .withColumn("epoch", F.lit(int(epoch)))
     write_table(out, f"{output_root}/data", mode="overwrite",
                 partition_by=("epoch", "bucket", "tier"),
                 dynamic_overwrite=True)
-    # watermark rows from one scan of the (pre-rollup) delta keys — computed
-    # BEFORE the data write would mean trusting an uncommitted plan; after,
-    # re-derive from the same deterministic filter
-    stats = (delta.groupBy("source")
-             .agg(F.max(s).cast("long").alias("max_seq"),
-                  F.countDistinct("doc_id").cast("long").alias("n_docs"))
-             .collect())
-    if not stats:
-        return 0
     now = time.strftime("%Y-%m-%dT%H:%M:%S")
     rows = [(r["source"], int(r["max_seq"]), int(r["n_docs"]),
              int(epoch), run_id, now) for r in stats]

@@ -367,7 +367,10 @@ def grid_gapfill(events: DataFrame,
     UTC timestamps this engine standardizes on — the lag_coupling DST note
     applies to zoned sessions); per-bucket last value is row_number-pinned
     by (ts, id) desc (min_by/arg_max tie-breaks differ across engines);
-    sums are decimal-exact, LOCF is a pure value carry — no arithmetic.
+    sums ride int64 cents (the time_weighted_avg argument: a wide
+    decimal→double conversion past 2^53 unscaled is 1 ulp engine-specific,
+    int64→double is the shared hardware rounding), LOCF is a pure value
+    carry — no arithmetic.
 
     Scale shape: ONE exchange touches raw events (the per-(series, bucket)
     aggregation); the span window, the grid explode (span/bucket rows per
@@ -387,15 +390,17 @@ def grid_gapfill(events: DataFrame,
     rn = F.row_number().over(
         Window.partitionBy(*scols, b)
         .orderBy(F.desc(ts_col), F.desc(id_col)))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     observed = (events
                 .select(*scols, b.alias("bucket_ts"),
-                        F.col(value_col).cast("decimal(18,2)").alias("_v"),
-                        rn.alias("_rn"))
+                        cents.alias("_c"), rn.alias("_rn"))
                 .groupBy(*scols, "bucket_ts")
                 .agg(F.count("*").cast("long").alias("n_samples"),
-                     F.sum("_v").cast("double").alias("sum_value"),
-                     F.max(F.when(F.col("_rn") == 1, F.col("_v")))
-                     .cast("double").alias("_last_in_bucket")))
+                     (F.sum("_c").cast("double") / F.lit(100.0))
+                     .alias("sum_value"),
+                     (F.max(F.when(F.col("_rn") == 1, F.col("_c")))
+                      .cast("double") / F.lit(100.0))
+                     .alias("_last_in_bucket")))
     span = (observed.groupBy(*scols)
             .agg(F.min("bucket_ts").alias("_mn"),
                  F.max("bucket_ts").alias("_mx")))

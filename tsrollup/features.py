@@ -339,6 +339,8 @@ def lttb(df: DataFrame, n_out: int = 32,
             ids, ks, poss, vals = [], [], [], []
             for doc_id, toks in zip(pdf["doc_id"].to_numpy(),
                                     pdf[tokens_col].to_numpy()):
+                if toks is None:  # NULL array: nothing to select
+                    continue
                 y = np.asarray(toks, dtype=np.int64)
                 if not len(y):
                     continue
