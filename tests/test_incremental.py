@@ -177,3 +177,32 @@ class TestRefreshGuards:
         buckets = {r.bucket for r in read_incremental(spark, root)
                    .select("bucket").distinct().collect()}
         assert buckets <= set(range(4)) and len(buckets) > 1
+
+
+class TestCompactEpochs:
+    def test_compaction_preserves_rows_and_future_refreshes(self, spark,
+                                                            tmp_path, corpus):
+        from tsrollup.checkpoint import compact_epochs
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 30)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        _write_first_n(spark, corpus, inp, 45)
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        before = _rows(read_incremental(spark, root))
+        n = compact_epochs(spark, root)
+        assert n == len(before)
+        after = read_incremental(spark, root)
+        # layout-only: identical row multiset, single epoch remains
+        assert _rows(after) == before
+        assert {r.epoch for r in after.select("epoch")
+                .distinct().collect()} == {0}
+        # a retry of the folded epoch 1 stays a no-op...
+        assert refresh_incremental(spark, inp, root, epoch=1,
+                                   tiers=TIERS) == 0
+        # ...and new arrivals keep flowing into fresh epochs
+        _write_first_n(spark, corpus, inp, 60)
+        assert refresh_incremental(spark, inp, root, epoch=2,
+                                   tiers=TIERS) == 15
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(read_incremental(spark, root)) == _rows(want)

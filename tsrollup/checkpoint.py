@@ -316,6 +316,53 @@ def read_incremental(spark: SparkSession, output_root: str) -> DataFrame:
     return read_table(spark, f"{output_root}/data")
 
 
+def compact_epochs(spark: SparkSession, output_root: str,
+                   into_epoch: int = 0) -> int:
+    """Fold every committed epoch of an incremental store into ONE
+    (``into_epoch``) — the periodic maintenance that stops per-refresh
+    epoch partitions from accumulating (hourly top-ups = thousands of
+    small partitions a year; readers pay the listing).
+
+    Rows are copied verbatim — compaction is layout-only, the row multiset
+    before and after is identical (tested). Watermarks are NOT rewritten:
+    the committed-epoch set keeps every historical epoch id reserved, so a
+    late retry of an old epoch stays a no-op after compaction, and new
+    refreshes keep allocating fresh ids.
+
+    Commit protocol on a plain filesystem: write the compacted layout to a
+    sibling ``data.compact`` directory, then swap directories (rename old
+    → ``data.old``, rename new → ``data``, delete old). The swap window is
+    two renames — not atomic; with TSROLLUP_TABLE_FORMAT=iceberg the same
+    operation is a REPLACE TABLE snapshot commit and the window vanishes
+    (the io.py boundary note). A crash mid-swap leaves either the old or
+    the new directory under a recoverable name, never a half-written mix.
+
+    Returns the number of rows in the compacted store.
+    """
+    import os
+    import shutil
+
+    if "://" in output_root:
+        raise NotImplementedError(
+            "directory-swap compaction needs a local filesystem; on object "
+            "stores run with TSROLLUP_TABLE_FORMAT=iceberg, where this is "
+            "a REPLACE TABLE snapshot commit")
+    data = f"{output_root}/data"
+    tmp = f"{output_root}/data.compact"
+    old = f"{output_root}/data.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df = read_table(spark, data).withColumn("epoch",
+                                            F.lit(int(into_epoch)))
+    write_table(df, tmp, mode="overwrite",
+                partition_by=("epoch", "bucket", "tier"))
+    n = read_table(spark, tmp).count()  # validate the committed copy
+    os.rename(data, old)
+    os.rename(tmp, data)
+    shutil.rmtree(old, ignore_errors=True)
+    return int(n)
+
+
 def apply_retention_to_store(spark: SparkSession, output_root: str,
                              keep_windows: dict[str, int]) -> int:
     """Enforce a retention policy ON the checkpointed store (the third leg of
