@@ -206,3 +206,20 @@ class TestCompactEpochs:
                                    tiers=TIERS) == 15
         want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
         assert _rows(read_incremental(spark, root)) == _rows(want)
+
+
+class TestCompressedRefresh:
+    def test_compressed_epochs_decode_to_clean_rollup(self, spark, tmp_path,
+                                                      corpus):
+        from tsrollup.rollup import decompress_rollup
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS,
+                            compressed=True)
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS,
+                            compressed=True)
+        got = decompress_rollup(read_incremental(spark, root))
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(got) == _rows(want)

@@ -94,10 +94,9 @@ def main() -> int:
         spark.stop()
         return 2
     if args.refresh is not None:
-        if (args.bucket_lo is not None or args.max_buckets is not None
-                or args.compressed):
+        if args.bucket_lo is not None or args.max_buckets is not None:
             print("ERROR: --refresh is incompatible with the bucket "
-                  "sharding flags and --compressed", file=sys.stderr)
+                  "sharding flags", file=sys.stderr)
             spark.stop()
             return 2
         from tsrollup.checkpoint import refresh_incremental
@@ -105,7 +104,8 @@ def main() -> int:
         n = refresh_incremental(spark, args.input, args.output,
                                 epoch=args.refresh, run_id=args.run_id,
                                 window=args.window or BASE_WINDOW,
-                                n_buckets=args.buckets)
+                                n_buckets=args.buckets,
+                                compressed=args.compressed)
         print(f"epoch {args.refresh}: rolled up {n} new doc(s)")
         spark.stop()
         return 0

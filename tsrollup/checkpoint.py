@@ -224,7 +224,8 @@ def refresh_incremental(spark: SparkSession, input_path: str,
                         window: int = BASE_WINDOW,
                         tiers: dict[str, int] = TIER_FACTOR,
                         seq: Column | None = None,
-                        n_buckets: int = 8) -> int:
+                        n_buckets: int = 8,
+                        compressed: bool = False) -> int:
     """Continuous-aggregate REFRESH for an append-only corpus: roll up only
     the documents that arrived since the last refresh and commit them as a
     new epoch — the incremental-maintenance leg the north rule's
@@ -261,7 +262,10 @@ def refresh_incremental(spark: SparkSession, input_path: str,
 
     Returns the number of new docs rolled up. Read the store with
     :func:`read_incremental`; total rows across epochs equal one clean
-    rollup of the full input bit-for-bit (tested).
+    rollup of the full input bit-for-bit (tested). ``compressed=True``
+    stores codec-packed tier rows instead (Gorilla/delta-of-delta, the
+    run_checkpointed twin) — decode with ``rollup.decompress_rollup``;
+    don't mix packed and plain epochs in one store.
     """
     if epoch < 0:
         raise ValueError("epoch must be >= 0")
@@ -296,7 +300,9 @@ def refresh_incremental(spark: SparkSession, input_path: str,
     if not stats:
         return 0
     delta = src.filter(s > thr)
-    out = rollup_sequences(delta, window, tiers) \
+    rolled = (rollup_compressed(delta, window, tiers) if compressed
+              else rollup_sequences(delta, window, tiers))
+    out = rolled \
         .withColumn("bucket", _bucket_col(n_buckets)) \
         .withColumn("epoch", F.lit(int(epoch)))
     write_table(out, f"{output_root}/data", mode="overwrite",
