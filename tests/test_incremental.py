@@ -8,7 +8,6 @@ the rows of ONE clean rollup of the full input — bit-for-bit.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 
