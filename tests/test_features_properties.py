@@ -1,6 +1,13 @@
 """Property tests (hypothesis) for the round-5 pure-math kernels — the
 formula layer under the Spark operators, so hundreds of cases run without a
 session: PAA frame bounds, quantile ranks, LTTB selection invariants.
+
+Binding note: the bounds/rank tests re-state the formulas (the engine
+builds them as SQL expr strings, so they can't be imported) — they prove
+the MATH (partition/ceil identities), while engine↔formula binding lives
+in the Spark parity tests (test_features numpy parity, test_quantiles
+inverted_cdf parity): an engine edit to floor division fails THOSE, a
+formula misunderstanding fails these. lttb_indices is imported directly.
 """
 
 from __future__ import annotations

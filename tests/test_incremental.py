@@ -222,3 +222,70 @@ class TestCompressedRefresh:
         got = decompress_rollup(read_incremental(spark, root))
         want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
         assert _rows(got) == _rows(want)
+
+    def test_mixed_packed_plain_store_is_refused(self, spark, tmp_path,
+                                                 corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS,
+                            compressed=True)
+        _write_first_n(spark, corpus, inp, 60)
+        with pytest.raises(ValueError, match="one store, one mode"):
+            refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS,
+                                compressed=False)
+
+
+class TestCompactGuards:
+    def _store(self, spark, tmp_path, corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=3, tiers=TIERS)
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=7, tiers=TIERS)
+        return inp, root
+
+    def test_default_target_is_smallest_committed_epoch(self, spark,
+                                                        tmp_path, corpus):
+        from tsrollup.checkpoint import compact_epochs
+        _, root = self._store(spark, tmp_path, corpus)
+        before = _rows(read_incremental(spark, root))
+        compact_epochs(spark, root)
+        after = read_incremental(spark, root)
+        assert _rows(after) == before
+        assert {r.epoch for r in after.select("epoch")
+                .distinct().collect()} == {3}
+
+    def test_uncommitted_target_epoch_is_refused(self, spark, tmp_path,
+                                                 corpus):
+        from tsrollup.checkpoint import compact_epochs
+        _, root = self._store(spark, tmp_path, corpus)
+        with pytest.raises(ValueError, match="not a committed epoch"):
+            compact_epochs(spark, root, into_epoch=0)
+
+    def test_orphan_epoch_is_refused(self, spark, tmp_path, corpus):
+        # crash sim: epoch-7 data committed but its watermark append lost
+        import duckdb
+        from tsrollup.checkpoint import compact_epochs
+        _, root = self._store(spark, tmp_path, corpus)
+        wm_dir = os.path.join(root, "_watermarks")
+        kept = duckdb.sql(
+            f"SELECT * FROM '{wm_dir}/*.parquet' WHERE epoch <> 7").df()
+        shutil.rmtree(wm_dir)
+        os.makedirs(wm_dir)
+        duckdb.sql("COPY kept TO '{}/part.parquet' (FORMAT PARQUET)"
+                   .format(wm_dir))
+        with pytest.raises(ValueError, match="no watermark row"):
+            compact_epochs(spark, root)
+
+    def test_midswap_crash_is_recovered_on_retry(self, spark, tmp_path,
+                                                 corpus):
+        from tsrollup.checkpoint import compact_epochs
+        _, root = self._store(spark, tmp_path, corpus)
+        before = _rows(read_incremental(spark, root))
+        # simulate the crash window: data renamed away, compact not promoted
+        os.rename(os.path.join(root, "data"), os.path.join(root, "data.old"))
+        n = compact_epochs(spark, root)
+        assert n == len(before)
+        assert _rows(read_incremental(spark, root)) == before

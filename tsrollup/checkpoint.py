@@ -299,6 +299,25 @@ def refresh_incremental(spark: SparkSession, input_path: str,
             "every refresh; fix the ids or pass an explicit seq column")
     if not stats:
         return 0
+    # packed and plain epochs must never mix in one store: a parquet union
+    # across the two schemas reads back as nulls/garbage long after the
+    # bad commit — fail fast on the flag mismatch instead
+    try:
+        existing = read_table(spark, f"{output_root}/data")
+    except Exception as e:  # noqa: BLE001
+        from .io import is_missing_table_error
+
+        if not is_missing_table_error(e):
+            raise
+        existing = None
+    if existing is not None:
+        was_packed = "n_windows" in existing.columns
+        if was_packed != compressed:
+            raise ValueError(
+                f"store at {output_root} holds "
+                f"{'packed' if was_packed else 'plain'} epochs but this "
+                f"refresh asked for compressed={compressed} — one store, "
+                "one mode")
     delta = src.filter(s > thr)
     rolled = (rollup_compressed(delta, window, tiers) if compressed
               else rollup_sequences(delta, window, tiers))
@@ -323,46 +342,86 @@ def read_incremental(spark: SparkSession, output_root: str) -> DataFrame:
 
 
 def compact_epochs(spark: SparkSession, output_root: str,
-                   into_epoch: int = 0) -> int:
+                   into_epoch: int | None = None) -> int:
     """Fold every committed epoch of an incremental store into ONE
-    (``into_epoch``) — the periodic maintenance that stops per-refresh
-    epoch partitions from accumulating (hourly top-ups = thousands of
-    small partitions a year; readers pay the listing).
+    (``into_epoch``, default the smallest committed epoch) — the periodic
+    maintenance that stops per-refresh epoch partitions from accumulating
+    (hourly top-ups = thousands of small partitions a year; readers pay
+    the listing).
 
     Rows are copied verbatim — compaction is layout-only, the row multiset
-    before and after is identical (tested). Watermarks are NOT rewritten:
-    the committed-epoch set keeps every historical epoch id reserved, so a
-    late retry of an old epoch stays a no-op after compaction, and new
-    refreshes keep allocating fresh ids.
+    before and after is identical (validated by row count before the swap,
+    multiset-tested). Watermarks are NOT rewritten: the committed-epoch
+    set keeps every historical epoch id reserved, so a late retry of a
+    folded epoch stays a no-op and new refreshes keep allocating fresh
+    ids. ``into_epoch`` must itself be a COMMITTED id (review finding: an
+    unreserved target — e.g. a default 0 that was never refreshed — would
+    let a later ``--refresh 0`` dynamically overwrite the whole compacted
+    history). ORPHAN epochs (data committed, watermark append lost to a
+    crash) are refused: folding one would duplicate its rows when the
+    crashed refresh's convergent re-run rewrites that epoch — retry the
+    refresh first.
 
     Commit protocol on a plain filesystem: write the compacted layout to a
-    sibling ``data.compact`` directory, then swap directories (rename old
-    → ``data.old``, rename new → ``data``, delete old). The swap window is
-    two renames — not atomic; with TSROLLUP_TABLE_FORMAT=iceberg the same
-    operation is a REPLACE TABLE snapshot commit and the window vanishes
-    (the io.py boundary note). A crash mid-swap leaves either the old or
-    the new directory under a recoverable name, never a half-written mix.
+    sibling ``data.compact``, validate its row count equals the source,
+    then swap (rename data → ``data.old``, rename compact → data, delete
+    old). The swap window is two renames — not atomic; a crash mid-swap
+    leaves the full original under ``data.old``, which the next call
+    RESTORES before doing anything destructive. With
+    TSROLLUP_TABLE_FORMAT=iceberg this whole operation should be a
+    REPLACE TABLE snapshot commit instead — not implemented here, so the
+    iceberg mode is rejected up front rather than half-renamed.
 
     Returns the number of rows in the compacted store.
     """
     import os
     import shutil
 
-    if "://" in output_root:
+    from .io import table_format
+
+    if "://" in output_root or table_format() == "iceberg":
         raise NotImplementedError(
-            "directory-swap compaction needs a local filesystem; on object "
-            "stores run with TSROLLUP_TABLE_FORMAT=iceberg, where this is "
-            "a REPLACE TABLE snapshot commit")
+            "directory-swap compaction needs a local-filesystem parquet "
+            "store; on object stores / Iceberg catalogs the equivalent is "
+            "a REPLACE TABLE snapshot commit (not implemented)")
     data = f"{output_root}/data"
     tmp = f"{output_root}/data.compact"
     old = f"{output_root}/data.old"
+    # crash recovery FIRST, before any delete: a mid-swap crash leaves
+    # data/ missing and the full original under data.old — restore it
+    # (the original, not the unvalidated compact copy, is truth)
+    if not os.path.exists(data) and os.path.exists(old):
+        os.rename(old, data)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    df = read_table(spark, data).withColumn("epoch",
-                                            F.lit(int(into_epoch)))
+    _, committed = _watermark_state(spark, output_root)
+    if not committed:
+        raise ValueError(f"no committed epochs under {output_root}")
+    if into_epoch is None:
+        into_epoch = min(committed)
+    if into_epoch not in committed:
+        raise ValueError(
+            f"into_epoch={into_epoch} is not a committed epoch "
+            f"{sorted(committed)} — an unreserved target could later be "
+            "overwritten by a refresh reusing that id")
+    src = read_table(spark, data)
+    data_epochs = {int(r["epoch"]) for r in
+                   src.select("epoch").distinct().collect()}
+    orphans = data_epochs - committed
+    if orphans:
+        raise ValueError(
+            f"epoch(s) {sorted(orphans)} have data but no watermark row — "
+            "a crashed refresh is mid-commit; re-run it (convergent) "
+            "before compacting, or folding would duplicate its rows")
+    n_src = src.count()
+    df = src.withColumn("epoch", F.lit(int(into_epoch)))
     write_table(df, tmp, mode="overwrite",
                 partition_by=("epoch", "bucket", "tier"))
-    n = read_table(spark, tmp).count()  # validate the committed copy
+    n = read_table(spark, tmp).count()
+    if n != n_src:
+        raise RuntimeError(
+            f"compacted copy has {n} rows, source has {n_src} — swap "
+            "aborted, store untouched (data.compact left for inspection)")
     os.rename(data, old)
     os.rename(tmp, data)
     shutil.rmtree(old, ignore_errors=True)
