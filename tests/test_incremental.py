@@ -289,3 +289,31 @@ class TestCompactGuards:
         n = compact_epochs(spark, root)
         assert n == len(before)
         assert _rows(read_incremental(spark, root)) == before
+
+
+class TestRetentionOnIncrementalStore:
+    def test_epoch_layout_is_preserved(self, spark, tmp_path, corpus):
+        from tsrollup.checkpoint import apply_retention_to_store
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        aged = apply_retention_to_store(spark, root, {"1m": 2})
+        assert aged > 0
+        after = read_incremental(spark, root)
+        # both epoch partitions still exist; per (doc, 1m) ≤ 2 windows kept
+        assert {r.epoch for r in after.select("epoch")
+                .distinct().collect()} == {0, 1}
+        mx = (after.filter("tier = '1m'")
+              .groupBy("doc_id").count()
+              .agg({"count": "max"}).collect()[0][0])
+        assert mx <= 2
+        # the untouched tier is intact
+        assert after.filter("tier = '1h'").count() > 0
+        # no stray bucket=… dirs beside the epoch=… dirs
+        import os as _os
+        top = _os.listdir(_os.path.join(root, "data"))
+        assert all(d.startswith("epoch=") or d.startswith("_")
+                   for d in top), top

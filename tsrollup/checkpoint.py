@@ -451,11 +451,16 @@ def apply_retention_to_store(spark: SparkSession, output_root: str,
     tiers = list(keep_windows.keys())
     store = read_table(spark, f"{output_root}/data",
                        base_path=f"{output_root}/data")
+    # an incrementally-refreshed store carries a leading epoch partition
+    # key: the rewrite must preserve it, or the dynamic overwrite would
+    # write bucket=… dirs beside the epoch=… dirs and corrupt the layout
+    part_cols = (("epoch", "bucket", "tier") if "epoch" in store.columns
+                 else ("bucket", "tier"))
     affected = store.filter(F.col("tier").isin(tiers))
     before = affected.count()          # scan 1: pre-image row count
     kept = apply_retention(affected, keep_windows)
     write_table(kept, f"{output_root}/data", mode="overwrite",
-                partition_by=("bucket", "tier"), dynamic_overwrite=True)
+                partition_by=part_cols, dynamic_overwrite=True)
     # post-image count from the (much smaller) committed partitions — the
     # same validate-from-committed-output pattern as run_checkpointed,
     # instead of re-running the retention window a second time
