@@ -712,6 +712,20 @@ def q_cusum_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                           target=50.0, threshold=200.0)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (Lee et al. 2022 word-grain;
+    tsrollup.dedup.duplicated_span_stats): per doc, the fraction covered
+    by an 8-gram that also appears in another doc — region-level dedup
+    signal the whole-doc pair ops can't see. Cross-doc test is
+    count-over-(g) > count-over-(g,doc) (both windows on ONE hash(g)
+    exchange); coverage is the exact interval-union island sum. The
+    fixture corpus has ~1000 genuinely cross-doc duplicate 8-grams, so
+    the oracle hashes non-trivial values."""
+    from tsrollup.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(_docs(spark, sf_dir), n=8)
+
+
 def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Piecewise Aggregate Approximation + SAX symbol per frame
     (tsrollup.features.paa_sax) — the classical training-free counterpart
@@ -1617,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "pii_scan": q_pii_scan,
         "cusum_episodes": q_cusum_episodes,
+        "dup_spans": q_dup_spans,
         "paa_sax": q_paa_sax,
         "sax_words": q_sax_words,
         "acf_moments": q_acf_moments,
@@ -2991,6 +3006,38 @@ scored AS (
   FROM scored
 )
 SELECT qid, id, cos_sim, rank::INT AS rank FROM r WHERE rank <= 5
+"""
+
+    # span-level duplication: cross-doc test via the two window counts
+    # (corpus > within-doc), coverage via the interval-union island sum;
+    # gram key is the shared 60-bit md5 slice
+    sqls["dup_spans"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, len(w)::BIGINT AS n_words, (i - 1)::INT AS pos,
+         ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT
+           AS g
+  FROM w, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+), f AS (
+  SELECT *, (CASE WHEN COUNT(*) OVER (PARTITION BY g) >
+                       COUNT(*) OVER (PARTITION BY g, doc_id)
+             THEN 1 ELSE 0 END) AS dup
+  FROM g
+), c AS (
+  SELECT *, lead(pos) OVER (PARTITION BY doc_id ORDER BY dup, pos) AS nxt
+  FROM f
+)
+SELECT doc_id, MAX(n_words)::BIGINT AS n_words,
+       COUNT(*)::BIGINT AS n_grams,
+       SUM(dup)::BIGINT AS n_dup_starts,
+       SUM(CASE WHEN dup = 1
+                THEN LEAST(COALESCE(nxt - pos, 8), 8) ELSE 0 END)::BIGINT
+         AS covered_words,
+       SUM(CASE WHEN dup = 1
+                THEN LEAST(COALESCE(nxt - pos, 8), 8) ELSE 0 END)::DOUBLE
+         / MAX(n_words)::DOUBLE AS dup_frac
+FROM c GROUP BY doc_id
 """
 
     # PAA + SAX: positions grouped by the exact assignment rule p·F div n

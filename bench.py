@@ -78,6 +78,7 @@ HEADLINE = [
     "vocab_topk",
     "source_mixture",
     "dedup_exact",
+    "dup_spans",
     "jaccard_pairs",
     "minhash_signatures",
     "lsh_pairs",

@@ -272,3 +272,55 @@ def test_contamination_matches_planted_probe(spark):
     assert out.loc[100, "n_hits"] == 2
     assert out.loc[102, "n_hits"] == 4
     assert "BroadcastHashJoin" in formatted_plan(matched)
+
+
+class TestDuplicatedSpanStats:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_shared_span_is_covered_in_both_docs(self, spark):
+        from tsrollup.dedup import duplicated_span_stats
+        # docs share the 3-gram "x y z"; the rest differs
+        df = self._docs(spark, [("a", "p q x y z r"), ("b", "s x y z t u")])
+        out = {r.doc_id: r for r in
+               duplicated_span_stats(df, n=3).collect()}
+        for d in ("a", "b"):
+            assert out[d].n_dup_starts == 1
+            assert out[d].covered_words == 3
+            assert out[d].dup_frac == 3 / 6
+
+    def test_overlapping_spans_union_not_sum(self, spark):
+        from tsrollup.dedup import duplicated_span_stats
+        # "x y z w" shared -> two dup 3-gram starts in each doc, overlapping:
+        # union covers 4 words, not 6
+        df = self._docs(spark, [("a", "x y z w a b"), ("b", "c d x y z w")])
+        out = {r.doc_id: r for r in
+               duplicated_span_stats(df, n=3).collect()}
+        assert out["a"].n_dup_starts == 2
+        assert out["a"].covered_words == 4
+
+    def test_within_doc_repeat_is_not_cross_doc(self, spark):
+        from tsrollup.dedup import duplicated_span_stats
+        # "x y z" twice in ONE doc, absent elsewhere: not cross-doc dup
+        df = self._docs(spark, [("a", "x y z q x y z"), ("b", "m n o p")])
+        out = {r.doc_id: r for r in
+               duplicated_span_stats(df, n=3).collect()}
+        assert out["a"].n_dup_starts == 0 and out["a"].covered_words == 0
+        assert out["b"].n_dup_starts == 0
+
+    def test_fully_duplicated_doc(self, spark):
+        from tsrollup.dedup import duplicated_span_stats
+        df = self._docs(spark, [("a", "x y z w"), ("b", "x y z w")])
+        out = {r.doc_id: r for r in
+               duplicated_span_stats(df, n=2).collect()}
+        assert out["a"].dup_frac == 1.0 and out["b"].dup_frac == 1.0
+
+    def test_short_docs_emit_nothing(self, spark):
+        from tsrollup.dedup import duplicated_span_stats
+        df = self._docs(spark, [("a", "x y")])
+        assert duplicated_span_stats(df, n=3).count() == 0
+
+    def test_validation(self, spark):
+        from tsrollup.dedup import duplicated_span_stats
+        with pytest.raises(ValueError):
+            duplicated_span_stats(self._docs(spark, []), n=0)

@@ -414,3 +414,69 @@ def contamination_matches(docs: DataFrame, probes: DataFrame, n: int = 8,
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_hits"),
                  F.min("h").alias("first_hit")))
+
+
+def duplicated_span_stats(df: DataFrame, n: int = 8,
+                          text_col: str = "text") -> DataFrame:
+    """Span-level EXACT-substring duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    word-grain): per doc, how much of it is covered by an ``n``-gram that
+    also appears in ANOTHER doc. The whole-doc ops (jaccard/minhash/simhash)
+    rate document pairs; this rates REGIONS — the boilerplate header a
+    thousand pages share, the quoted paragraph — which pair-level similarity
+    can't see when the rest of the doc differs.
+
+    Positions, not sets: every n-gram start keeps its position; a gram is
+    cross-doc duplicated iff its corpus occurrence count exceeds its
+    within-doc count (count-over-(g) > count-over-(g,doc) — no
+    countDistinct, and both windows ride ONE hash(g) exchange since
+    hash(g) clusters (g, doc) too). Covered-position arithmetic is the
+    interval-union island sum Σ min(next_dup_start − start, n) (+n for the
+    last), computed with one lead window per doc — exact union size, no
+    k× position explode.
+
+    Scale shape: the gram stream (one row per word position) pays the
+    hash(g) exchange and the per-doc window exchange; the final per-doc
+    aggregation reuses the doc partitioning. No df-cap is needed: unlike
+    the pair self-join there is no quadratic group — a corpus-common gram
+    contributes one flag per occurrence, never df² pairs.
+
+    Output per doc with ≥1 gram: doc_id, n_words, n_grams, n_dup_starts,
+    covered_words, dup_frac (covered/n_words, one IEEE division —
+    bit-exact in the DuckDB oracle).
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col("_w")
+    ng = F.size(w) - n + 1
+    gram = F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda i: _h60(F.array_join(F.slice(w, i + 1, n), " ")))
+    grams = (df.select("doc_id",
+                       F.split(F.col(text_col), " ").alias("_w"))
+             .filter(ng >= 1)
+             .select("doc_id", F.size(w).alias("n_words"),
+                     F.posexplode(gram).alias("pos", "g")))
+    cnt_g = F.count("*").over(Window.partitionBy("g"))
+    cnt_gd = F.count("*").over(Window.partitionBy("g", "doc_id"))
+    flagged = grams.withColumn("_dup", (cnt_g > cnt_gd).cast("int"))
+    # next dup start per doc: order (flag, pos) inside the doc partition —
+    # dup rows are contiguous in that order, so lead(pos) on a dup row is
+    # the next dup start (NULL on the last -> full n coverage)
+    wd = Window.partitionBy("doc_id").orderBy("_dup", "pos")
+    nxt = F.lead("pos").over(wd)
+    contrib = F.when(
+        F.col("_dup") == 1,
+        F.least(F.coalesce(nxt - F.col("pos"), F.lit(n)), F.lit(n))) \
+        .otherwise(F.lit(0))
+    return (flagged
+            .withColumn("_cov", contrib)
+            .groupBy("doc_id")
+            .agg(F.max("n_words").cast("long").alias("n_words"),
+                 F.count("*").cast("long").alias("n_grams"),
+                 F.sum("_dup").cast("long").alias("n_dup_starts"),
+                 F.sum("_cov").cast("long").alias("covered_words"),
+                 (F.sum("_cov").cast("double")
+                  / F.max("n_words").cast("double")).alias("dup_frac")))
