@@ -828,6 +828,19 @@ def q_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_gapfill(_fact(spark, sf_dir, "events"))
 
 
+def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting per user (budget 10%, both
+    windows ≥2× — tsrollup.counters.burn_rate): short-window (hour) and
+    long-window (day) error-ratio burn; the alert needs BOTH, the SRE
+    workbook pattern. One raw scan/exchange; daily totals ride a window
+    over the hourly rows (single lineage). Exact counts, two IEEE
+    divisions — bit-exact tail oracle."""
+    from tsrollup.counters import burn_rate
+
+    return burn_rate(_fact(spark, sf_dir, "events"),
+                     budget=0.1, threshold=2.0)
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per (user, event_type) series × hour bucket
     (tsrollup.counters.time_weighted_avg) — the TimescaleDB time_weight /
@@ -1640,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift": q_source_drift,
         "time_weighted_avg": q_time_weighted_avg,
         "grid_gapfill": q_grid_gapfill,
+        "burn_rate": q_burn_rate,
         "incremental_rollup": q_incremental_rollup,
         "holt_scan": q_holt_scan,
         "lttb": q_lttb,
@@ -3105,6 +3119,32 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, word ASC) AS rank FROM s)
 SELECT doc_id, rank::INT AS rank, word, tf, df_docs, score
 FROM r WHERE rank <= 5
+"""
+
+    # SLO burn rate: exact hourly counts, daily totals as a window over
+    # the hourly grain, two IEEE divisions per row, both-windows alert
+    sqls["burn_rate"] = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS n_err
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), d AS (
+  SELECT *,
+         (SUM(n) OVER (PARTITION BY user_id,
+                       date_trunc('day', hour_ts)))::BIGINT AS day_n,
+         (SUM(n_err) OVER (PARTITION BY user_id,
+                           date_trunc('day', hour_ts)))::BIGINT AS day_err
+  FROM h
+)
+SELECT user_id, hour_ts, n, n_err, day_n, day_err,
+       (n_err::DOUBLE / n::DOUBLE) / 0.1 AS burn_short,
+       (day_err::DOUBLE / day_n::DOUBLE) / 0.1 AS burn_long,
+       (CASE WHEN (n_err::DOUBLE / n::DOUBLE) / 0.1 >= 2.0
+              AND (day_err::DOUBLE / day_n::DOUBLE) / 0.1 >= 2.0
+        THEN 1 ELSE 0 END)::INT AS alert
+FROM d
 """
 
     # grid gap-fill: generate_series grid per series, left join the

@@ -117,6 +117,7 @@ HEADLINE = [
     "source_drift",
     "time_weighted_avg",
     "grid_gapfill",
+    "burn_rate",
     "holt_scan",
     "lttb",
 ]

@@ -376,3 +376,55 @@ class TestGridGapfill:
         # no per-group python, no cartesian
         assert count_op(plan, "FlatMapGroupsInPandas") == 0
         assert count_op(plan, "CartesianProduct") == 0
+
+
+class TestBurnRate:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, event_id long, "
+                  "ts timestamp, value double")
+
+    def test_both_windows_must_fire(self, spark):
+        from tsrollup.counters import burn_rate
+        # hour 10: 5 errors / 5 events (burn 10); rest of the day clean
+        # enough that the day burn stays under threshold -> NO alert
+        rows = [_row(1, "error", i, i, 1.0) for i in range(5)]
+        rows += [_row(1, "view", 100 + i, 3 * 3600 + i, 1.0)
+                 for i in range(95)]
+        out = {r.hour_ts.hour: r for r in
+               burn_rate(self._ev(spark, rows), budget=0.1,
+                         threshold=2.0).collect()}
+        h10 = out[10]
+        assert h10.burn_short == 10.0
+        assert h10.day_err == 5 and h10.day_n == 100
+        assert h10.burn_long == 0.5  # 5% / 10%
+        assert h10.alert == 0  # long window vetoes
+
+    def test_sustained_burn_alerts(self, spark):
+        from tsrollup.counters import burn_rate
+        # every hour 50% errors all day: both windows burn at 5x
+        rows = []
+        for h in range(4):
+            rows += [_row(1, "error", h * 100 + i, h * 3600 + i, 1.0)
+                     for i in range(2)]
+            rows += [_row(1, "view", h * 100 + 50 + i, h * 3600 + 60 + i,
+                          1.0) for i in range(2)]
+        out = burn_rate(self._ev(spark, rows), budget=0.1,
+                        threshold=2.0).collect()
+        assert all(r.burn_short == 5.0 and r.burn_long == 5.0
+                   and r.alert == 1 for r in out)
+
+    def test_budget_validation(self, spark):
+        from tsrollup.counters import burn_rate
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            burn_rate(self._ev(spark, []), budget=0.0)
+
+    def test_day_totals_reaggregate_from_hourly(self, spark):
+        from tsrollup.counters import burn_rate
+        from tsrollup.planaudit import formatted_plan
+        plan = formatted_plan(burn_rate(self._ev(spark, [])))
+        # exactly ONE scan of the raw events relation in the plan
+        import re
+        scans = re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)
+        assert len(scans) == 1, plan

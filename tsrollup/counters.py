@@ -478,3 +478,53 @@ def m4_downsample(events: DataFrame, n_buckets: int = 64,
                  F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("v_last"),
                  F.min("v").alias("v_min"),
                  F.max("v").alias("v_max")))
+
+
+def burn_rate(events: DataFrame,
+              series_cols: Sequence[str] = ("user_id",),
+              ts_col: str = "ts", type_col: str = "event_type",
+              error_type: str = "error",
+              budget: float = 0.1, threshold: float = 2.0) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern): per series × hour, the error ratio over the SHORT window
+    (that hour) and the LONG window (its containing day), each divided by
+    the error ``budget``; the alert fires only when BOTH burn rates exceed
+    ``threshold`` — the long window keeps one bad minute from paging, the
+    short window ends the page as soon as the burn stops.
+
+    Exactness: counts are exact integers; each ratio/burn is IEEE division
+    of exactly-converted int64 (two divisions, same order both engines);
+    the alert is a comparison on those doubles.
+
+    Shape: the hourly aggregation is the ONE raw-data exchange and the ONE
+    raw scan; the daily totals ride a WINDOW over the hourly rows (the
+    bigram_lm single-lineage trick — a groupBy+join branch would
+    re-execute the raw scan, measured here too), so the only extra
+    exchange moves the tiny hourly grain.
+
+    Output: series_cols…, hour_ts, n, n_err, day_n, day_err,
+    burn_short, burn_long (doubles), alert (int).
+    """
+    if not (0.0 < budget <= 1.0):
+        raise ValueError("budget must be in (0, 1]")
+    scols = list(series_cols)
+    is_err = (F.col(type_col) == error_type).cast("long")
+    hour = (events
+            .groupBy(*scols,
+                     F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(is_err).cast("long").alias("n_err")))
+    wd = Window.partitionBy(*scols, F.date_trunc("day", F.col("hour_ts")))
+    j = (hour
+         .withColumn("day_n", F.sum("n").over(wd).cast("long"))
+         .withColumn("day_err", F.sum("n_err").over(wd).cast("long")))
+    b = F.lit(float(budget))
+    burn_s = (F.col("n_err").cast("double") / F.col("n").cast("double")) / b
+    burn_l = (F.col("day_err").cast("double")
+              / F.col("day_n").cast("double")) / b
+    thr = float(threshold)
+    return (j.withColumn("burn_short", burn_s)
+            .withColumn("burn_long", burn_l)
+            .withColumn("alert",
+                        ((F.col("burn_short") >= thr)
+                         & (F.col("burn_long") >= thr)).cast("int")))
