@@ -828,6 +828,20 @@ def q_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_gapfill(_fact(spark, sf_dir, "events"))
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier census via MAD
+    (tsrollup.rollup.mad_outliers): median and median-absolute-deviation
+    by EXACT histogram selection (one raw pass — the deviation
+    distribution derives from the value histogram, never a second scan),
+    outliers = rows with |v − median| > 3·MAD. The z-score detector's
+    threshold moves when the outlier grows; MAD's doesn't (tested).
+    Integer-exact; bit-exact tail oracle."""
+    from tsrollup.rollup import mad_outliers
+
+    return mad_outliers(_docs(spark, sf_dir),
+                        group_cols=("source",), value_col="n_chars", k=3)
+
+
 def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-window SLO burn-rate alerting per user (budget 10%, both
     windows ≥2× — tsrollup.counters.burn_rate): short-window (hour) and
@@ -1654,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "grid_gapfill": q_grid_gapfill,
         "burn_rate": q_burn_rate,
+        "mad_outliers": q_mad_outliers,
         "incremental_rollup": q_incremental_rollup,
         "holt_scan": q_holt_scan,
         "lttb": q_lttb,
@@ -3119,6 +3134,43 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, word ASC) AS rank FROM s)
 SELECT doc_id, rank::INT AS rank, word, tf, df_docs, score
 FROM r WHERE rank <= 5
+"""
+
+    # MAD outliers: the exact two-selection chain over ONE histogram —
+    # median from the value histogram, MAD from the derived deviation
+    # histogram, census by integer compare
+    sqls["mad_outliers"] = """
+WITH h AS (
+  SELECT source, n_chars AS v, COUNT(*)::BIGINT AS c
+  FROM documents GROUP BY source, n_chars
+), m AS (
+  SELECT *, (SUM(c) OVER (PARTITION BY source))::BIGINT AS n,
+         (SUM(c) OVER (PARTITION BY source ORDER BY v
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+  FROM h
+), med AS (
+  SELECT *, MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+              OVER (PARTITION BY source) AS medv
+  FROM m
+), dh AS (
+  SELECT source, MAX(n) AS n, MAX(medv) AS medv, ABS(v - medv) AS d,
+         SUM(c)::BIGINT AS c
+  FROM med GROUP BY source, ABS(v - medv)
+), m2 AS (
+  SELECT *, (SUM(c) OVER (PARTITION BY source ORDER BY d
+                          ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+  FROM dh
+), mad AS (
+  SELECT *, MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+              OVER (PARTITION BY source) AS madv
+  FROM m2
+)
+SELECT source, MAX(n)::BIGINT AS n_rows, MAX(medv)::BIGINT AS median,
+       MAX(madv)::BIGINT AS mad,
+       SUM(CASE WHEN d > 3 * madv THEN c ELSE 0 END)::BIGINT AS n_outliers,
+       SUM(CASE WHEN d > 3 * madv THEN c ELSE 0 END)::DOUBLE
+         / MAX(n)::DOUBLE AS outlier_frac
+FROM mad GROUP BY source
 """
 
     # SLO burn rate: exact hourly counts, daily totals as a window over

@@ -118,6 +118,7 @@ HEADLINE = [
     "time_weighted_avg",
     "grid_gapfill",
     "burn_rate",
+    "mad_outliers",
     "holt_scan",
     "lttb",
 ]

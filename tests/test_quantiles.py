@@ -75,3 +75,57 @@ class TestGroupQuantiles:
         plan = formatted_plan(group_quantiles(df))
         assert n_data_exchanges(plan) == 2
         assert plan.index("HashAggregate") < plan.index("Sort")
+
+
+class TestMadOutliers:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "source string, n_chars long")
+
+    def test_hand_computed(self, spark):
+        from tsrollup.rollup import mad_outliers
+        df = self._df(spark, [("a", v) for v in list(range(1, 10)) + [100]])
+        r = mad_outliers(df, k=3).collect()[0]
+        # median rank ceil(10/2)=5 -> 5; devs sorted 0,1,1,2,2,3,3,4,4,95
+        # -> MAD 2; outliers: dev > 6 -> only the 100
+        assert (r.median, r.mad, r.n_outliers) == (5, 2, 1)
+        assert r.outlier_frac == 0.1
+
+    def test_outlier_does_not_move_the_threshold(self, spark):
+        from tsrollup.rollup import mad_outliers
+        # the robust-stats point: make the outlier 100x bigger,
+        # median/MAD/threshold unchanged
+        a = mad_outliers(self._df(
+            spark, [("a", v) for v in list(range(1, 10)) + [100]])).collect()[0]
+        b = mad_outliers(self._df(
+            spark, [("a", v) for v in list(range(1, 10)) + [10000]])).collect()[0]
+        assert (a.median, a.mad) == (b.median, b.mad)
+        assert a.n_outliers == b.n_outliers == 1
+
+    def test_constant_series_has_no_outliers(self, spark):
+        from tsrollup.rollup import mad_outliers
+        r = mad_outliers(self._df(spark, [("a", 7)] * 5)).collect()[0]
+        assert (r.median, r.mad, r.n_outliers) == (7, 0, 0)
+
+    def test_groups_independent_and_numpy_parity(self, spark):
+        import numpy as np
+        from tsrollup.rollup import mad_outliers
+        rng = np.random.default_rng(41)
+        rows = [(f"s{i % 3}", int(v))
+                for i, v in enumerate(rng.integers(0, 60, size=300))]
+        out = {r.source: r for r in
+               mad_outliers(self._df(spark, rows), k=3).collect()}
+        for s in ("s0", "s1", "s2"):
+            x = np.sort([v for g, v in rows if g == s])
+            n = len(x)
+            med = x[(n + 1) // 2 - 1]
+            d = np.sort(np.abs(np.array([v for g, v in rows if g == s])
+                               - med))
+            mad = d[(n + 1) // 2 - 1]
+            r = out[s]
+            assert (r.median, r.mad) == (med, mad), s
+            assert r.n_outliers == int((d > 3 * mad).sum()), s
+
+    def test_validation(self, spark):
+        from tsrollup.rollup import mad_outliers
+        with pytest.raises(ValueError):
+            mad_outliers(self._df(spark, []), k=0)

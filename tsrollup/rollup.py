@@ -491,6 +491,65 @@ def group_quantiles(df: DataFrame, group_cols=("source",),
     return probed.groupBy(*groups).agg(*aggs)
 
 
+def mad_outliers(df: DataFrame, group_cols=("source",),
+                 value_col: str = "n_chars", k: int = 3) -> DataFrame:
+    """Robust per-group outlier detection via MAD (median absolute
+    deviation) — the estimator that doesn't move when the outliers do
+    (z-scores feed the anomaly into its own threshold; znorm_outliers'
+    documented weakness).
+
+    EXACT and single-raw-pass: the (group, value) histogram is the only
+    thing computed from raw rows; the median is a histogram selection
+    (cumulative-count window + the ⌈n/2⌉ rank, the group_quantiles
+    machinery), the deviation distribution |v − median| is DERIVED from
+    the same histogram (re-keyed at histogram grain — values collapse in
+    pairs, counts add), MAD is a second selection over it, and the outlier
+    census Σ count·[dev > k·MAD] is integer arithmetic. No float
+    quantiles, no second scan of raw data, no per-group sort of raw rows.
+
+    Output: group_cols…, n_rows, median (long), mad (long),
+    n_outliers (long, rows with |v − median| > k·MAD),
+    outlier_frac (double, one IEEE division).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    groups = list(group_cols)
+    hist = (df.groupBy(*groups, F.col(value_col).alias("_v"))
+            .agg(F.count("*").cast("long").alias("_c")))
+    wg = Window.partitionBy(*groups)
+    n = F.sum("_c").over(wg)
+    cum = F.sum("_c").over(wg.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0))
+    rank = F.expr("(1 * _n + 1) div 2")
+    staged = (hist.select(*groups, "_v", "_c", n.alias("_n"),
+                          cum.alias("_cum"))
+              .withColumn("_med",
+                          F.min(F.when(F.col("_cum") >= rank,
+                                       F.col("_v"))).over(wg)))
+    devh = (staged
+            .select(*groups, "_n", "_med",
+                    F.abs(F.col("_v") - F.col("_med")).alias("_d"), "_c")
+            .groupBy(*groups, "_d")
+            .agg(F.max("_n").alias("_n"), F.max("_med").alias("_med"),
+                 F.sum("_c").cast("long").alias("_c")))
+    cum2 = F.sum("_c").over(wg.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, 0))
+    staged2 = (devh.withColumn("_cum", cum2)
+               .withColumn("_mad",
+                           F.min(F.when(F.col("_cum") >= rank,
+                                        F.col("_d"))).over(wg)))
+    out_c = F.when(F.col("_d") > F.lit(int(k)) * F.col("_mad"),
+                   F.col("_c")).otherwise(F.lit(0))
+    return (staged2.groupBy(*groups)
+            .agg(F.max("_n").cast("long").alias("n_rows"),
+                 F.max("_med").cast("long").alias("median"),
+                 F.max("_mad").cast("long").alias("mad"),
+                 F.sum(out_c).cast("long").alias("n_outliers"))
+            .withColumn("outlier_frac",
+                        F.col("n_outliers").cast("double")
+                        / F.col("n_rows").cast("double")))
+
+
 RETENTION_DEFAULT = {"1m": 1440, "1h": 168, "1d": 365}
 
 
