@@ -842,6 +842,32 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend over the hourly grid
+    (tsrollup.counters.trend_slope): normal-equation cross-moments kept
+    exact in decimal(38,0) (n·Σxy overflows int64 at a year of busy
+    hourly buckets), x = time-aware bucket index (`div`, so missing
+    buckets shift nothing — tested). The regression twin of
+    cusum_drift's changepoint view; bit-exact tail oracle (HUGEINT
+    arithmetic on the DuckDB side)."""
+    from tsrollup.counters import trend_slope
+
+    return trend_slope(_fact(spark, sf_dir, "events"))
+
+
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile + anomaly census per event type
+    (tsrollup.counters.seasonal_baseline): each sample judged against its
+    OWN hour's baseline via the division-free cross-multiplied test
+    tol_den·|v·n − s| > tol_num·|s| — no float mean, no epsilon, so the
+    flags are bit-reproducible. ONE exchange (window partitioning ==
+    grouping keys). Bit-exact tail oracle."""
+    from tsrollup.counters import seasonal_baseline
+
+    return seasonal_baseline(_fact(spark, sf_dir, "events"),
+                             series_cols=("event_type",))
+
+
 def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-window SLO burn-rate alerting per user (budget 10%, both
     windows ≥2× — tsrollup.counters.burn_rate): short-window (hour) and
@@ -1672,6 +1698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "holt_scan": q_holt_scan,
         "lttb": q_lttb,
+        "trend_slope": q_trend_slope,
+        "seasonal_baseline": q_seasonal_baseline,
     }
 
 
@@ -3336,6 +3364,68 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # OLS trend: the same normal-equation moments in HUGEINT (int128 —
+    # DuckDB's exact twin of Spark's decimal(38,0)); x via epoch_us and
+    # integer `//` (offsets are non-negative so floor == the engine's div)
+    sqls["trend_slope"] = """
+WITH g AS (
+  SELECT user_id, event_type, date_trunc('hour', ts) AS b,
+         SUM((value::DECIMAL(18,2) * 100)::BIGINT::HUGEINT) AS y
+  FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)
+), x AS (
+  SELECT user_id, event_type, y,
+         ((epoch_us(b) - MIN(epoch_us(b)) OVER (
+             PARTITION BY user_id, event_type)) // 3600000000)::HUGEINT AS x
+  FROM g
+), s AS (
+  SELECT user_id, event_type,
+         COUNT(*)::BIGINT AS n_buckets, MAX(x)::BIGINT AS x_last,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM x GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_buckets, x_last,
+       sy::DOUBLE AS sum_y_cents,
+       (n_buckets::HUGEINT * sxy - sx * sy)::DOUBLE AS slope_num,
+       (n_buckets::HUGEINT * sxx - sx * sx)::DOUBLE AS slope_den,
+       (sy * sxx - sx * sxy)::DOUBLE AS intercept_num,
+       CASE WHEN n_buckets::HUGEINT * sxx - sx * sx != 0 THEN
+         (n_buckets::HUGEINT * sxy - sx * sy)::DOUBLE
+           / (n_buckets::HUGEINT * sxx - sx * sx)::DOUBLE
+       END AS slope_cents_per_bucket,
+       CASE WHEN n_buckets::HUGEINT * sxx - sx * sx != 0 THEN
+         (sy * sxx - sx * sxy)::DOUBLE
+           / (n_buckets::HUGEINT * sxx - sx * sx)::DOUBLE
+       END AS intercept_cents
+FROM s
+"""
+
+    # seasonal profile: the cross-multiplied anomaly test on exact
+    # integers — both engines evaluate tol_den·|v·n − s| > tol_num·|s|
+    # with no division anywhere
+    sqls["seasonal_baseline"] = """
+WITH e AS (
+  SELECT event_type, hour(ts)::INT AS hod,
+         (value::DECIMAL(18,2) * 100)::BIGINT::HUGEINT AS c
+  FROM events
+), w AS (
+  SELECT event_type, hod, c,
+         COUNT(*) OVER (PARTITION BY event_type, hod) AS n,
+         SUM(c) OVER (PARTITION BY event_type, hod) AS s
+  FROM e
+)
+SELECT event_type, hod,
+       COUNT(*)::BIGINT AS n_samples,
+       SUM(c)::DOUBLE AS sum_cents,
+       SUM(c)::DOUBLE / (COUNT(*) * 100)::DOUBLE AS mean_value,
+       SUM(CASE WHEN abs(c * n - s) * 2 > abs(s) * 1
+                THEN 1 ELSE 0 END)::BIGINT AS n_anom,
+       SUM(CASE WHEN abs(c * n - s) * 2 > abs(s) * 1
+                THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         / COUNT(*)::BIGINT::DOUBLE AS anom_rate
+FROM w GROUP BY event_type, hod
 """
 
     return sqls

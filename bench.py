@@ -121,6 +121,8 @@ HEADLINE = [
     "mad_outliers",
     "holt_scan",
     "lttb",
+    "trend_slope",
+    "seasonal_baseline",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

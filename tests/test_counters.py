@@ -428,3 +428,113 @@ class TestBurnRate:
         import re
         scans = re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)
         assert len(scans) == 1, plan
+
+
+class TestTrendSlope:
+    def test_linear_ramp_recovers_slope(self, spark):
+        from tsrollup.counters import trend_slope
+        # y = 10·(x+1) value units per hour => 1000 cents/bucket slope,
+        # intercept 1000 cents
+        df = _events(spark, [_row(1, "a", i, i * 3600, 10.0 * (i + 1))
+                             for i in range(5)])
+        r = trend_slope(df).collect()[0]
+        assert r.n_buckets == 5 and r.x_last == 4
+        assert r.slope_cents_per_bucket == 1000.0
+        assert r.intercept_cents == 1000.0
+
+    def test_missing_buckets_keep_time_aware_x(self, spark):
+        from tsrollup.counters import trend_slope
+        # samples at hours 0 and 4 (3 missing buckets): the x values must
+        # be 0 and 4, not 0 and 1 — slope = (4000-1000)/4 = 750 cents/bucket
+        df = _events(spark, [_row(1, "a", 0, 0, 10.0),
+                             _row(1, "a", 1, 4 * 3600, 40.0)])
+        r = trend_slope(df).collect()[0]
+        assert r.x_last == 4
+        assert r.slope_cents_per_bucket == 750.0
+
+    def test_same_bucket_samples_sum_first(self, spark):
+        from tsrollup.counters import trend_slope
+        # two samples inside hour 0 aggregate to one grid point
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0),
+                             _row(1, "a", 1, 60, 2.0),
+                             _row(1, "a", 2, 3600, 6.0)])
+        r = trend_slope(df).collect()[0]
+        assert r.n_buckets == 2
+        # y: 300, 600 cents at x 0, 1
+        assert r.slope_cents_per_bucket == 300.0 and r.intercept_cents == 300.0
+
+    def test_single_bucket_series_yields_null(self, spark):
+        from tsrollup.counters import trend_slope
+        df = _events(spark, [_row(1, "a", 0, 0, 7.0)])
+        r = trend_slope(df).collect()[0]
+        assert r.slope_den == 0.0
+        assert r.slope_cents_per_bucket is None
+        assert r.intercept_cents is None
+
+    def test_flat_series_zero_slope(self, spark):
+        from tsrollup.counters import trend_slope
+        df = _events(spark, [_row(1, "a", i, i * 3600, 5.0)
+                             for i in range(4)])
+        r = trend_slope(df).collect()[0]
+        assert r.slope_cents_per_bucket == 0.0
+        assert r.intercept_cents == 500.0
+
+    def test_rejects_bad_bucket(self, spark):
+        from tsrollup.counters import trend_slope
+        with pytest.raises(ValueError):
+            trend_slope(_events(spark, []), bucket="week")
+
+    def test_two_exchanges_raw_then_grid(self, spark):
+        from tsrollup.counters import trend_slope
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(trend_slope(df))
+        # raw→grid aggregation plus the grid-grain series exchange shared
+        # by the min-bucket window and the final regroup
+        assert n_data_exchanges(plan) == 2, plan
+
+
+class TestSeasonalBaseline:
+    def test_profile_and_anomaly_flags(self, spark):
+        from tsrollup.counters import seasonal_baseline
+        # hod 10 cell: values 10, 10, 40 => mean 20; tol 1/2 flags
+        # |v-20| > 10: the 40 only
+        rows = [_row(1, "a", 0, 0, 10.0), _row(1, "a", 1, 60, 10.0),
+                _row(1, "a", 2, 120, 40.0)]
+        r = seasonal_baseline(_events(spark, rows),
+                              series_cols=("user_id",)).collect()[0]
+        assert r.hod == 10 and r.n_samples == 3
+        assert r.mean_value == 20.0
+        assert r.n_anom == 1 and r.anom_rate == 1.0 / 3.0
+
+    def test_threshold_is_strict(self, spark):
+        from tsrollup.counters import seasonal_baseline
+        # values 10, 30: mean 20, band is ±10 — both sit EXACTLY on the
+        # edge, and the strictly-greater test must not flag either
+        rows = [_row(1, "a", 0, 0, 10.0), _row(1, "a", 1, 60, 30.0)]
+        r = seasonal_baseline(_events(spark, rows),
+                              series_cols=("user_id",)).collect()[0]
+        assert r.n_anom == 0
+
+    def test_cells_are_independent(self, spark):
+        from tsrollup.counters import seasonal_baseline
+        # a value normal at hod 11 but twice the hod-10 mean is only
+        # judged against its own hour's cell
+        rows = [_row(1, "a", 0, 0, 10.0), _row(1, "a", 1, 60, 10.0),
+                _row(1, "a", 2, 3600, 20.0), _row(1, "a", 3, 3660, 20.0)]
+        out = {r.hod: r for r in
+               seasonal_baseline(_events(spark, rows),
+                                 series_cols=("user_id",)).collect()}
+        assert out[10].n_anom == 0 and out[11].n_anom == 0
+
+    def test_rejects_bad_tolerance(self, spark):
+        from tsrollup.counters import seasonal_baseline
+        with pytest.raises(ValueError):
+            seasonal_baseline(_events(spark, []), tol_den=0)
+        with pytest.raises(ValueError):
+            seasonal_baseline(_events(spark, []), tol_num=-1)
+
+    def test_single_exchange(self, spark):
+        from tsrollup.counters import seasonal_baseline
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(seasonal_baseline(df))
+        assert n_data_exchanges(plan) == 1, plan

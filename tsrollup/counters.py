@@ -19,6 +19,10 @@ output bit:
   (gaps-and-islands over the scores), one summarized row per episode.
 - ``m4_downsample`` — the M4 width-preserving visualization downsampler
   (Jugel et al., VLDB 2014): first/last/min/max per pixel bucket.
+- ``trend_slope`` — per-series OLS trend over the bucket grid, the classic
+  normal-equation cross-moments kept exact in 128-bit decimals.
+- ``seasonal_baseline`` — hour-of-day seasonal profile with integer-exact
+  anomaly flags (division-free cross-multiplied threshold).
 
 The per-series operators pay ONE exchange: the window partitioning is a
 subset of every later grouping key, so Spark's EnsureRequirements reuses it.
@@ -528,3 +532,149 @@ def burn_rate(events: DataFrame,
             .withColumn("alert",
                         ((F.col("burn_short") >= thr)
                          & (F.col("burn_long") >= thr)).cast("int")))
+
+
+_BUCKET_US = {"minute": 60_000_000, "hour": 3_600_000_000,
+              "day": 86_400_000_000}
+
+
+def trend_slope(events: DataFrame,
+                series_cols: Sequence[str] = ("user_id", "event_type"),
+                ts_col: str = "ts", value_col: str = "value",
+                bucket: str = "hour") -> DataFrame:
+    """Per-series OLS trend over the regular bucket grid — "is this metric
+    drifting up, and how fast" (the regression twin of cusum_drift's
+    changepoint view; Prometheus' ``deriv()`` computes the same statistic).
+
+    Per series, samples aggregate onto a ``date_trunc(bucket)`` grid
+    (y = the bucket's cents sum) with x = the bucket's integer index from
+    the series' first active bucket (``div`` on microseconds — time-aware,
+    so missing buckets shift nothing). The least-squares line then comes
+    from the normal equations over four cross-moment sums::
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    Exactness: x is retention-bounded (a year of hours is 8 766 indices)
+    and y is an exact cents integer, so every sum and the two normal-
+    equation numerators stay EXACT in 128-bit decimal(38,0) arithmetic —
+    a long product n·Σxy overflows int64 already at a year of busy hourly
+    buckets (8 766 · 8 766² · y), which is why the moments widen to
+    decimal before multiplying. The emitted doubles convert exactly while
+    |numerator| < 2^53 (true at every test SF by orders of magnitude; the
+    int64→double hardware-rounding argument from time_weighted_avg), and
+    slope/intercept are then single IEEE divisions. A single-bucket
+    series (denominator 0) emits NULL slope/intercept, not a fake 0.
+
+    Shape: one raw-data exchange (the grid aggregation); the per-series
+    min-bucket window and the final per-series regroup both run at grid
+    grain and share one series-hash exchange (the window's partitioning is
+    the regroup's exact key set).
+
+    Output: series_cols…, n_buckets, x_last (long), sum_y_cents,
+    slope_num, slope_den, intercept_num (doubles, exact-converted per the
+    bound above), slope_cents_per_bucket, intercept_cents (doubles).
+    """
+    step_us = _BUCKET_US.get(bucket)
+    if step_us is None:
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    scols = list(series_cols)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    grid = (events
+            .groupBy(*scols,
+                     F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+            .agg(F.sum(cents.cast("decimal(18,0)")).alias("_y")))
+    us = F.unix_micros(F.col("_b").cast("timestamp"))
+    lo = F.min(us).over(Window.partitionBy(*scols))
+    # `div` (exact int64 division), never float `/`: a microsecond offset
+    # past 2^53 would land samples in the wrong bucket (the m4 argument)
+    grid = (grid.select(*scols, "_y", (us - lo).alias("_off"))
+            .select(*scols, "_y",
+                    F.expr(f"_off div {step_us}").alias("_x")))
+    xd = F.col("_x").cast("decimal(10,0)")
+    yd = F.col("_y").cast("decimal(18,0)")
+    s = (grid.groupBy(*scols)
+         .agg(F.count("*").cast("long").alias("n_buckets"),
+              F.max("_x").cast("long").alias("x_last"),
+              F.sum(xd).alias("_sx"),
+              F.sum(yd).alias("_sy"),
+              F.sum(xd * yd).alias("_sxy"),
+              F.sum(xd * xd).alias("_sxx")))
+    n = F.col("n_buckets").cast("decimal(10,0)")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    inum = F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    return (s.select(
+        *scols, "n_buckets", "x_last",
+        F.col("_sy").cast("double").alias("sum_y_cents"),
+        num.cast("double").alias("slope_num"),
+        den.cast("double").alias("slope_den"),
+        inum.cast("double").alias("intercept_num"))
+        .withColumn("slope_cents_per_bucket",
+                    F.when(F.col("slope_den") != 0.0,
+                           F.col("slope_num") / F.col("slope_den")))
+        .withColumn("intercept_cents",
+                    F.when(F.col("slope_den") != 0.0,
+                           F.col("intercept_num") / F.col("slope_den"))))
+
+
+def seasonal_baseline(events: DataFrame,
+                      series_cols: Sequence[str] = ("event_type",),
+                      ts_col: str = "ts", value_col: str = "value",
+                      tol_num: int = 1, tol_den: int = 2) -> DataFrame:
+    """Hour-of-day seasonal profile with anomaly counts — "what does a
+    normal 3 pm look like for this metric, and how many samples broke it"
+    (the seasonal twin of znorm_outliers; a paging pipeline compares
+    against the same-hour baseline, not the global mean, or every daily
+    peak pages).
+
+    Per (series, hour-of-day) cell the baseline is the cell's mean; a
+    sample is anomalous when ``|v − mean| > (tol_num/tol_den) · |mean|``.
+    That test is evaluated DIVISION-FREE by cross-multiplication on exact
+    integers::
+
+        tol_den · |v·n − s| > tol_num · |s|        (n = cell count,
+                                                    s = cell cents sum)
+
+    so the flag is bit-reproducible by any SQL engine — no float mean, no
+    epsilon. The cents sum rides decimal(18→28,0) (a long sum over a
+    billion-row cell would overflow int64 SILENTLY in non-ANSI mode), and
+    the products stay inside decimal(38,0). The emitted mean is one
+    int64→double-exact division; anom_rate a second.
+
+    Shape: ONE exchange — the per-(series, hod) window partitioning IS the
+    final grouping key set, so the flag evaluation and the regroup share
+    the single hash exchange, and nothing ever widens beyond a
+    (series, hour-of-day) cell (24·|series| cells total).
+
+    Output: series_cols…, hod, n_samples, sum_cents (double,
+    exact-converted under the 2^53 bound), mean_value, n_anom, anom_rate.
+    """
+    if tol_num < 0 or tol_den < 1:
+        raise ValueError("tolerance must satisfy tol_num >= 0, tol_den >= 1")
+    scols = list(series_cols)
+    hod = F.hour(F.col(ts_col)).cast("int")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    staged = events.select(*scols, hod.alias("hod"), cents.alias("_c"))
+    w = Window.partitionBy(*scols, "hod")
+    n = F.count("*").over(w)
+    s = F.sum(F.col("_c").cast("decimal(18,0)")).over(w)
+    vn = F.col("_c").cast("decimal(18,0)") * n.cast("decimal(10,0)")
+    dev = F.abs(vn - s)
+    flag = (dev * F.lit(int(tol_den)).cast("decimal(4,0)")
+            > F.abs(s) * F.lit(int(tol_num)).cast("decimal(4,0)"))
+    return (staged
+            .withColumn("_anom", flag.cast("long"))
+            .groupBy(*scols, "hod")
+            .agg(F.count("*").cast("long").alias("n_samples"),
+                 F.sum(F.col("_c").cast("decimal(18,0)"))
+                 .cast("double").alias("sum_cents"),
+                 F.sum("_anom").cast("long").alias("n_anom"))
+            .withColumn("mean_value",
+                        F.col("sum_cents")
+                        / (F.col("n_samples") * 100).cast("double"))
+            .withColumn("anom_rate",
+                        F.col("n_anom").cast("double")
+                        / F.col("n_samples").cast("double"))
+            .select(*scols, "hod", "n_samples", "sum_cents", "mean_value",
+                    "n_anom", "anom_rate"))
