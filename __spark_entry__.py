@@ -842,6 +842,22 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters above 3% corpus share via the two-pass
+    Misra-Gries sketch-then-recount (tsrollup.sketches.heavy_hitters):
+    pass 1 keeps a bounded k-counter summary per partition (provable
+    candidate superset — Agarwal et al. PODS'12 merge rule), pass 2
+    recounts ONLY candidates through a broadcast join with map-side
+    partial agg. Output identical to a full groupBy+HAVING (the oracle)
+    while sketch state is k·partitions instead of |vocab| — the path a
+    100 TB high-cardinality key stream needs. Integer cross-multiplied
+    threshold; bit-exact tail oracle."""
+    from tsrollup.sketches import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), threshold_num=3,
+                         threshold_den=100)
+
+
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend over the hourly grid
     (tsrollup.counters.trend_slope): normal-equation cross-moments kept
@@ -1700,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb": q_lttb,
         "trend_slope": q_trend_slope,
         "seasonal_baseline": q_seasonal_baseline,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -3364,6 +3381,22 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # heavy hitters: the recount pass's contract IS this SQL — a full
+    # groupBy + integer cross-multiplied HAVING; the engine just reaches
+    # the same rows through the bounded-memory candidate superset
+    sqls["heavy_hitters"] = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), t AS (
+  SELECT COUNT(*)::BIGINT AS n FROM w
+)
+SELECT word, COUNT(*)::BIGINT AS n_occ,
+       (SELECT n FROM t) AS n_corpus,
+       COUNT(*)::BIGINT::DOUBLE / (SELECT n FROM t)::DOUBLE AS share
+FROM w GROUP BY word
+HAVING COUNT(*) * 100 > (SELECT n FROM t) * 3
 """
 
     # OLS trend: the same normal-equation moments in HUGEINT (int128 —

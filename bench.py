@@ -123,6 +123,7 @@ HEADLINE = [
     "lttb",
     "trend_slope",
     "seasonal_baseline",
+    "heavy_hitters",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700
