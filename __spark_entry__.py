@@ -842,6 +842,20 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus histogram_quantile(0.9) per event type over the fixed
+    le-ladder (tsrollup.counters.histogram_quantile) — the mergeable-
+    histogram quantile a fleet aggregates with plain SUM. Crossing bucket
+    chosen by integer cross-multiplication (no float rank), interpolation
+    clears to ONE exact-int64 division, +Inf/first-bucket edges per the
+    Prometheus contract (tested). One raw exchange + ladder-grain window.
+    Bit-exact tail oracle."""
+    from tsrollup.counters import histogram_quantile
+
+    return histogram_quantile(_fact(spark, sf_dir, "events"), 9, 10,
+                              series_cols=("event_type",))
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters above 3% corpus share via the two-pass
     Misra-Gries sketch-then-recount (tsrollup.sketches.heavy_hitters):
@@ -1717,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "seasonal_baseline": q_seasonal_baseline,
         "heavy_hitters": q_heavy_hitters,
+        "histogram_quantile": q_histogram_quantile,
     }
 
 
@@ -3381,6 +3396,49 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # histogram_quantile: identical ladder CASE, cumulative window, the
+    # cross-multiplied crossing filter, and the cleared-to-one-division
+    # interpolation — every decision on exact integers in both engines
+    sqls["histogram_quantile"] = """
+WITH e AS (
+  SELECT event_type, (value::DECIMAL(18,2) * 100)::BIGINT AS c FROM events
+), b AS (
+  SELECT event_type,
+         CASE WHEN c <= 2500 THEN 0 WHEN c <= 5000 THEN 1
+              WHEN c <= 10000 THEN 2 WHEN c <= 20000 THEN 3
+              WHEN c <= 40000 THEN 4 WHEN c <= 80000 THEN 5
+              ELSE 6 END AS bucket_idx
+  FROM e
+), g AS (
+  SELECT event_type, bucket_idx, COUNT(*)::BIGINT AS cnt
+  FROM b GROUP BY event_type, bucket_idx
+), wdw AS (
+  SELECT event_type, bucket_idx, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        )::BIGINT AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type)::BIGINT AS total_n
+  FROM g
+), x AS (
+  SELECT event_type, bucket_idx, cnt, cum, total_n, cum - cnt AS cum_prev,
+         CASE bucket_idx WHEN 0 THEN 0 WHEN 1 THEN 2500 WHEN 2 THEN 5000
+              WHEN 3 THEN 10000 WHEN 4 THEN 20000 ELSE 40000 END AS lo,
+         CASE bucket_idx WHEN 0 THEN 2500 WHEN 1 THEN 5000
+              WHEN 2 THEN 10000 WHEN 3 THEN 20000 WHEN 4 THEN 40000
+              ELSE 80000 END AS hi
+  FROM wdw
+  WHERE cum * 10 >= total_n * 9 AND (cum - cnt) * 10 < total_n * 9
+)
+SELECT event_type, total_n, bucket_idx::INT AS bucket_idx,
+       CASE WHEN bucket_idx < 6 THEN hi::DOUBLE / 100.0 END AS bucket_le,
+       CASE WHEN bucket_idx >= 6 THEN 800.0
+            ELSE (lo * 10 * cnt
+                  + (hi - lo) * (total_n * 9 - cum_prev * 10))::DOUBLE
+                 / (cnt * 1000)::DOUBLE
+       END AS qvalue
+FROM x
 """
 
     # heavy hitters: the recount pass's contract IS this SQL — a full

@@ -124,6 +124,7 @@ HEADLINE = [
     "trend_slope",
     "seasonal_baseline",
     "heavy_hitters",
+    "histogram_quantile",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

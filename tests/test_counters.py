@@ -538,3 +538,67 @@ class TestSeasonalBaseline:
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         plan = formatted_plan(seasonal_baseline(df))
         assert n_data_exchanges(plan) == 1, plan
+
+
+class TestHistogramQuantile:
+    def _hq(self, spark, values, num, den, **kw):
+        from tsrollup.counters import histogram_quantile
+        rows = [_row(1, "a", i, i, v) for i, v in enumerate(values)]
+        return histogram_quantile(_events(spark, rows), num, den,
+                                  series_cols=("event_type",), **kw)
+
+    def test_interpolates_inside_crossing_bucket(self, spark):
+        # values 10..100: ladder buckets hold 2 / 3 / 5 samples; rank
+        # 0.9·10 = 9 crosses in the (50, 100] bucket at
+        # 50 + 50·(9−5)/5 = 90 value units
+        out = self._hq(spark, [10.0 * (i + 1) for i in range(10)],
+                       9, 10).collect()[0]
+        assert out.bucket_idx == 2 and out.total_n == 10
+        assert out.qvalue == 90.0 and out.bucket_le == 100.0
+
+    def test_boundary_rank_picks_lower_bucket(self, spark):
+        # rank exactly equal to a cumulative edge: cum·den >= num·total
+        # must accept the bucket whose cum EQUALS the rank (float rank
+        # would tip either way) — 4 samples, q=1/2, first bucket holds
+        # exactly 2
+        out = self._hq(spark, [10.0, 20.0, 60.0, 70.0], 1, 2).collect()[0]
+        assert out.bucket_idx == 0
+        assert out.qvalue == 25.0  # 0 + 25·(2-0)/2
+
+    def test_inf_bucket_returns_highest_finite_bound(self, spark):
+        out = self._hq(spark, [5000.0] * 4, 9, 10).collect()[0]
+        assert out.bucket_le is None and out.qvalue == 800.0
+
+    def test_first_bucket_interpolates_from_zero(self, spark):
+        out = self._hq(spark, [10.0, 20.0], 1, 2).collect()[0]
+        assert out.qvalue == 12.5
+
+    def test_empty_ladder_buckets_shift_nothing(self, spark):
+        # same distribution twice, once with a value forcing an extra
+        # sparse bucket below the crossing — crossing math is identical
+        a = self._hq(spark, [60.0] * 9 + [10.0], 9, 10).collect()[0]
+        b = self._hq(spark, [60.0] * 9 + [30.0], 9, 10).collect()[0]
+        assert a.qvalue == b.qvalue and a.bucket_idx == b.bucket_idx
+
+    def test_q1_lands_in_last_nonempty_bucket(self, spark):
+        out = self._hq(spark, [10.0, 60.0], 1, 1).collect()[0]
+        assert out.bucket_idx == 2 and out.qvalue == 100.0
+
+    def test_validation(self, spark):
+        from tsrollup.counters import histogram_quantile
+        df = _events(spark, [])
+        with pytest.raises(ValueError):
+            histogram_quantile(df, 0, 10)
+        with pytest.raises(ValueError):
+            histogram_quantile(df, 11, 10)
+        with pytest.raises(ValueError):
+            histogram_quantile(df, 1, 2, le_cents=(100, 100))
+        with pytest.raises(ValueError):
+            histogram_quantile(df, 1, 2, le_cents=())
+
+    def test_one_raw_exchange(self, spark):
+        from tsrollup.counters import histogram_quantile
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(histogram_quantile(df))
+        # raw→(series, bucket) count, plus the ladder-grain series window
+        assert n_data_exchanges(plan) == 2, plan

@@ -534,6 +534,95 @@ def burn_rate(events: DataFrame,
                          & (F.col("burn_long") >= thr)).cast("int")))
 
 
+def histogram_quantile(events: DataFrame, q_num: int = 9, q_den: int = 10,
+                       series_cols: Sequence[str] = ("event_type",),
+                       value_col: str = "value",
+                       le_cents: Sequence[int] = (2500, 5000, 10000,
+                                                  20000, 40000, 80000)
+                       ) -> DataFrame:
+    """Prometheus ``histogram_quantile`` over an ``le``-bucket ladder: per
+    series, samples land in fixed cumulative buckets (the one histogram
+    shape that aggregates across hosts — a t-digest can't merge with a
+    plain SUM; this ladder can), and the q-quantile is read back by linear
+    interpolation inside the bucket where the cumulative count crosses
+    ``q·total``.
+
+    Exactness — the estimator is interpolation, but every DECISION and
+    the final division are exact:
+
+    * the crossing bucket is chosen by integer cross-multiplication
+      (``cum·q_den ≥ q_num·total`` and ``cumPrev·q_den < q_num·total``),
+      never by a float rank — the classic off-by-one-bucket bug when
+      ``q·total`` lands exactly on a boundary;
+    * the interpolated value clears to ONE division of exact int64:
+      ``(lo·q_den·cnt + (hi−lo)·(q_num·total − q_den·cumPrev))
+      / (q_den·cnt·100)``;
+    * Prometheus edge semantics: a crossing in the +Inf bucket returns
+      the highest finite bound; the first bucket interpolates from 0.
+      Observations are assumed non-negative (the Prometheus contract).
+
+    Shape: ONE raw-data exchange (the per-(series, bucket) count); the
+    cumulative window and the crossing filter run at ladder grain
+    (≤ |series|·(len(le)+1) rows). Empty ladder buckets need no rows —
+    zero counts shift neither the cumulative sums nor the ladder-derived
+    lower bound.
+
+    Output: series_cols…, total_n, bucket_idx, bucket_le (double, NULL
+    for the +Inf bucket), qvalue (double, value units).
+    """
+    num, den = int(q_num), int(q_den)
+    if not (1 <= num <= den):
+        raise ValueError("need 1 <= q_num <= q_den")
+    ladder = [int(c) for c in le_cents]
+    if not ladder or ladder != sorted(set(ladder)) or ladder[0] <= 0:
+        raise ValueError("le_cents must be strictly increasing positive ints")
+    nfin = len(ladder)
+    scols = list(series_cols)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # first ladder bound >= the sample, else the +Inf bucket (index nfin)
+    idx = F.lit(nfin)
+    for i in range(nfin - 1, -1, -1):
+        idx = F.when(cents <= ladder[i], F.lit(i)).otherwise(idx)
+    counted = (events
+               .select(*scols, idx.alias("bucket_idx"))
+               .groupBy(*scols, "bucket_idx")
+               .agg(F.count("*").cast("long").alias("_cnt")))
+    w = (Window.partitionBy(*scols).orderBy("bucket_idx")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy(*scols)
+    cum = F.sum("_cnt").over(w)
+    total = F.sum("_cnt").over(wall)
+    staged = counted.select(
+        *scols, "bucket_idx", "_cnt",
+        cum.alias("_cum"), total.alias("total_n"),
+        (cum - F.col("_cnt")).alias("_cum_prev"))
+    crossing = staged.filter(
+        (F.col("_cum") * den >= F.col("total_n") * num)
+        & (F.col("_cum_prev") * den < F.col("total_n") * num))
+    # clamp the lookup for +Inf-bucket rows (bucket_idx == nfin): their
+    # qvalue/bucket_le never read lo/hi, but an unclamped element_at past
+    # the array end is an ANSI-mode runtime error even in the untaken
+    # CASE branch on some codegen paths
+    safe_idx = F.least(F.col("bucket_idx"), F.lit(nfin - 1)) + 1
+    lo = F.element_at(F.array([F.lit(c) for c in [0] + ladder[:-1]]),
+                      safe_idx).cast("long")
+    hi = F.element_at(F.array([F.lit(c) for c in ladder]),
+                      safe_idx).cast("long")
+    interp_num = (lo * den * F.col("_cnt")
+                  + (hi - lo) * (F.col("total_n") * num
+                                 - F.col("_cum_prev") * den))
+    interp_den = F.col("_cnt") * (den * 100)
+    qvalue = F.when(F.col("bucket_idx") >= nfin,
+                    F.lit(ladder[-1] / 100.0)) \
+              .otherwise(interp_num.cast("double")
+                         / interp_den.cast("double"))
+    return crossing.select(
+        *scols, "total_n", F.col("bucket_idx").cast("int").alias("bucket_idx"),
+        F.when(F.col("bucket_idx") < nfin, hi.cast("double") / 100.0)
+         .alias("bucket_le"),
+        qvalue.alias("qvalue"))
+
+
 _BUCKET_US = {"minute": 60_000_000, "hour": 3_600_000_000,
               "day": 86_400_000_000}
 
