@@ -842,6 +842,19 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel rolling-median despiking per series
+    (tsrollup.counters.hampel_filter): window medians/MADs on a ×2
+    integer scale (even-length windows stay integral — no float median
+    anywhere), spike test cross-multiplied, spikes replaced by the window
+    median. ONE exchange, arrays ≤ 5 ints, JVM-side higher-order
+    functions only. NumPy rolling-median parity pinned in tests;
+    bit-exact tail oracle."""
+    from tsrollup.counters import hampel_filter
+
+    return hampel_filter(_fact(spark, sf_dir, "events"))
+
+
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus histogram_quantile(0.9) per event type over the fixed
     le-ladder (tsrollup.counters.histogram_quantile) — the mergeable-
@@ -1732,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_baseline": q_seasonal_baseline,
         "heavy_hitters": q_heavy_hitters,
         "histogram_quantile": q_histogram_quantile,
+        "hampel_filter": q_hampel_filter,
     }
 
 
@@ -3396,6 +3410,46 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # hampel: the same ×2-integer-scale median/MAD arithmetic over a
+    # windowed list aggregate — list_sort + 1-based middle indexing in
+    # DuckDB mirrors array_sort + element_at exactly; (ts, id) keys are
+    # unique so row-frames agree across engines
+    sqls["hampel_filter"] = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id AS id,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ts, id, c,
+         list_sort(list(c) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, id
+                                 ROWS BETWEEN 2 PRECEDING
+                                 AND 2 FOLLOWING)) AS arr
+  FROM e
+), m AS (
+  SELECT user_id, event_type, ts, id, c,
+         arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS med2,
+         list_sort(list_transform(
+             arr, x -> abs(x * 2 - (arr[(len(arr) + 1) // 2]
+                                    + arr[len(arr) // 2 + 1])))) AS darr
+  FROM s
+), f AS (
+  SELECT user_id, event_type, ts, id, c, med2,
+         darr[(len(darr) + 1) // 2] + darr[len(darr) // 2 + 1] AS mad4
+  FROM m
+)
+SELECT user_id, event_type, ts, id,
+       c::DOUBLE / 100.0 AS value,
+       med2::DOUBLE / 200.0 AS med,
+       mad4::DOUBLE / 400.0 AS mad,
+       (CASE WHEN abs(c * 2 - med2) * 2 > mad4 * 3
+             THEN 1 ELSE 0 END)::INT AS is_spike,
+       CASE WHEN abs(c * 2 - med2) * 2 > mad4 * 3
+            THEN med2::DOUBLE / 200.0 ELSE c::DOUBLE / 100.0
+       END AS filtered
+FROM f
 """
 
     # histogram_quantile: identical ladder CASE, cumulative window, the

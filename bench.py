@@ -125,6 +125,7 @@ HEADLINE = [
     "seasonal_baseline",
     "heavy_hitters",
     "histogram_quantile",
+    "hampel_filter",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

@@ -602,3 +602,63 @@ class TestHistogramQuantile:
         plan = formatted_plan(histogram_quantile(df))
         # raw→(series, bucket) count, plus the ladder-grain series window
         assert n_data_exchanges(plan) == 2, plan
+
+
+class TestHampelFilter:
+    def _hf(self, spark, values, **kw):
+        from tsrollup.counters import hampel_filter
+        rows = [_row(1, "a", i, i, v) for i, v in enumerate(values)]
+        return sorted(hampel_filter(_events(spark, rows), **kw).collect(),
+                      key=lambda r: r.id)
+
+    def test_flags_and_replaces_single_spike(self, spark):
+        out = self._hf(spark, [10.0, 10.0, 10.0, 500.0, 10.0, 10.0, 10.0])
+        assert [r.is_spike for r in out] == [0, 0, 0, 1, 0, 0, 0]
+        spike = out[3]
+        assert spike.med == 10.0 and spike.filtered == 10.0
+        assert out[0].filtered == 10.0  # edge row untouched
+
+    def test_matches_numpy_rolling_median_mad(self, spark):
+        import random
+
+        import numpy as np
+        random.seed(5)
+        vals = [round(random.uniform(0, 100), 2) for _ in range(60)]
+        got = self._hf(spark, vals, half_window=3)
+        c = np.round(np.array(vals) * 100).astype(np.int64)
+        for i, r in enumerate(got):
+            w = c[max(0, i - 3):i + 4]
+            med = np.median(w)
+            mad = np.median(np.abs(w - med))
+            assert r.med == med / 100 and r.mad == mad / 100
+            assert r.is_spike == int(abs(c[i] - med) > 3 * mad)
+
+    def test_even_window_median_is_exact(self, spark):
+        # edge row 0 with half_window=1 sees [v0, v1]: median must be the
+        # exact midpoint 15.005, not a float-accumulated approximation
+        out = self._hf(spark, [10.0, 20.01, 10.0], half_window=1)
+        assert out[0].med == (1000 + 2001) / 200
+
+    def test_level_shift_not_rewritten(self, spark):
+        # a genuine regime change: after the shift the window median
+        # follows, so later samples must NOT be flagged
+        out = self._hf(spark, [10.0, 10.0, 10.0, 50.0, 50.0, 50.0, 50.0])
+        assert sum(r.is_spike for r in out) <= 2
+        assert all(r.is_spike == 0 for r in out[4:])
+
+    def test_validation(self, spark):
+        from tsrollup.counters import hampel_filter
+        df = _events(spark, [])
+        with pytest.raises(ValueError):
+            hampel_filter(df, half_window=0)
+        with pytest.raises(ValueError):
+            hampel_filter(df, k_den=0)
+
+    def test_single_exchange_no_python(self, spark):
+        from tsrollup.counters import hampel_filter
+        from tsrollup.planaudit import count_op
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(hampel_filter(df))
+        assert n_data_exchanges(plan) == 1, plan
+        assert count_op(plan, "FlatMapGroupsInPandas") == 0
+        assert count_op(plan, "MapInPandas") == 0

@@ -534,6 +534,76 @@ def burn_rate(events: DataFrame,
                          & (F.col("burn_long") >= thr)).cast("int")))
 
 
+def hampel_filter(events: DataFrame,
+                  series_cols: Sequence[str] = ("user_id", "event_type"),
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value", half_window: int = 2,
+                  k_num: int = 3, k_den: int = 1) -> DataFrame:
+    """Hampel spike filter: per series, each sample is compared against
+    the MEDIAN of its centered rolling window and flagged (and replaced)
+    when it deviates more than ``(k_num/k_den)·MAD`` — the standard
+    despiking pass ahead of any rolling aggregate, robust where a rolling
+    z-score chases its own spikes (the mad_outliers argument, applied
+    rolling).
+
+    Exactness: the window's values ride a ×2 integer scale so medians of
+    even-length windows stay integers (``med2 = s[⌈n/2⌉] + s[⌊n/2⌋+1]``,
+    twice the median), deviations a ×2 on top of that, and the flag is
+    the cross-multiplied integer test ``2·|2c − med2|·k_den > k_num·mad4``
+    — no float median, no 1.4826 consistency constant baked into the
+    arithmetic (fold the Gaussian scaling into ``k_num/k_den`` as a
+    rational if desired). The emitted med/mad/filtered are single exact
+    divisions. Edge rows use the shrunken available window (deterministic;
+    a dropped-edge policy would lose the series' first/last samples).
+
+    Shape: ONE exchange — the collect/sort/select runs inside a single
+    per-series sort-window (arrays of ≤ 2·half_window+1 ints, JVM-side
+    higher-order functions, no Python); everything stays at row grain.
+
+    Output: series_cols…, ts, id, value (double), med, mad (doubles),
+    is_spike (int), filtered (double — med where spiked, else value).
+    """
+    if half_window < 1:
+        raise ValueError("half_window must be >= 1")
+    if k_num < 0 or k_den < 1:
+        raise ValueError("need k_num >= 0 and k_den >= 1")
+    scols = list(series_cols)
+    w = (Window.partitionBy(*scols).orderBy(ts_col, id_col)
+         .rowsBetween(-half_window, half_window))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    staged = events.select(
+        *scols, F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
+        cents.alias("_c"),
+        F.array_sort(F.collect_list(cents).over(w)).alias("_s"))
+    n = F.size("_s")
+    # 1-based middle indices; int `/` yields double in Spark, so the
+    # floor is made explicit with a cast (positive operands: trunc==floor)
+    lo_i = ((n + F.lit(1)) / 2).cast("int")
+    hi_i = (n / 2 + 1).cast("int")
+    med2 = F.element_at("_s", lo_i) + F.element_at("_s", hi_i)
+    # dev_i = |2·c_i − med2| = 2·|c_i − median| — the ×2 keeps even-window
+    # medians integral without ever forming a float median
+    dev = F.transform("_s", lambda x: F.abs(x * 2 - med2))
+    dsorted = F.array_sort(dev)
+    mad4 = F.element_at(dsorted, lo_i) + F.element_at(dsorted, hi_i)
+    staged = staged.select(
+        *scols, "ts", "id", "_c", med2.alias("_m2"), mad4.alias("_m4"))
+    d_center = F.abs(F.col("_c") * 2 - F.col("_m2"))
+    spike = (d_center * (2 * int(k_den))
+             > F.col("_m4") * int(k_num)).cast("int")
+    med_units = F.col("_m2").cast("double") / F.lit(200.0)
+    return (staged
+            .withColumn("value", F.col("_c").cast("double") / F.lit(100.0))
+            .withColumn("med", med_units)
+            .withColumn("mad", F.col("_m4").cast("double") / F.lit(400.0))
+            .withColumn("is_spike", spike)
+            .withColumn("filtered",
+                        F.when(spike == 1, med_units)
+                        .otherwise(F.col("value")))
+            .select(*scols, "ts", "id", "value", "med", "mad",
+                    "is_spike", "filtered"))
+
+
 def histogram_quantile(events: DataFrame, q_num: int = 9, q_den: int = 10,
                        series_cols: Sequence[str] = ("event_type",),
                        value_col: str = "value",
