@@ -842,6 +842,18 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel view→click→purchase (tsrollup.segments.funnel_counts):
+    per-session greedy-earliest ordered chains on exact integer
+    microseconds (same-µs events cannot chain — engine-agnostic, tested),
+    sessions from the 30-min gap rule shared with `sessionize`. The k
+    chained conditional-min windows and the per-session regroup all reuse
+    sessionize's per-user exchange. Bit-exact tail oracle."""
+    from tsrollup.segments import funnel_counts
+
+    return funnel_counts(_fact(spark, sf_dir, "events"))
+
+
 def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel rolling-median despiking per series
     (tsrollup.counters.hampel_filter): window medians/MADs on a ×2
@@ -1746,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "histogram_quantile": q_histogram_quantile,
         "hampel_filter": q_hampel_filter,
+        "funnel_counts": q_funnel_counts,
     }
 
 
@@ -3410,6 +3423,63 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # funnel: the sessionize CTE, then the same chained conditional-min
+    # windows on exact integer microseconds, per-session reach flags, and
+    # the three-step summary as a UNION ALL over the one-row totals
+    sqls["funnel_counts"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                 THEN 1 ELSE 0 END AS boundary
+  FROM e
+), s AS (
+  SELECT *, (SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM b
+), w0 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+            OVER (PARTITION BY user_id, session_id) AS st0
+  FROM s
+), w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > st0 THEN us END)
+            OVER (PARTITION BY user_id, session_id) AS st1
+  FROM w0
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > st1 THEN us END)
+            OVER (PARTITION BY user_id, session_id) AS st2
+  FROM w1
+), per AS (
+  SELECT user_id, session_id,
+         MAX(CASE WHEN st0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+         MAX(CASE WHEN st1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+         MAX(CASE WHEN st2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+  FROM w2 GROUP BY user_id, session_id
+), t AS (
+  SELECT COUNT(*)::BIGINT AS n_total, SUM(r0)::BIGINT AS n0,
+         SUM(r1)::BIGINT AS n1, SUM(r2)::BIGINT AS n2
+  FROM per
+)
+SELECT 1::INT AS step_idx, 'view' AS step, n0 AS n_sessions, n_total,
+       CASE WHEN n0 > 0 THEN n0::DOUBLE / n0::DOUBLE END AS conv_from_first,
+       CASE WHEN n_total > 0 THEN n0::DOUBLE / n_total::DOUBLE
+       END AS conv_from_prev
+FROM t WHERE n_total > 0
+UNION ALL
+SELECT 2::INT, 'click', n1, n_total,
+       CASE WHEN n0 > 0 THEN n1::DOUBLE / n0::DOUBLE END,
+       CASE WHEN n0 > 0 THEN n1::DOUBLE / n0::DOUBLE END
+FROM t WHERE n_total > 0
+UNION ALL
+SELECT 3::INT, 'purchase', n2, n_total,
+       CASE WHEN n0 > 0 THEN n2::DOUBLE / n0::DOUBLE END,
+       CASE WHEN n1 > 0 THEN n2::DOUBLE / n1::DOUBLE END
+FROM t WHERE n_total > 0
 """
 
     # hampel: the same ×2-integer-scale median/MAD arithmetic over a

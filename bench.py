@@ -126,6 +126,7 @@ HEADLINE = [
     "heavy_hitters",
     "histogram_quantile",
     "hampel_filter",
+    "funnel_counts",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

@@ -122,3 +122,81 @@ def test_sessionize_planted(spark):
     got = {r["event_id"]: r["session_id"]
            for r in sessionize(df, gap_minutes=30).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+class TestFunnelCounts:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, event_id long, "
+                  "ts timestamp, value double")
+
+    def _t(self, secs=0, hours=0):
+        import datetime as dt
+        return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(
+            seconds=secs, hours=hours)
+
+    def test_ordered_chain_per_session(self, spark):
+        from tsrollup.segments import funnel_counts
+        rows = [
+            # session A: full ordered funnel
+            (1, "view", 0, self._t(0), 1.0),
+            (1, "click", 1, self._t(10), 1.0),
+            (1, "purchase", 2, self._t(20), 1.0),
+            # session B (same user, new session): stops after click
+            (1, "view", 3, self._t(hours=2), 1.0),
+            (1, "click", 4, self._t(hours=2, secs=5), 1.0),
+            # user 2: click BEFORE view — order matters, reaches view only
+            (2, "click", 5, self._t(5), 1.0),
+            (2, "view", 6, self._t(10), 1.0),
+        ]
+        out = funnel_counts(self._ev(spark, rows)).orderBy(
+            "step_idx").collect()
+        assert [r.n_sessions for r in out] == [3, 2, 1]
+        assert out[0].n_total == 3
+        assert out[1].conv_from_prev == 2 / 3
+        assert out[2].conv_from_first == 1 / 3 and out[2].conv_from_prev == 0.5
+
+    def test_same_microsecond_cannot_chain(self, spark):
+        from tsrollup.segments import funnel_counts
+        rows = [(3, "view", 0, self._t(0), 1.0),
+                (3, "click", 1, self._t(0), 1.0)]
+        out = funnel_counts(self._ev(spark, rows)).orderBy(
+            "step_idx").collect()
+        assert [r.n_sessions for r in out] == [1, 0, 0]
+
+    def test_step_can_retry_within_session(self, spark):
+        from tsrollup.segments import funnel_counts
+        # purchase before click is ignored; a LATER purchase still counts
+        rows = [(4, "view", 0, self._t(0), 1.0),
+                (4, "purchase", 1, self._t(5), 1.0),
+                (4, "click", 2, self._t(10), 1.0),
+                (4, "purchase", 3, self._t(15), 1.0)]
+        out = funnel_counts(self._ev(spark, rows)).orderBy(
+            "step_idx").collect()
+        assert [r.n_sessions for r in out] == [1, 1, 1]
+
+    def test_no_step1_sessions_yield_null_convs(self, spark):
+        from tsrollup.segments import funnel_counts
+        rows = [(5, "error", 0, self._t(0), 1.0)]
+        out = funnel_counts(self._ev(spark, rows)).orderBy(
+            "step_idx").collect()
+        assert [r.n_sessions for r in out] == [0, 0, 0]
+        assert out[0].conv_from_first is None  # n0 = 0 -> NULL, not NaN
+        assert out[0].conv_from_prev == 0.0    # vs n_total = 1
+
+    def test_validation(self, spark):
+        from tsrollup.segments import funnel_counts
+        df = self._ev(spark, [])
+        with pytest.raises(ValueError):
+            funnel_counts(df, steps=("view",))
+        with pytest.raises(ValueError):
+            funnel_counts(df, steps=("view", "view"))
+
+    def test_session_windows_reuse_user_exchange(self, spark):
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+        from tsrollup.segments import funnel_counts
+        df = self._ev(spark, [(1, "view", 0, self._t(0), 1.0)])
+        plan = formatted_plan(funnel_counts(df))
+        # per-user sessionize exchange + the single-row global summary;
+        # the k chained windows and the per-session regroup add NONE
+        assert n_data_exchanges(plan) == 2, plan

@@ -106,3 +106,75 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                             w.rowsBetween(Window.unboundedPreceding,
                                           Window.currentRow)))
             .drop("_boundary"))
+
+
+def funnel_counts(events: DataFrame,
+                  steps: tuple[str, ...] = ("view", "click", "purchase"),
+                  gap_minutes: int = 30, user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Session funnel analysis: how many sessions reach each step of an
+    ORDERED event chain (step k counts only when it happens strictly
+    after the session's step-k−1 arrival) — the product-analytics twin of
+    :func:`sessionize`, answering "where do users drop off".
+
+    Semantics: sessions come from the gap rule above; within a session,
+    step 1's arrival is the earliest step-1 event, and step k's arrival
+    is the earliest step-k event strictly later (exact integer
+    microseconds) than step k−1's arrival — the greedy-earliest chain,
+    which reaches step k iff any increasing chain exists. Same-microsecond
+    events cannot chain (physical simultaneity is unordered; exact and
+    engine-agnostic, unlike a row-number tiebreak whose peer order SQL
+    engines disagree on).
+
+    Shape: sessionize's per-user exchange is the ONLY data exchange —
+    the k chained conditional-min windows and the per-session regroup all
+    cluster on (user, session), which the user hash already satisfies.
+    The final k-row summary is a single-row global aggregate exploded to
+    step grain.
+
+    Output: step_idx (int, 1-based), step, n_sessions (sessions reaching
+    the step), n_total (all sessions), conv_from_first, conv_from_prev
+    (doubles; step 1's conv_from_prev is vs n_total).
+    """
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError("steps must be >= 2 distinct event types")
+    sess = sessionize(events, gap_minutes=gap_minutes, user_col=user_col,
+                      ts_col=ts_col, id_col=id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col, "session_id")
+    staged = sess.select(user_col, "session_id",
+                         F.col(type_col).alias("_t"), us.alias("_us"))
+    for i, step in enumerate(steps):
+        cond = F.col("_t") == step
+        if i > 0:
+            cond = cond & (F.col("_us") > F.col(f"_st{i - 1}"))
+        staged = staged.withColumn(f"_st{i}",
+                                   F.min(F.when(cond, F.col("_us"))).over(w))
+    per_sess = (staged
+                .groupBy(user_col, "session_id")
+                .agg(*[F.max(F.col(f"_st{i}").isNotNull().cast("long"))
+                       .alias(f"_r{i}") for i in range(len(steps))]))
+    totals = per_sess.agg(
+        F.count("*").cast("long").alias("_n_total"),
+        *[F.sum(f"_r{i}").cast("long").alias(f"_n{i}")
+          for i in range(len(steps))])
+    def ratio(n_col: str, d_col: str):
+        # zero denominators yield NULL explicitly: Spark nulls a zero
+        # division while DuckDB follows IEEE — don't let engines diverge
+        return F.when(F.col(d_col) > 0,
+                      F.col(n_col).cast("double")
+                      / F.col(d_col).cast("double"))
+
+    rows = F.array(*[
+        F.struct(F.lit(i + 1).cast("int").alias("step_idx"),
+                 F.lit(s).alias("step"),
+                 F.col(f"_n{i}").alias("n_sessions"),
+                 F.col("_n_total").alias("n_total"),
+                 ratio(f"_n{i}", "_n0").alias("conv_from_first"),
+                 ratio(f"_n{i}",
+                       f"_n{i - 1}" if i > 0 else "_n_total")
+                 .alias("conv_from_prev"))
+        for i, s in enumerate(steps)])
+    return (totals.select(F.explode(rows).alias("r")).select("r.*")
+            .filter(F.col("n_total") > 0))
