@@ -842,6 +842,19 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the deterministic top-20
+    vocabulary (tsrollup.text.oov_rate) — the coverage check before a
+    tokenizer vocab freezes. Vocab pass k-cuts via TakeOrderedAndProject
+    on the total (count desc, word asc) order and ships broadcast; the
+    measurement pass is one scan → broadcast left join → (source, word)
+    partial agg → source agg. Exact counts, one IEEE division; bit-exact
+    tail oracle."""
+    from tsrollup.text import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), vocab_size=20)
+
+
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session funnel view→click→purchase (tsrollup.segments.funnel_counts):
     per-session greedy-earliest ordered chains on exact integer
@@ -1759,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile": q_histogram_quantile,
         "hampel_filter": q_hampel_filter,
         "funnel_counts": q_funnel_counts,
+        "oov_rate": q_oov_rate,
     }
 
 
@@ -3423,6 +3437,32 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # oov: the same deterministic top-20 cut (count desc, word asc is a
+    # total order) and per-source recount
+    sqls["oov_rate"] = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), v AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n FROM w GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 20)
+), j AS (
+  SELECT w.source, w.word, (v.word IS NULL) AS oov
+  FROM w LEFT JOIN v ON w.word = v.word
+), pw AS (
+  SELECT source, word, COUNT(*)::BIGINT AS occ,
+         MAX(CASE WHEN oov THEN 1 ELSE 0 END) AS is_oov
+  FROM j GROUP BY source, word
+)
+SELECT source,
+       SUM(occ)::BIGINT AS n_words,
+       SUM(CASE WHEN is_oov = 1 THEN occ ELSE 0 END)::BIGINT AS n_oov,
+       SUM(CASE WHEN is_oov = 1 THEN occ ELSE 0 END)::BIGINT::DOUBLE
+         / SUM(occ)::BIGINT::DOUBLE AS oov_rate,
+       SUM(is_oov)::BIGINT AS n_oov_types
+FROM pw GROUP BY source
 """
 
     # funnel: the sessionize CTE, then the same chained conditional-min

@@ -127,6 +127,7 @@ HEADLINE = [
     "histogram_quantile",
     "hampel_filter",
     "funnel_counts",
+    "oov_rate",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

@@ -357,3 +357,48 @@ class TestTfidfTopk:
             tfidf_topk(self._docs(spark, []), k=0)
         with _pytest.raises(ValueError):
             tfidf_topk(self._docs(spark, []), idf="log10")
+
+
+class TestOovRate:
+    def test_coverage_against_planted_vocab(self, spark):
+        from tsrollup.text import oov_rate
+        # "a" x4 and "b" x3 dominate; vocab_size=2 -> {a, b}
+        docs = [("1", "s1", "a a b x"), ("2", "s1", "a b y y"),
+                ("3", "s2", "a b")]
+        df = spark.createDataFrame(docs, "doc_id string, source string, "
+                                         "text string")
+        out = {r.source: r for r in oov_rate(df, vocab_size=2).collect()}
+        # s1: 8 words, oov = {x, y, y} -> 3 occ, 2 types
+        assert out["s1"].n_words == 8 and out["s1"].n_oov == 3
+        assert out["s1"].n_oov_types == 2
+        assert out["s1"].oov_rate == 3 / 8
+        # s2 fully covered
+        assert out["s2"].n_oov == 0 and out["s2"].oov_rate == 0.0
+
+    def test_vocab_cut_is_total_order(self, spark):
+        from tsrollup.text import oov_rate
+        # tie at the boundary: "b" and "c" both appear twice; word asc
+        # breaks the tie so vocab_size=2 -> {a, b}, "c" is OOV
+        docs = [("1", "s", "a a a b b c c")]
+        df = spark.createDataFrame(docs, "doc_id string, source string, "
+                                         "text string")
+        r = oov_rate(df, vocab_size=2).collect()[0]
+        assert r.n_oov == 2 and r.n_oov_types == 1
+
+    def test_validation(self, spark):
+        from tsrollup.text import oov_rate
+        df = spark.createDataFrame([], "doc_id string, source string, "
+                                       "text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            oov_rate(df, vocab_size=0)
+
+    def test_vocab_ships_broadcast(self, spark):
+        from tsrollup.planaudit import count_op, formatted_plan
+        from tsrollup.text import oov_rate
+        df = spark.createDataFrame([("1", "s", "a b")],
+                                   "doc_id string, source string, "
+                                   "text string")
+        plan = formatted_plan(oov_rate(df))
+        assert count_op(plan, "BroadcastHashJoin") >= 1, plan
+        assert count_op(plan, "SortMergeJoin") == 0, plan

@@ -385,3 +385,47 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
                       F.lit(int(round(r * 10000)))).otherwise(thr))
     h = _h60(F.col(id_col).cast("string"), salt=salt) % 10000
     return df.withColumn("keep", h < thr)
+
+
+def oov_rate(df: DataFrame, vocab_size: int = 20, text_col: str = "text",
+             group_col: str = "source") -> DataFrame:
+    """Vocabulary coverage per corpus slice: build the top-``vocab_size``
+    vocabulary (the :func:`vocab_topk` cut — (count desc, word asc) is a
+    total order, so the boundary is deterministic cross-engine), then
+    report each ``group_col``'s out-of-vocabulary occurrence rate and
+    distinct OOV type count — the coverage check a tokenizer build runs
+    per source before freezing a vocab.
+
+    Two passes over the corpus by construction (vocabulary, then
+    measurement — the heavy_hitters shape): the vocab pass k-cuts with
+    TakeOrderedAndProject (bounded driver merge) and ships back as a
+    BROADCAST side, so the measurement pass is scan → broadcast left join
+    → one (group) aggregation; the distinct-OOV-type count re-groups at
+    (group, word) grain with map-side partials. Counts exact; the rate is
+    one exact-int64 IEEE division.
+
+    Output: group_col, n_words, n_oov, oov_rate (double), n_oov_types.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    exploded = df.select(F.col(group_col).alias("grp"),
+                         F.explode(words(text_col)).alias("word"))
+    vocab = (exploded.groupBy("word")
+             .agg(F.count("*").alias("_n"))
+             .orderBy(F.desc("_n"), F.asc("word")).limit(int(vocab_size))
+             .select("word", F.lit(1).alias("_in_vocab")))
+    j = exploded.join(F.broadcast(vocab), "word", "left")
+    oov = F.col("_in_vocab").isNull()
+    per_word = (j.groupBy("grp", "word")
+                .agg(F.count("*").cast("long").alias("_occ"),
+                     F.max(oov.cast("int")).alias("_oov")))
+    return (per_word
+            .groupBy("grp")
+            .agg(F.sum("_occ").cast("long").alias("n_words"),
+                 F.sum(F.when(F.col("_oov") == 1, F.col("_occ"))
+                       .otherwise(F.lit(0))).cast("long").alias("n_oov"),
+                 F.sum("_oov").cast("long").alias("n_oov_types"))
+            .select(F.col("grp").alias(group_col), "n_words", "n_oov",
+                    (F.col("n_oov").cast("double")
+                     / F.col("n_words").cast("double")).alias("oov_rate"),
+                    "n_oov_types"))
