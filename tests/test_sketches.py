@@ -124,3 +124,21 @@ class TestHeavyHitters:
         plan = formatted_plan(heavy_hitters(df, 1, 3))
         assert count_op(plan, "BroadcastHashJoin") >= 1, plan
         assert count_op(plan, "SortMergeJoin") == 0, plan
+
+
+class TestMGMerge:
+    def test_weighted_merge_preserves_markers_and_heavies(self, spark):
+        from tsrollup.sketches import _mg_merge
+        # two partition summaries: markers 600 + 400; "HH" residual
+        # 80+70 > (600+400)/(8+1) must survive the merged cut
+        p1 = pd.DataFrame({"word": ["HH", "x1", "x2", "x3", "x4", None],
+                           "cnt": [80, 9, 8, 7, 6, 600]})
+        p2 = pd.DataFrame({"word": ["HH", "y1", "y2", "y3", "y4", "y5",
+                                    "y6", "y7", "y8", None],
+                           "cnt": [70, 5, 5, 5, 5, 5, 5, 5, 5, 400]})
+        out = list(_mg_merge(8)(iter([p1, p2])))[0]
+        marker = out[out.word.isna()]
+        items = dict(zip(out[out.word.notna()].word,
+                         out[out.word.notna()].cnt))
+        assert int(marker.cnt.iloc[0]) == 1000
+        assert len(items) <= 8 and "HH" in items
