@@ -842,6 +842,30 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-aligned store diff (tsrollup.checkpoint.table_diff): hourly
+    per-user cent sums from ALL events vs the same store with error
+    events excluded — the post-refresh/backfill audit classifying every
+    key as only_a/only_b/changed/unchanged with exact |delta| sums.
+    NULL-safe equality (a present-but-NULL value is not 'absent' —
+    tested), full-outer key join, class summary via partial agg.
+    Bit-exact tail oracle."""
+    from tsrollup.checkpoint import table_diff
+
+    ev = _fact(spark, sf_dir, "events")
+
+    def hourly(df: DataFrame) -> DataFrame:
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        return (df.groupBy("user_id",
+                           F.date_trunc("hour", F.col("ts")).alias("h"))
+                .agg(F.sum(cents.cast("decimal(18,0)")).cast("long")
+                     .alias("cents")))
+
+    return table_diff(hourly(ev),
+                      hourly(ev.filter(F.col("event_type") != "error")),
+                      ["user_id", "h"], ["cents"])
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source out-of-vocabulary rate against the deterministic top-20
     vocabulary (tsrollup.text.oov_rate) — the coverage check before a
@@ -1773,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel_filter": q_hampel_filter,
         "funnel_counts": q_funnel_counts,
         "oov_rate": q_oov_rate,
+        "table_diff": q_table_diff,
     }
 
 
@@ -3437,6 +3462,36 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # table_diff: same two hourly stores, FULL OUTER key join with
+    # explicit presence markers and IS NOT DISTINCT FROM (the NULL-safe
+    # equality eqNullSafe mirrors)
+    sqls["table_diff"] = """
+WITH a AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         SUM((value::DECIMAL(18,2) * 100)::BIGINT::DECIMAL(18,0))::BIGINT
+           AS cents, 1 AS ap
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), b AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         SUM((value::DECIMAL(18,2) * 100)::BIGINT::DECIMAL(18,0))::BIGINT
+           AS cents, 1 AS bp
+  FROM events WHERE event_type != 'error'
+  GROUP BY user_id, date_trunc('hour', ts)
+), j AS (
+  SELECT a.cents AS ac, b.cents AS bc, a.ap, b.bp
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.h = b.h
+), c AS (
+  SELECT CASE WHEN ap IS NOT NULL AND bp IS NULL THEN 'only_a'
+              WHEN ap IS NULL AND bp IS NOT NULL THEN 'only_b'
+              WHEN ac IS NOT DISTINCT FROM bc THEN 'unchanged'
+              ELSE 'changed' END AS class,
+         abs(ac - bc) AS d
+  FROM j
+)
+SELECT class, COUNT(*)::BIGINT AS n_keys, SUM(d)::BIGINT AS abs_delta
+FROM c GROUP BY class
 """
 
     # oov: the same deterministic top-20 cut (count desc, word asc is a

@@ -128,6 +128,7 @@ HEADLINE = [
     "hampel_filter",
     "funnel_counts",
     "oov_rate",
+    "table_diff",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

@@ -317,3 +317,45 @@ class TestRetentionOnIncrementalStore:
         top = _os.listdir(_os.path.join(root, "data"))
         assert all(d.startswith("epoch=") or d.startswith("_")
                    for d in top), top
+
+
+class TestTableDiff:
+    def test_classifies_all_four_ways(self, spark):
+        from tsrollup.checkpoint import table_diff
+        a = spark.createDataFrame(
+            [("k1", 10), ("k2", 20), ("k3", None), ("k4", 5)],
+            "k string, v int")
+        b = spark.createDataFrame(
+            [("k1", 10), ("k2", 25), ("k3", None), ("k5", 7)],
+            "k string, v int")
+        out = {r["class"]: r for r in
+               table_diff(a, b, ["k"], ["v"]).collect()}
+        # k3 is present with a NULL value on BOTH sides: unchanged (the
+        # NULL-safe compare), never only_a/only_b
+        assert out["unchanged"].n_keys == 2
+        assert out["changed"].n_keys == 1 and out["changed"].abs_delta == 5
+        assert out["only_a"].n_keys == 1 and out["only_a"].abs_delta is None
+        assert out["only_b"].n_keys == 1
+
+    def test_multi_value_columns_any_difference_counts(self, spark):
+        from tsrollup.checkpoint import table_diff
+        a = spark.createDataFrame([("k", 1, 100)], "k string, x int, y int")
+        b = spark.createDataFrame([("k", 1, 101)], "k string, x int, y int")
+        out = table_diff(a, b, ["k"], ["x", "y"]).collect()
+        assert out[0]["class"] == "changed" and out[0].abs_delta == 1
+
+    def test_identical_tables_all_unchanged(self, spark):
+        from tsrollup.checkpoint import table_diff
+        a = spark.createDataFrame([("k%d" % i, i) for i in range(20)],
+                                  "k string, v int")
+        out = table_diff(a, a, ["k"], ["v"]).collect()
+        assert len(out) == 1 and out[0]["class"] == "unchanged"
+        assert out[0].n_keys == 20 and out[0].abs_delta == 0
+
+    def test_validation(self, spark):
+        from tsrollup.checkpoint import table_diff
+        a = spark.createDataFrame([("k", 1)], "k string, v int")
+        with pytest.raises(ValueError):
+            table_diff(a, a, [], ["v"])
+        with pytest.raises(ValueError):
+            table_diff(a, a, ["k"], [])

@@ -477,3 +477,56 @@ def read_rollup(spark: SparkSession, output_root: str) -> DataFrame:
 
     return read_table(spark, f"{output_root}/data",
                       base_path=f"{output_root}/data").drop("bucket")
+
+
+def table_diff(a: DataFrame, b: DataFrame, key_cols: Sequence[str],
+               value_cols: Sequence[str]) -> DataFrame:
+    """Key-aligned diff between two table versions — the audit an
+    incremental store runs after a refresh/compaction/backfill ("what
+    actually changed between these two states"): a FULL OUTER join on
+    ``key_cols`` classifies every key as only_a / only_b / changed /
+    unchanged, with exact value-delta magnitudes for the changed set.
+
+    Exactness: classification is NULL-safe equality on the raw column
+    values (no tolerance — the store's own contract is bit-equality,
+    see incremental_rollup's oracle); delta magnitudes sum |a − b| per
+    numeric column in the column's own exact type (caller passes cents/
+    integer columns; the time_weighted_avg conversion argument).
+
+    Scale shape: one shuffle per side on the key columns (the join),
+    then a single global partial-aggregated summary row per class —
+    nothing row-grain leaves the join stage. Broadcast is deliberately
+    NOT hinted: both sides are same-order-of-magnitude stores.
+
+    Output: one row per class (class, n_keys, abs_delta — abs_delta is
+    NULL for only_a/only_b since the other side has no value).
+    """
+    keys = list(key_cols)
+    vals = list(value_cols)
+    if not keys or not vals:
+        raise ValueError("need at least one key column and one value column")
+    # explicit presence markers: keying presence off a value column would
+    # misclassify a present row whose value is genuinely NULL
+    an = a.select(*keys, F.lit(1).alias("_a_present"),
+                  *[F.col(c).alias(f"_a_{c}") for c in vals])
+    bn = b.select(*keys, F.lit(1).alias("_b_present"),
+                  *[F.col(c).alias(f"_b_{c}") for c in vals])
+    j = an.join(bn, keys, "full_outer")
+    in_a = F.col("_a_present").isNotNull()
+    in_b = F.col("_b_present").isNotNull()
+    same = None
+    for c in vals:
+        eq = F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        same = eq if same is None else (same & eq)
+    cls = (F.when(in_a & ~in_b, F.lit("only_a"))
+           .when(~in_a & in_b, F.lit("only_b"))
+           .when(same, F.lit("unchanged"))
+           .otherwise(F.lit("changed")))
+    delta = None
+    for c in vals:
+        d = F.abs(F.col(f"_a_{c}") - F.col(f"_b_{c}"))
+        delta = d if delta is None else (delta + d)
+    return (j.select(cls.alias("class"), delta.alias("_d"))
+            .groupBy("class")
+            .agg(F.count("*").cast("long").alias("n_keys"),
+                 F.sum("_d").cast("long").alias("abs_delta")))
