@@ -23,6 +23,10 @@ output bit:
   normal-equation cross-moments kept exact in 128-bit decimals.
 - ``seasonal_baseline`` — hour-of-day seasonal profile with integer-exact
   anomaly flags (division-free cross-multiplied threshold).
+- ``histogram_quantile`` — Prometheus quantile over a mergeable le-bucket
+  ladder (integer-exact crossing, one-division interpolation).
+- ``hampel_filter`` — rolling-median/MAD despiking on a ×2 integer scale
+  (no float median anywhere).
 
 The per-series operators pay ONE exchange: the window partitioning is a
 subset of every later grouping key, so Spark's EnsureRequirements reuses it.
