@@ -842,6 +842,19 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour vs same-hour-yesterday comparison per event type
+    (tsrollup.counters.period_over_period): exact CALENDAR-interval
+    self-join of the hourly grid (row-lag misaligns on missing buckets —
+    tested; fixed-second shifts break across DST), int64-cents deltas,
+    guarded ratio (NULL on no/zero prior, never NaN). One raw exchange;
+    the self-join runs at grid grain. Bit-exact tail oracle."""
+    from tsrollup.counters import period_over_period
+
+    return period_over_period(_fact(spark, sf_dir, "events"),
+                              series_cols=("event_type",))
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-aligned store diff (tsrollup.checkpoint.table_diff): hourly
     per-user cent sums from ALL events vs the same store with error
@@ -1798,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": q_funnel_counts,
         "oov_rate": q_oov_rate,
         "table_diff": q_table_diff,
+        "period_over_period": q_period_over_period,
     }
 
 
@@ -3462,6 +3476,25 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # period-over-period: calendar-interval self-join of the same grid
+    sqls["period_over_period"] = """
+WITH g AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         COUNT(*)::BIGINT AS n,
+         SUM((value::DECIMAL(18,2) * 100)::BIGINT::DECIMAL(18,0))::BIGINT
+           AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT g.event_type, g.bucket_ts, g.n, g.cents,
+       p.cents AS prev_cents,
+       g.cents - p.cents AS delta_cents,
+       CASE WHEN p.cents != 0 THEN g.cents::DOUBLE / p.cents::DOUBLE
+       END AS ratio
+FROM g LEFT JOIN g p
+  ON p.event_type = g.event_type
+ AND p.bucket_ts + INTERVAL 1 DAY = g.bucket_ts
 """
 
     # table_diff: same two hourly stores, FULL OUTER key join with

@@ -129,6 +129,7 @@ HEADLINE = [
     "funnel_counts",
     "oov_rate",
     "table_diff",
+    "period_over_period",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

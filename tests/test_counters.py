@@ -662,3 +662,71 @@ class TestHampelFilter:
         assert n_data_exchanges(plan) == 1, plan
         assert count_op(plan, "FlatMapGroupsInPandas") == 0
         assert count_op(plan, "MapInPandas") == 0
+
+
+class TestPeriodOverPeriod:
+    def test_same_hour_yesterday(self, spark):
+        from tsrollup.counters import period_over_period
+        # day 1 hour 10: 10.00 ; day 2 hour 10: 25.00 -> ratio 2.5
+        import datetime as dt
+        rows = [_row(1, "a", 0, 0, 10.0),
+                (1, "a", 1, T0 + dt.timedelta(days=1), 25.0)]
+        out = sorted(period_over_period(self_ev(spark, rows),
+                                        series_cols=("user_id",)).collect(),
+                     key=lambda r: r.bucket_ts)
+        assert out[0].prev_cents is None and out[0].ratio is None
+        assert out[1].prev_cents == 1000 and out[1].delta_cents == 1500
+        assert out[1].ratio == 2.5
+
+    def test_missing_prior_bucket_is_null_not_rowlag(self, spark):
+        from tsrollup.counters import period_over_period
+        import datetime as dt
+        # buckets at day 1 h10 and day 3 h10: a row-lag would pair them;
+        # the calendar shift must leave day 3 without a prior
+        rows = [_row(1, "a", 0, 0, 10.0),
+                (1, "a", 1, T0 + dt.timedelta(days=2), 30.0)]
+        out = sorted(period_over_period(self_ev(spark, rows),
+                                        series_cols=("user_id",)).collect(),
+                     key=lambda r: r.bucket_ts)
+        assert out[1].prev_cents is None and out[1].ratio is None
+
+    def test_zero_prior_guards_ratio(self, spark):
+        from tsrollup.counters import period_over_period
+        import datetime as dt
+        rows = [_row(1, "a", 0, 0, 0.0),
+                (1, "a", 1, T0 + dt.timedelta(days=1), 5.0)]
+        out = sorted(period_over_period(self_ev(spark, rows),
+                                        series_cols=("user_id",)).collect(),
+                     key=lambda r: r.bucket_ts)
+        assert out[1].prev_cents == 0 and out[1].delta_cents == 500
+        assert out[1].ratio is None
+
+    def test_week_period(self, spark):
+        from tsrollup.counters import period_over_period
+        import datetime as dt
+        rows = [_row(1, "a", 0, 0, 10.0),
+                (1, "a", 1, T0 + dt.timedelta(days=7), 15.0)]
+        out = sorted(period_over_period(self_ev(spark, rows),
+                                        series_cols=("user_id",),
+                                        period_days=7).collect(),
+                     key=lambda r: r.bucket_ts)
+        assert out[1].ratio == 1.5
+
+    def test_validation(self, spark):
+        from tsrollup.counters import period_over_period
+        with pytest.raises(ValueError):
+            period_over_period(self_ev(spark, []), bucket="week")
+        with pytest.raises(ValueError):
+            period_over_period(self_ev(spark, []), period_days=0)
+
+    def test_one_raw_exchange(self, spark):
+        from tsrollup.counters import period_over_period
+        from tsrollup.planaudit import count_op
+        plan = formatted_plan(period_over_period(
+            self_ev(spark, [_row(1, "a", 0, 0, 1.0)])))
+        assert count_op(plan, "CartesianProduct") == 0
+        assert count_op(plan, "FlatMapGroupsInPandas") == 0
+
+
+def self_ev(spark, rows):
+    return _events(spark, rows)

@@ -538,6 +538,57 @@ def burn_rate(events: DataFrame,
                          & (F.col("burn_long") >= thr)).cast("int")))
 
 
+def period_over_period(events: DataFrame,
+                       series_cols: Sequence[str] = ("event_type",),
+                       ts_col: str = "ts", value_col: str = "value",
+                       bucket: str = "hour",
+                       period_days: int = 1) -> DataFrame:
+    """Period-over-period comparison: each (series, bucket) total next to
+    the SAME bucket ``period_days`` earlier (hour vs same-hour-yesterday,
+    or 7 for same-hour-last-week) — the dashboard staple behind every
+    "vs yesterday" delta, and the seasonal-aware twin of trend_slope's
+    global drift.
+
+    The prior period arrives via an exact CALENDAR-interval self-join of
+    the aggregated grid (the lag_coupling rule: a row-lag misaligns the
+    moment a bucket is missing, and around a DST transition a fixed
+    24·3600 s shift misses the join key entirely). Sums ride int64 cents;
+    delta is exact int64; the ratio is one guarded exact-int64 IEEE
+    division (NULL when there is no or a zero prior bucket, never NaN).
+
+    Shape: ONE raw-data exchange (the grid aggregation); the self-join
+    runs at grid grain on (series, bucket) keys — both sides are the same
+    aggregated relation, orders of magnitude smaller than the input.
+
+    Output: series_cols…, bucket_ts, n, cents, prev_cents (nullable),
+    delta_cents (nullable), ratio (double, NULL without a prior bucket).
+    """
+    if bucket not in ("minute", "hour", "day"):
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    scols = list(series_cols)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    grid = (events
+            .groupBy(*scols,
+                     F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(cents.cast("decimal(18,0)")).cast("long")
+                 .alias("cents")))
+    shift = F.make_interval(F.lit(0), F.lit(0), F.lit(0),
+                            F.lit(int(period_days)))
+    prev = grid.select(*scols,
+                       (F.col("bucket_ts") + shift).alias("bucket_ts"),
+                       F.col("cents").alias("prev_cents"))
+    j = grid.join(prev, scols + ["bucket_ts"], "left")
+    return (j.select(
+        *scols, "bucket_ts", "n", "cents", "prev_cents",
+        (F.col("cents") - F.col("prev_cents")).alias("delta_cents"),
+        F.when(F.col("prev_cents") != 0,
+               F.col("cents").cast("double")
+               / F.col("prev_cents").cast("double")).alias("ratio")))
+
+
 def hampel_filter(events: DataFrame,
                   series_cols: Sequence[str] = ("user_id", "event_type"),
                   ts_col: str = "ts", id_col: str = "event_id",
