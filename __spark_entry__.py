@@ -842,6 +842,18 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of events (tsrollup.io.profile_table):
+    exact row/null/distinct counts for (value, user_id, event_type) plus
+    int64-cents min/max/sum for value — ONE aggregation over ONE scan
+    (plan-pinned), exploded to column grain. Exact distincts (HLL would
+    be engine-specific); bit-exact tail oracle."""
+    from tsrollup.io import profile_table
+
+    return profile_table(_fact(spark, sf_dir, "events"),
+                         ["value"], ["user_id", "event_type"])
+
+
 def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour vs same-hour-yesterday comparison per event type
     (tsrollup.counters.period_over_period): exact CALENDAR-interval
@@ -1812,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "table_diff": q_table_diff,
         "period_over_period": q_period_over_period,
+        "profile_table": q_profile_table,
     }
 
 
@@ -3476,6 +3489,33 @@ FROM pos a
 CROSS JOIN lags
 JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + lag
 GROUP BY a.doc_id, lag
+"""
+
+    # profile: one aggregation, per-column rows via UNION ALL
+    sqls["profile_table"] = """
+WITH t AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(value)::BIGINT AS nn_v,
+         COUNT(DISTINCT value)::BIGINT AS nd_v,
+         MIN((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS mn_v,
+         MAX((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS mx_v,
+         SUM((value::DECIMAL(18,2) * 100)::BIGINT::DECIMAL(18,0))::BIGINT
+           AS sm_v,
+         COUNT(user_id)::BIGINT AS nn_u,
+         COUNT(DISTINCT user_id)::BIGINT AS nd_u,
+         COUNT(event_type)::BIGINT AS nn_e,
+         COUNT(DISTINCT event_type)::BIGINT AS nd_e
+  FROM events
+)
+SELECT 'value' AS "column", n AS n_rows, n - nn_v AS n_null,
+       nd_v AS n_distinct, mn_v AS min_cents, mx_v AS max_cents,
+       sm_v AS sum_cents FROM t
+UNION ALL
+SELECT 'user_id', n, n - nn_u, nd_u,
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT FROM t
+UNION ALL
+SELECT 'event_type', n, n - nn_e, nd_e,
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT FROM t
 """
 
     # period-over-period: calendar-interval self-join of the same grid

@@ -130,6 +130,7 @@ HEADLINE = [
     "oov_rate",
     "table_diff",
     "period_over_period",
+    "profile_table",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

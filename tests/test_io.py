@@ -261,3 +261,36 @@ class TestZOrder:
         assert back.count() == len(rows)
         assert back.groupBy().sum("a", "b").collect() == \
             df.groupBy().sum("a", "b").collect()
+
+
+class TestProfileTable:
+    def test_counts_nulls_distincts_and_cents(self, spark):
+        from tsrollup.io import profile_table
+        df = spark.createDataFrame(
+            [("a", 1.25), ("b", 1.25), ("a", None), (None, 3.00)],
+            "k string, v double")
+        out = {r.column: r for r in
+               profile_table(df, ["v"], ["k"]).collect()}
+        v, k = out["v"], out["k"]
+        assert v.n_rows == 4 and v.n_null == 1 and v.n_distinct == 2
+        assert v.min_cents == 125 and v.max_cents == 300
+        assert v.sum_cents == 125 + 125 + 300
+        assert k.n_rows == 4 and k.n_null == 1 and k.n_distinct == 2
+        assert k.min_cents is None and k.sum_cents is None
+
+    def test_single_aggregation_one_scan(self, spark):
+        import re
+
+        from tsrollup.io import profile_table
+        from tsrollup.planaudit import formatted_plan
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        plan = formatted_plan(profile_table(df, ["v"], ["k"]))
+        scans = re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)
+        assert len(scans) == 1, plan
+
+    def test_validation(self, spark):
+        from tsrollup.io import profile_table
+        import pytest as _pytest
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError):
+            profile_table(df, [], [])

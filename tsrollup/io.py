@@ -245,3 +245,58 @@ def zorder_layout(df: DataFrame, cols, bits: int = 16,
     z = zorder_key(cols, bits=bits)
     return (df.repartitionByRange(int(n_files), z.alias("_z"))
             .sortWithinPartitions(z.alias("_z")))
+
+
+def profile_table(df: DataFrame, numeric_cols, key_cols=()) -> DataFrame:
+    """Data-quality profile — the schema-drift / null-audit pass an ingest
+    runs before trusting a new drop: one row per profiled column with
+    exact row/null/distinct counts and (for numerics) exact integer-cents
+    min/max/sum. ``numeric_cols`` are profiled fully; ``key_cols`` get
+    count/null/distinct only.
+
+    Exactness: distincts are EXACT (count_distinct — the one pass pays
+    Spark's expand by #distinct-aggregates, the standard cost of exact
+    multi-column profiling; an HLL approx_count_distinct would be cheaper
+    but its estimate is engine-specific and un-oracle-able); numeric
+    stats ride int64 cents. Everything reduces in ONE aggregation over
+    one scan — no per-column passes — then explodes to column grain.
+
+    Output: column (string), n_rows, n_null, n_distinct, min_cents,
+    max_cents, sum_cents (longs; NULL for key columns).
+    """
+    from pyspark.sql import functions as F
+
+    ncols = list(numeric_cols)
+    kcols = list(key_cols)
+    if not ncols and not kcols:
+        raise ValueError("nothing to profile")
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for c in ncols + kcols:
+        aggs.append(F.count(c).cast("long").alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{c}"))
+    for c in ncols:
+        cents = (F.col(c).cast("decimal(18,2)") * 100).cast("long")
+        aggs.append(F.min(cents).alias(f"_mn_{c}"))
+        aggs.append(F.max(cents).alias(f"_mx_{c}"))
+        aggs.append(F.sum(cents.cast("decimal(18,0)")).cast("long")
+                    .alias(f"_sm_{c}"))
+    one = df.agg(*aggs)
+    null_l = F.lit(None).cast("long")
+    rows = F.array(*(
+        [F.struct(F.lit(c).alias("column"),
+                  F.col("_n").alias("n_rows"),
+                  (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                  F.col(f"_nd_{c}").alias("n_distinct"),
+                  F.col(f"_mn_{c}").alias("min_cents"),
+                  F.col(f"_mx_{c}").alias("max_cents"),
+                  F.col(f"_sm_{c}").alias("sum_cents"))
+         for c in ncols] +
+        [F.struct(F.lit(c).alias("column"),
+                  F.col("_n").alias("n_rows"),
+                  (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                  F.col(f"_nd_{c}").alias("n_distinct"),
+                  null_l.alias("min_cents"),
+                  null_l.alias("max_cents"),
+                  null_l.alias("sum_cents"))
+         for c in kcols]))
+    return one.select(F.explode(rows).alias("r")).select("r.*")
