@@ -483,3 +483,67 @@ def test_stream_sessionize_rejects_bad_gap(spark):
 
     with pytest.raises(ValueError):
         stream_sessionize(spark.range(1), gap_minutes=0)
+
+
+def test_stream_cusum_matches_batch_bitwise(spark, tmp_path):
+    """O(1) prefix/extrema state across triggers AND a query restart must
+    reproduce counters.cusum_drift BIT-FOR-BIT (exact integer cents; each
+    score is one int64->double conversion + /100, the same correctly-
+    rounded rational the batch decimal cast yields)."""
+    from tsrollup.counters import cusum_drift
+    from tsrollup.streaming import stream_cusum
+
+    rng = np.random.default_rng(23)
+    n = 300
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 4, n).astype(np.int64),
+        "event_type": rng.choice(["a", "b"], n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "value": np.round(rng.uniform(0, 120, n), 2),
+    })
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev.iloc[:150].to_parquet(src / "p0.parquet", coerce_timestamps="us",
+                             allow_truncated_timestamps=True)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("user_id long, event_type string, event_id long, "
+                          "ts timestamp, value double")
+                  .parquet(str(src)))
+        q = (stream_cusum(stream, target=50.0, threshold=40.0).writeStream
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    ev.iloc[150:].to_parquet(src / "p1.parquet", coerce_timestamps="us",
+                             allow_truncated_timestamps=True)
+    run_once()  # restart: the three-int state returns from the store
+
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = (cusum_drift(spark.read.parquet(str(src)),
+                        target=50.0, threshold=40.0)
+            .toPandas().rename(columns={"id": "event_id"})
+            .sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(want) == n
+    assert (got["cusum_hi"].values == want["cusum_hi"].values).all()
+    assert (got["cusum_lo"].values == want["cusum_lo"].values).all()
+    assert (got["alarm"].values == want["alarm"].values).all()
+    assert got["alarm"].sum() > 0  # the fixture actually drifts
+
+
+def test_stream_cusum_rejects_bad_args(spark):
+    from tsrollup.streaming import stream_cusum
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError):
+        stream_cusum(df, timeout="EventTimeTimeout")
+    with pytest.raises(ValueError):
+        stream_cusum(df, timeout="ProcessingTimeTimeout",
+                     timeout_duration_ms=0)

@@ -293,3 +293,89 @@ def reaggregate_time_tier(points: DataFrame,
                   .alias("sum"),
                  F.min("min").alias("min"),
                  F.max("max").alias("max")))
+
+
+CUSUM_STATE_SCHEMA = "p long, mn long, mx long"
+CUSUM_OUT_SCHEMA = ("user_id long, event_type string, event_id long, "
+                    "ts timestamp, cusum_hi double, cusum_lo double, "
+                    "alarm int")
+
+
+def stream_cusum(events: DataFrame, target: float = 50.0,
+                 threshold: float = 200.0,
+                 timeout: str = "NoTimeout",
+                 timeout_duration_ms: int = 300_000):
+    """Streaming two-sided CUSUM drift scores — the ONLINE twin of
+    ``counters.cusum_drift``, emitting the identical per-sample scores as
+    samples arrive. The closed form (S⁺ = P − min(0, min P), S⁻ =
+    max(0, max P) − P) needs only the running prefix sum and its running
+    extrema, so per-key state is THREE int64s — O(1), no ring buffer, no
+    replay — carried across triggers and restarts by
+    ``applyInPandasWithState``.
+
+    Bit-equality with the batch operator (tested): arithmetic rides exact
+    integer cents (``rint(value·100)`` is exact for two-decimal doubles —
+    the true cents value is never at a rounding boundary), and each score
+    is one exact-int64→double conversion divided by 100 — the same
+    correctly-rounded rational the batch path's decimal→double cast
+    produces. In-order per-key arrival is the operator's contract (any
+    online CUSUM's); within a trigger the group's chunks are concatenated
+    and sorted once by (ts, event_id) — the stream_stateful_rolling
+    cross-chunk-ordering rule.
+
+    Eviction mirrors stream_stateful_rolling: ``ProcessingTimeTimeout``
+    re-arms per delivery and a timed-out invocation removes the key's
+    three-int state; ``NoTimeout`` retains it (three int64s per key —
+    eviction is about key-universe hygiene, not memory pressure).
+    EventTimeTimeout is rejected (processing-order fold).
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState
+
+    if timeout not in ("NoTimeout", "ProcessingTimeTimeout"):
+        raise ValueError(
+            "stream_cusum supports timeout='NoTimeout' or "
+            f"'ProcessingTimeTimeout', got {timeout!r}")
+    if timeout != "NoTimeout" and timeout_duration_ms <= 0:
+        raise ValueError("timeout_duration_ms must be positive")
+    target_cents = int(round(float(target) * 100))
+    thr = float(threshold)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        p0, mn0, mx0 = state.get if state.exists else (0, 0, 0)
+        chunks = [ch for ch in pdfs]
+        if not chunks:
+            state.update((p0, mn0, mx0))
+            if timeout == "ProcessingTimeTimeout":
+                state.setTimeoutDuration(timeout_duration_ms)
+            return
+        pdf = pd.concat(chunks, ignore_index=True) \
+            .sort_values(["ts", "event_id"])
+        cents = np.rint(pdf["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        cs = np.cumsum(cents - target_cents) + p0
+        mn = np.minimum(np.minimum.accumulate(cs), mn0)
+        mx = np.maximum(np.maximum.accumulate(cs), mx0)
+        hi = (cs - mn).astype(np.float64) / 100.0
+        lo = (mx - cs).astype(np.float64) / 100.0
+        yield pd.DataFrame({
+            "user_id": pdf["user_id"].to_numpy(np.int64),
+            "event_type": pdf["event_type"].astype(str),
+            "event_id": pdf["event_id"].to_numpy(np.int64),
+            "ts": pdf["ts"].to_numpy(),
+            "cusum_hi": hi,
+            "cusum_lo": lo,
+            "alarm": ((hi > thr) | (lo > thr)).astype(np.int32),
+        })
+        state.update((int(cs[-1]), int(mn[-1]), int(mx[-1])))
+        if timeout == "ProcessingTimeTimeout":
+            state.setTimeoutDuration(timeout_duration_ms)
+
+    return (events
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(update, CUSUM_OUT_SCHEMA,
+                                    CUSUM_STATE_SCHEMA, "append", timeout))
