@@ -3658,7 +3658,7 @@ FROM t WHERE n_total > 0
 WITH e AS (
   SELECT user_id, event_type, ts, event_id AS id,
          (value::DECIMAL(18,2) * 100)::BIGINT AS c
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), s AS (
   SELECT user_id, event_type, ts, id, c,
          list_sort(list(c) OVER (PARTITION BY user_id, event_type
@@ -3695,7 +3695,8 @@ FROM f
     # interpolation — every decision on exact integers in both engines
     sqls["histogram_quantile"] = """
 WITH e AS (
-  SELECT event_type, (value::DECIMAL(18,2) * 100)::BIGINT AS c FROM events
+  SELECT event_type, (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
 ), b AS (
   SELECT event_type,
          CASE WHEN c <= 2500 THEN 0 WHEN c <= 5000 THEN 1

@@ -730,3 +730,26 @@ class TestPeriodOverPeriod:
 
 def self_ev(spark, rows):
     return _events(spark, rows)
+
+
+class TestNullValueHandling:
+    def test_hampel_drops_null_samples(self, spark):
+        from tsrollup.counters import hampel_filter
+        rows = [_row(1, "a", 0, 0, 10.0), (1, "a", 1,
+                T0 + __import__("datetime").timedelta(seconds=1), None),
+                _row(1, "a", 2, 2, 10.0)]
+        out = hampel_filter(_events(spark, rows)).collect()
+        # the NULL sample is no observation: dropped, not imputed, and it
+        # must not poison its neighbors' windows
+        assert len(out) == 2 and all(r.med == 10.0 for r in out)
+
+    def test_histogram_quantile_ignores_null_samples(self, spark):
+        from tsrollup.counters import histogram_quantile
+        import datetime as dt
+        rows = [_row(1, "a", 0, 0, 10.0),
+                (1, "a", 1, T0 + dt.timedelta(seconds=1), None)]
+        r = histogram_quantile(_events(spark, rows), 1, 1,
+                               series_cols=("event_type",)).collect()[0]
+        # without the filter the NULL would land in the +Inf bucket and
+        # shift the rank
+        assert r.total_n == 1

@@ -626,6 +626,10 @@ def hampel_filter(events: DataFrame,
     w = (Window.partitionBy(*scols).orderBy(ts_col, id_col)
          .rowsBetween(-half_window, half_window))
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # NULL samples are dropped up front, explicitly: you can't despike a
+    # missing observation, and leaving them in would diverge the engines
+    # (Spark's collect_list skips NULLs, DuckDB's list() keeps them)
+    events = events.filter(F.col(value_col).isNotNull())
     staged = events.select(
         *scols, F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
         cents.alias("_c"),
@@ -704,6 +708,9 @@ def histogram_quantile(events: DataFrame, q_num: int = 9, q_den: int = 10,
     nfin = len(ladder)
     scols = list(series_cols)
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # a NULL observation is no observation — without the filter the
+    # when-chain's otherwise() would silently count it in the +Inf bucket
+    events = events.filter(F.col(value_col).isNotNull())
     # first ladder bound >= the sample, else the +Inf bucket (index nfin)
     idx = F.lit(nfin)
     for i in range(nfin - 1, -1, -1):
