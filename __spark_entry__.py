@@ -2506,7 +2506,7 @@ WITH p AS (
          SUM(value::DECIMAL(18,2) - 50.00) OVER (
            PARTITION BY user_id, event_type ORDER BY ts, event_id
            ROWS UNBOUNDED PRECEDING) AS pp
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), r AS (
   SELECT user_id, event_type, ts, id, pp,
          MIN(pp) OVER (PARTITION BY user_id, event_type
@@ -3525,7 +3525,8 @@ WITH g AS (
          COUNT(*)::BIGINT AS n,
          SUM((value::DECIMAL(18,2) * 100)::BIGINT::DECIMAL(18,0))::BIGINT
            AS cents
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 )
 SELECT g.event_type, g.bucket_ts, g.n, g.cents,
        p.cents AS prev_cents,
@@ -3563,7 +3564,9 @@ WITH a AS (
          abs(ac - bc) AS d
   FROM j
 )
-SELECT class, COUNT(*)::BIGINT AS n_keys, SUM(d)::BIGINT AS abs_delta
+SELECT class, COUNT(*)::BIGINT AS n_keys, SUM(d)::BIGINT AS abs_delta,
+       SUM(CASE WHEN class = 'changed' AND d IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_null_deltas
 FROM c GROUP BY class
 """
 
@@ -3757,7 +3760,8 @@ HAVING COUNT(*) * 100 > (SELECT n FROM t) * 3
 WITH g AS (
   SELECT user_id, event_type, date_trunc('hour', ts) AS b,
          SUM((value::DECIMAL(18,2) * 100)::BIGINT::HUGEINT) AS y
-  FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, event_type, date_trunc('hour', ts)
 ), x AS (
   SELECT user_id, event_type, y,
          ((epoch_us(b) - MIN(epoch_us(b)) OVER (
@@ -3793,7 +3797,7 @@ FROM s
 WITH e AS (
   SELECT event_type, hour(ts)::INT AS hod,
          (value::DECIMAL(18,2) * 100)::BIGINT::HUGEINT AS c
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), w AS (
   SELECT event_type, hod, c,
          COUNT(*) OVER (PARTITION BY event_type, hod) AS n,

@@ -753,3 +753,56 @@ class TestNullValueHandling:
         # without the filter the NULL would land in the +Inf bucket and
         # shift the rank
         assert r.total_n == 1
+
+
+class TestReviewNullFindings:
+    """Round-5 review findings: NULL samples corrupted four operators."""
+
+    def test_seasonal_baseline_null_does_not_flag_real_sample(self, spark):
+        from tsrollup.counters import seasonal_baseline
+        rows = [_row(1, "a", 0, 0, 30.0),
+                (1, "a", 1, T0, None)]
+        r = seasonal_baseline(_events(spark, rows),
+                              series_cols=("user_id",)).collect()[0]
+        # the cell's only real sample IS its mean — never anomalous
+        assert r.n_samples == 1 and r.mean_value == 30.0 and r.n_anom == 0
+
+    def test_trend_slope_all_null_bucket_fabricates_nothing(self, spark):
+        from tsrollup.counters import trend_slope
+        import datetime as dt
+        rows = [_row(1, "a", 0, 0, 10.0),
+                (1, "a", 1, T0 + dt.timedelta(hours=1), None)]
+        r = trend_slope(_events(spark, rows)).collect()[0]
+        # one real bucket: NULL slope, not a fabricated -1000 downtrend
+        assert r.n_buckets == 1 and r.slope_cents_per_bucket is None
+
+    def test_period_over_period_skips_all_null_buckets(self, spark):
+        from tsrollup.counters import period_over_period
+        import datetime as dt
+        rows = [(1, "a", 0, T0, None),
+                _row(1, "a", 1, 24 * 3600, 5.0)]
+        out = period_over_period(self_ev(spark, rows),
+                                 series_cols=("user_id",)).collect()
+        assert len(out) == 1 and out[0].prev_cents is None
+
+    def test_cusum_drift_drops_null_samples(self, spark):
+        from tsrollup.counters import cusum_drift
+        rows = [_row(1, "a", 0, 0, 60.0), (1, "a", 1, T0, None),
+                _row(1, "a", 2, 2, 60.0)]
+        out = cusum_drift(_events(spark, rows), target=50.0).collect()
+        assert len(out) == 2
+        assert sorted(r.cusum_hi for r in out) == [10.0, 20.0]
+
+
+class TestTrendSlopeDayBucket:
+    def test_day_bucket_uses_calendar_index(self, spark):
+        from tsrollup.counters import trend_slope
+        import datetime as dt
+        # days 0, 1, 3 (day 2 missing): x must be 0, 1, 3
+        rows = [(1, "a", i, T0 + dt.timedelta(days=d), 10.0 * (d + 1))
+                for i, d in enumerate((0, 1, 3))]
+        df = _events(spark, rows)
+        r = trend_slope(df, bucket="day").collect()[0]
+        assert r.n_buckets == 3 and r.x_last == 3
+        # y = 1000·(x+1) on the calendar index -> slope exactly 1000
+        assert r.slope_cents_per_bucket == 1000.0

@@ -359,3 +359,15 @@ class TestTableDiff:
             table_diff(a, a, [], ["v"])
         with pytest.raises(ValueError):
             table_diff(a, a, ["k"], [])
+
+    def test_changed_with_one_sided_null_is_counted_not_dropped(self, spark):
+        # review finding: |a - NULL| is NULL and vanished from abs_delta
+        from tsrollup.checkpoint import table_diff
+        a = spark.createDataFrame([("k1", 10), ("k2", 5)], "k string, v int")
+        b = spark.createDataFrame([("k1", None), ("k2", 7)],
+                                  "k string, v int")
+        out = {r["class"]: r for r in
+               table_diff(a, b, ["k"], ["v"]).collect()}
+        ch = out["changed"]
+        assert ch.n_keys == 2 and ch.abs_delta == 2
+        assert ch.n_null_deltas == 1

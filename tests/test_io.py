@@ -294,3 +294,14 @@ class TestProfileTable:
         df = spark.createDataFrame([("a",)], "k string")
         with _pytest.raises(ValueError):
             profile_table(df, [], [])
+
+    def test_rejects_overlapping_column_lists(self, spark):
+        # review finding: duplicate aliases surfaced as an opaque
+        # AMBIGUOUS_REFERENCE at analysis time
+        from tsrollup.io import profile_table
+        import pytest as _pytest
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        with _pytest.raises(ValueError, match="more than once"):
+            profile_table(df, ["v"], ["v"])
+        with _pytest.raises(ValueError, match="more than once"):
+            profile_table(df, ["v", "v"], [])

@@ -547,3 +547,43 @@ def test_stream_cusum_rejects_bad_args(spark):
     with pytest.raises(ValueError):
         stream_cusum(df, timeout="ProcessingTimeTimeout",
                      timeout_duration_ms=0)
+
+
+def test_stream_cusum_null_value_does_not_poison_state(spark, tmp_path):
+    """Review finding: rint(NaN).astype(int64) wrote INT64_MIN into the
+    persisted state. NULL samples must be dropped (the batch policy) and
+    later samples must continue from uncorrupted state."""
+    from tsrollup.counters import cusum_drift
+    from tsrollup.streaming import stream_cusum
+
+    ev = pd.DataFrame({
+        "user_id": np.int64([1, 1, 1]),
+        "event_type": ["a", "a", "a"],
+        "event_id": np.int64([0, 1, 2]),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta([0, 1, 2], unit="s"),
+        "value": [60.0, np.nan, 60.0],
+    })
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev.to_parquet(src / "p0.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = (spark.readStream
+              .schema("user_id long, event_type string, event_id long, "
+                      "ts timestamp, value double")
+              .parquet(str(src)))
+    q = (stream_cusum(stream, target=50.0, threshold=15.0).writeStream
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = (cusum_drift(spark.read.parquet(str(src)), target=50.0,
+                        threshold=15.0)
+            .toPandas().rename(columns={"id": "event_id"})
+            .sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(want) == 2
+    assert (got["cusum_hi"].values == want["cusum_hi"].values).all()
+    assert got["alarm"].tolist() == [0, 1]

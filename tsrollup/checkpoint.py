@@ -498,8 +498,11 @@ def table_diff(a: DataFrame, b: DataFrame, key_cols: Sequence[str],
     nothing row-grain leaves the join stage. Broadcast is deliberately
     NOT hinted: both sides are same-order-of-magnitude stores.
 
-    Output: one row per class (class, n_keys, abs_delta — abs_delta is
-    NULL for only_a/only_b since the other side has no value).
+    Output: one row per class (class, n_keys, abs_delta, n_null_deltas).
+    abs_delta is NULL for only_a/only_b (the other side has no value) and
+    sums only fully-comparable deltas; a changed row where ONE side's
+    value is NULL has no magnitude (|a − NULL| is NULL) and is counted in
+    ``n_null_deltas`` instead of vanishing silently (review finding).
     """
     keys = list(key_cols)
     vals = list(value_cols)
@@ -526,7 +529,10 @@ def table_diff(a: DataFrame, b: DataFrame, key_cols: Sequence[str],
     for c in vals:
         d = F.abs(F.col(f"_a_{c}") - F.col(f"_b_{c}"))
         delta = d if delta is None else (delta + d)
-    return (j.select(cls.alias("class"), delta.alias("_d"))
+    null_delta = ((cls == "changed") & delta.isNull()).cast("long")
+    return (j.select(cls.alias("class"), delta.alias("_d"),
+                     null_delta.alias("_nd"))
             .groupBy("class")
             .agg(F.count("*").cast("long").alias("n_keys"),
-                 F.sum("_d").cast("long").alias("abs_delta")))
+                 F.sum("_d").cast("long").alias("abs_delta"),
+                 F.sum("_nd").cast("long").alias("n_null_deltas")))

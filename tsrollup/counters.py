@@ -222,6 +222,10 @@ def cusum_drift(events: DataFrame,
     alarm (1 when either side exceeds ``threshold``).
     """
     scols = list(series_cols)
+    # a NULL sample is no observation (engine-wide policy; keeps the
+    # streaming twin's O(1) state bit-equal without NULL-propagation
+    # emulation — a leading NULL would otherwise emit NULL scores)
+    events = events.filter(F.col(value_col).isNotNull())
     w = (Window.partitionBy(*scols).orderBy(ts_col, id_col)
          .rowsBetween(Window.unboundedPreceding, 0))
     y = (F.col(value_col).cast("decimal(18,2)")
@@ -569,6 +573,10 @@ def period_over_period(events: DataFrame,
         raise ValueError("period_days must be >= 1")
     scols = list(series_cols)
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # NULL samples are no observations (the hampel/histogram policy): an
+    # all-NULL bucket would otherwise emit a grid row with n>0 and NULL
+    # cents, poisoning its successor's delta/ratio (review finding)
+    events = events.filter(F.col(value_col).isNotNull())
     grid = (events
             .groupBy(*scols,
                      F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
@@ -801,17 +809,30 @@ def trend_slope(events: DataFrame,
         raise ValueError(f"unsupported bucket {bucket!r}")
     scols = list(series_cols)
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # NULL samples are no observations: without the filter a bucket whose
+    # values are all NULL lands in n/Σx/Σx² but not Σy/Σxy and FABRICATES
+    # a slope (review finding; the hampel/histogram policy, applied here)
+    events = events.filter(F.col(value_col).isNotNull())
     grid = (events
             .groupBy(*scols,
                      F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
             .agg(F.sum(cents.cast("decimal(18,0)")).alias("_y")))
     us = F.unix_micros(F.col("_b").cast("timestamp"))
-    lo = F.min(us).over(Window.partitionBy(*scols))
-    # `div` (exact int64 division), never float `/`: a microsecond offset
-    # past 2^53 would land samples in the wrong bucket (the m4 argument)
-    grid = (grid.select(*scols, "_y", (us - lo).alias("_off"))
-            .select(*scols, "_y",
-                    F.expr(f"_off div {step_us}").alias("_x")))
+    win = Window.partitionBy(*scols)
+    if bucket == "day":
+        # CALENDAR day index, not a fixed 86400-second div: in a zoned
+        # session a DST day is 23/25 h and the fixed div collides or
+        # skips indices (the period_over_period/lag_coupling rule)
+        x = F.datediff(F.col("_b"),
+                       F.min(F.col("_b")).over(win)).cast("long")
+        grid = grid.select(*scols, "_y", x.alias("_x"))
+    else:
+        lo = F.min(us).over(win)
+        # `div` (exact int64 division), never float `/`: a microsecond
+        # offset past 2^53 would land samples in the wrong bucket
+        grid = (grid.select(*scols, "_y", (us - lo).alias("_off"))
+                .select(*scols, "_y",
+                        F.expr(f"_off div {step_us}").alias("_x")))
     xd = F.col("_x").cast("decimal(10,0)")
     yd = F.col("_y").cast("decimal(18,0)")
     s = (grid.groupBy(*scols)
@@ -876,6 +897,10 @@ def seasonal_baseline(events: DataFrame,
     scols = list(series_cols)
     hod = F.hour(F.col(ts_col)).cast("int")
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # NULL samples are no observations: counting them in the window n but
+    # not the sum s corrupts the cross-multiplied test — a cell holding
+    # [30.0, NULL] would flag its only real sample (review finding)
+    events = events.filter(F.col(value_col).isNotNull())
     staged = events.select(*scols, hod.alias("hod"), cents.alias("_c"))
     w = Window.partitionBy(*scols, "hod")
     n = F.count("*").over(w)

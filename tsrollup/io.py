@@ -270,6 +270,12 @@ def profile_table(df: DataFrame, numeric_cols, key_cols=()) -> DataFrame:
     kcols = list(key_cols)
     if not ncols and not kcols:
         raise ValueError("nothing to profile")
+    dupes = set(ncols) & set(kcols) | {c for cs in (ncols, kcols)
+                                       for c in cs if cs.count(c) > 1}
+    if dupes:
+        # the duplicated aggregate aliases would otherwise surface as an
+        # opaque AMBIGUOUS_REFERENCE at analysis time (review finding)
+        raise ValueError(f"columns listed more than once: {sorted(dupes)}")
     aggs = [F.count("*").cast("long").alias("_n")]
     for c in ncols + kcols:
         aggs.append(F.count(c).cast("long").alias(f"_nn_{c}"))

@@ -355,17 +355,30 @@ def stream_cusum(events: DataFrame, target: float = 50.0,
             return
         pdf = pd.concat(chunks, ignore_index=True) \
             .sort_values(["ts", "event_id"])
-        cents = np.rint(pdf["value"].to_numpy(np.float64) * 100) \
-            .astype(np.int64)
-        cs = np.cumsum(cents - target_cents) + p0
+        # a NULL sample is no observation (the batch operator filters them
+        # identically) — rint(NaN).astype(int64) would otherwise write
+        # INT64_MIN into the persisted state and poison the key forever
+        # (review finding)
+        pdf = pdf[pdf["value"].notna()]
+        if not len(pdf):
+            state.update((p0, mn0, mx0))
+            if timeout == "ProcessingTimeTimeout":
+                state.setTimeoutDuration(timeout_duration_ms)
+            return
+        v = pdf["value"].to_numpy(np.float64)
+        d = (np.rint(v * 100) - target_cents).astype(np.int64)
+        cs = np.cumsum(d) + p0
         mn = np.minimum(np.minimum.accumulate(cs), mn0)
         mx = np.maximum(np.maximum.accumulate(cs), mx0)
         hi = (cs - mn).astype(np.float64) / 100.0
         lo = (mx - cs).astype(np.float64) / 100.0
         yield pd.DataFrame({
-            "user_id": pdf["user_id"].to_numpy(np.int64),
-            "event_type": pdf["event_type"].astype(str),
-            "event_id": pdf["event_id"].to_numpy(np.int64),
+            # hand columns through with nullable dtypes intact: forcing
+            # to_numpy(int64)/astype(str) crashes on a NULL user_id and
+            # turns a NULL event_type into the literal "None"
+            "user_id": pdf["user_id"].astype("Int64"),
+            "event_type": pdf["event_type"],
+            "event_id": pdf["event_id"].astype("Int64"),
             "ts": pdf["ts"].to_numpy(),
             "cusum_hi": hi,
             "cusum_lo": lo,
