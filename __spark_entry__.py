@@ -959,6 +959,37 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                          threshold_den=100)
 
 
+def q_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over word BIGRAMS above 0.1% corpus share — the
+    high-cardinality regime the Misra-Gries sketch exists for (|n-grams|
+    dwarfs the vocabulary; a full groupBy's aggregation state grows
+    combinatorially, the sketch stays at k counters). The fixture's
+    near-uniform bigram distribution puts hundreds of grams AT the
+    threshold boundary, so any off-by-one in the cross-multiplied cut
+    hash-mismatches. Bit-exact tail oracle."""
+    from tsrollup.sketches import heavy_hitters
+    from tsrollup.text import _word_ngrams
+
+    return heavy_hitters(_docs(spark, sf_dir), threshold_num=1,
+                         threshold_den=1000,
+                         token_arr=_word_ngrams("text", 2))
+
+
+def q_histogram_quantile_hourly(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """histogram_quantile(0.9) per (event_type, HOUR) — the SRE per-hour
+    p90 panel, by pure composition: the bucket column rides in
+    series_cols, everything else is the same ladder machinery (one raw
+    exchange, crossing at ladder grain per cell). Bit-exact tail
+    oracle."""
+    from tsrollup.counters import histogram_quantile
+
+    ev = _fact(spark, sf_dir, "events").withColumn(
+        "hour_ts", F.date_trunc("hour", F.col("ts")))
+    return histogram_quantile(ev, 9, 10,
+                              series_cols=("event_type", "hour_ts"))
+
+
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend over the hourly grid
     (tsrollup.counters.trend_slope): normal-equation cross-moments kept
@@ -1825,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "period_over_period": q_period_over_period,
         "profile_table": q_profile_table,
+        "heavy_ngrams": q_heavy_ngrams,
+        "histogram_quantile_hourly": q_histogram_quantile_hourly,
     }
 
 
@@ -3728,6 +3761,72 @@ WITH e AS (
   WHERE cum * 10 >= total_n * 9 AND (cum - cnt) * 10 < total_n * 9
 )
 SELECT event_type, total_n, bucket_idx::INT AS bucket_idx,
+       CASE WHEN bucket_idx < 6 THEN hi::DOUBLE / 100.0 END AS bucket_le,
+       CASE WHEN bucket_idx >= 6 THEN 800.0
+            ELSE (lo * 10 * cnt
+                  + (hi - lo) * (total_n * 9 - cum_prev * 10))::DOUBLE
+                 / (cnt * 1000)::DOUBLE
+       END AS qvalue
+FROM x
+"""
+
+    # heavy bigrams: identical contract over the n-gram stream (same
+    # slice arithmetic as the dedup shingle CTEs)
+    sqls["heavy_ngrams"] = """
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+                i -> array_to_string(ws[i + 1 : i + 2], ' '))) AS word
+  FROM w
+), t AS (
+  SELECT COUNT(*)::BIGINT AS n FROM g
+)
+SELECT word, COUNT(*)::BIGINT AS n_occ,
+       (SELECT n FROM t) AS n_corpus,
+       COUNT(*)::BIGINT::DOUBLE / (SELECT n FROM t)::DOUBLE AS share
+FROM g GROUP BY word
+HAVING COUNT(*) * 1000 > (SELECT n FROM t) * 1
+"""
+
+    # hourly histogram quantile: the same ladder machinery with the hour
+    # in every grouping/partition key
+    sqls["histogram_quantile_hourly"] = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type, hour_ts,
+         CASE WHEN c <= 2500 THEN 0 WHEN c <= 5000 THEN 1
+              WHEN c <= 10000 THEN 2 WHEN c <= 20000 THEN 3
+              WHEN c <= 40000 THEN 4 WHEN c <= 80000 THEN 5
+              ELSE 6 END AS bucket_idx
+  FROM e
+), g AS (
+  SELECT event_type, hour_ts, bucket_idx, COUNT(*)::BIGINT AS cnt
+  FROM b GROUP BY event_type, hour_ts, bucket_idx
+), wdw AS (
+  SELECT event_type, hour_ts, bucket_idx, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type, hour_ts
+                        ORDER BY bucket_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        )::BIGINT AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type, hour_ts
+                        )::BIGINT AS total_n
+  FROM g
+), x AS (
+  SELECT event_type, hour_ts, bucket_idx, cnt, cum, total_n,
+         cum - cnt AS cum_prev,
+         CASE bucket_idx WHEN 0 THEN 0 WHEN 1 THEN 2500 WHEN 2 THEN 5000
+              WHEN 3 THEN 10000 WHEN 4 THEN 20000 ELSE 40000 END AS lo,
+         CASE bucket_idx WHEN 0 THEN 2500 WHEN 1 THEN 5000
+              WHEN 2 THEN 10000 WHEN 3 THEN 20000 WHEN 4 THEN 40000
+              ELSE 80000 END AS hi
+  FROM wdw
+  WHERE cum * 10 >= total_n * 9 AND (cum - cnt) * 10 < total_n * 9
+)
+SELECT event_type, hour_ts, total_n, bucket_idx::INT AS bucket_idx,
        CASE WHEN bucket_idx < 6 THEN hi::DOUBLE / 100.0 END AS bucket_le,
        CASE WHEN bucket_idx >= 6 THEN 800.0
             ELSE (lo * 10 * cnt

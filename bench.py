@@ -131,6 +131,8 @@ HEADLINE = [
     "table_diff",
     "period_over_period",
     "profile_table",
+    "heavy_ngrams",
+    "histogram_quantile_hourly",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

@@ -103,7 +103,8 @@ def _mg_merge(k: int):
 
 def heavy_hitters(df: DataFrame, threshold_num: int = 1,
                   threshold_den: int = 200, text_col: str = "text",
-                  sketch_k: int | None = None) -> DataFrame:
+                  sketch_k: int | None = None,
+                  token_arr=None) -> DataFrame:
     """All words whose corpus occurrence count strictly exceeds
     ``(threshold_num/threshold_den) · N`` (N = total word count), with the
     EXACT count — computed via the two-pass sketch-then-recount algorithm
@@ -125,6 +126,12 @@ def heavy_hitters(df: DataFrame, threshold_num: int = 1,
     Output: word, n_occ (long, exact), n_corpus (long), share (double,
     one exact-int64 division). Empty-string words count like any other
     (the split keeps empties — oracle parity).
+
+    ``token_arr`` overrides the item stream with any array<string>
+    Column (e.g. word n-grams) — the regime the sketch exists for: n-gram
+    key cardinality dwarfs a word vocabulary, so the full-groupBy
+    alternative's aggregation state grows combinatorially while the
+    sketch stays at k counters.
     """
     num, den = int(threshold_num), int(threshold_den)
     if num < 1 or den < 1 or num >= den:
@@ -134,7 +141,8 @@ def heavy_hitters(df: DataFrame, threshold_num: int = 1,
         raise ValueError(
             f"sketch_k={k} cannot guarantee the threshold {num}/{den}: "
             f"MG only preserves items with freq > N/(k+1)")
-    exploded = df.select(F.explode(words(text_col)).alias("word"))
+    arr = token_arr if token_arr is not None else words(text_col)
+    exploded = df.select(F.explode(arr).alias("word"))
     summary = exploded.mapInPandas(_mg_partition(k), "word string, cnt long")
     merged = summary.repartition(1).mapInPandas(
         _mg_merge(k), "word string, cnt long")
