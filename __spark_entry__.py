@@ -815,6 +815,23 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(_tokenized(spark, sf_dir), n_out=32)
 
 
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016) of every doc's token series
+    (tsrollup.features.matrix_profile): per length-m window, the exact
+    integer squared distance to its nearest non-trivial neighbor plus that
+    neighbor's position — motif (profile min) and discord (profile max)
+    discovery, the training-free twin of the reference's learned conv
+    filters (TSFEDL/models_keras.py:59-63). Oracle projection m=4 over the
+    first 64 tokens (same convention as the window=4 spectral oracle);
+    realistic windows are pinned against the brute-force reference in
+    tests/test_features.py. Pure mapInPandas — zero shuffle, one int64
+    Gram matmul per doc; the DuckDB oracle reproduces d² via per-delta
+    sliding sums and the tie-break via an encoded (d²·128+j) arg-min."""
+    from tsrollup.features import matrix_profile
+
+    return matrix_profile(_tokenized(spark, sf_dir), m=4, max_positions=64)
+
+
 def q_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid gap-filling with LOCF per user × hour
     (tsrollup.counters.grid_gapfill — the time_bucket_gapfill idiom):
@@ -1858,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "heavy_ngrams": q_heavy_ngrams,
         "histogram_quantile_hourly": q_histogram_quantile_hourly,
+        "matrix_profile": q_matrix_profile,
     }
 
 
@@ -3913,6 +3931,47 @@ SELECT event_type, hod,
                 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
          / COUNT(*)::BIGINT::DOUBLE AS anom_rate
 FROM w GROUP BY event_type, hod
+"""
+
+    # matrix profile (m=4, first 64 tokens, excl=2): per-delta sliding sums
+    # reproduce every pairwise window d² in O(n²) rows per doc (never
+    # O(n²·m)); the forward pairs mirror to (j, i); the arg-min tie-break
+    # (smallest neighbor on equal d²) is the encoded MIN(d²·128 + j) —
+    # exact because d² ≤ m·max_token² keeps the product ≪ 2^63 and
+    # j < 61 < 128. MATERIALIZED pins each stage to one evaluation
+    # (DuckDB inlines multiply-referenced CTEs otherwise — measured 8×).
+    sqls["matrix_profile"] = """
+WITH tok AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w))[1:64]
+           AS tokens
+  FROM documents
+), pos AS MATERIALIZED (
+  SELECT doc_id, unnest(tokens)::BIGINT AS tk,
+         unnest(range(0, len(tokens)))::BIGINT AS p,
+         len(tokens) - 4 + 1 AS n_win
+  FROM tok WHERE len(tokens) >= 4
+), sw AS MATERIALIZED (
+  SELECT doc_id, i, delta, n_win,
+         SUM(sq) OVER w AS d2, COUNT(*) OVER w AS cnt
+  FROM (
+    SELECT a.doc_id, a.p AS i, b.p - a.p AS delta, a.n_win,
+           (a.tk - b.tk) * (a.tk - b.tk) AS sq
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p - a.p >= 2
+  )
+  WINDOW w AS (PARTITION BY doc_id, delta ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+), d2 AS MATERIALIZED (
+  SELECT doc_id, i, i + delta AS j, d2::BIGINT AS d2
+  FROM sw WHERE cnt = 4 AND i + delta <= n_win - 1
+)
+SELECT doc_id, i::INT AS pos,
+       (MIN(d2 * 128 + j) // 128)::BIGINT AS mp_d2,
+       (MIN(d2 * 128 + j) % 128)::INT AS mp_j
+FROM (SELECT doc_id, i, j, d2 FROM d2
+      UNION ALL
+      SELECT doc_id, j AS i, i AS j, d2 FROM d2)
+GROUP BY doc_id, i
 """
 
     return sqls

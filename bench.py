@@ -133,6 +133,7 @@ HEADLINE = [
     "profile_table",
     "heavy_ngrams",
     "histogram_quantile_hourly",
+    "matrix_profile",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

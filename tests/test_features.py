@@ -284,3 +284,97 @@ class TestSourceDriftTv:
             assert r.tv_num == float(sum(devs))
             assert r.linf_num == float(max(devs))
             assert r.tv == sum(devs) / float(2 * rt * n)
+
+
+class TestMatrixProfile:
+    def test_matches_brute_reference_realistic_params(self, spark):
+        from tsrollup.features import matrix_profile, matrix_profile_ref
+
+        rng = np.random.default_rng(7)
+        rows = [(f"d{i}", rng.integers(0, 20, size=int(n)).tolist())
+                for i, n in enumerate(rng.integers(2, 400, size=12))]
+        m, mx = 16, 256
+        excl = m // 2
+        out = matrix_profile(_docs(spark, rows), m=m, max_positions=mx)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.doc_id, []).append((r.pos, r.mp_d2, r.mp_j))
+        for doc_id, toks in rows:
+            want = matrix_profile_ref(np.asarray(toks[:mx]), m, excl)
+            assert sorted(got.get(doc_id, [])) == want, doc_id
+
+    def test_planted_motif_and_discord(self, spark):
+        from tsrollup.features import matrix_profile
+
+        rng = np.random.default_rng(11)
+        y = rng.integers(0, 50, size=200).tolist()
+        y[40:56] = y[120:136] = list(range(100, 116))  # exact motif pair
+        y[180:196] = [500 + v for v in range(16)]      # discord region
+        out = {r.pos: r for r in matrix_profile(
+            _docs(spark, [("d", y)]), m=16, max_positions=256).collect()}
+        assert out[40].mp_d2 == 0 and out[40].mp_j == 120
+        assert out[120].mp_d2 == 0 and out[120].mp_j == 40
+        # the discord window is the profile maximum
+        discord = max(out.values(), key=lambda r: r.mp_d2)
+        assert 165 <= discord.pos <= 195
+
+    def test_trivial_match_exclusion(self, spark):
+        from tsrollup.features import matrix_profile
+
+        # constant series: every window identical — the exclusion zone must
+        # still force the neighbor OUTSIDE |i-j| < m//2
+        out = matrix_profile(_docs(spark, [("d", [3] * 40)]),
+                             m=8, max_positions=64).collect()
+        assert len(out) == 33
+        for r in out:
+            assert r.mp_d2 == 0 and abs(r.pos - r.mp_j) >= 4
+            # smallest-j tie-break: the nearest valid j below, else above
+            assert r.mp_j == (0 if r.pos >= 4 else r.pos + 4)
+
+    def test_short_and_null_docs_emit_no_rows(self, spark):
+        from tsrollup.features import matrix_profile
+
+        rows = [("tiny", [1, 2, 3]),        # fewer than m tokens
+                ("edge", [1, 2, 3, 4, 5]),  # nw=2 <= excl=2: all excluded
+                ("none", None)]
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+        assert matrix_profile(df, m=4, max_positions=64).count() == 0
+
+    def test_interior_window_without_neighbor_dropped(self, spark):
+        from tsrollup.features import matrix_profile, matrix_profile_ref
+
+        # nw=3, excl=2: i=1 sits inside both neighbors' exclusion zones
+        y = [5, 1, 4, 1, 5, 9]
+        out = sorted((r.pos, r.mp_d2, r.mp_j) for r in matrix_profile(
+            _docs(spark, [("d", y)]), m=4, max_positions=64).collect())
+        assert [p for p, _, _ in out] == [0, 2]
+        assert out == matrix_profile_ref(np.asarray(y), 4, 2)
+
+    def test_truncation_matches_sliced_input(self, spark):
+        from tsrollup.features import matrix_profile
+
+        rng = np.random.default_rng(3)
+        y = rng.integers(0, 9, size=150).tolist()
+        full = matrix_profile(_docs(spark, [("d", y)]),
+                              m=4, max_positions=64).collect()
+        sliced = matrix_profile(_docs(spark, [("d", y[:64])]),
+                                m=4, max_positions=1000).collect()
+        key = lambda r: (r.pos, r.mp_d2, r.mp_j)
+        assert sorted(map(key, full)) == sorted(map(key, sliced))
+
+    def test_validation(self, spark):
+        from tsrollup.features import matrix_profile
+
+        df = _docs(spark, [("d", [1, 2, 3])])
+        with pytest.raises(ValueError):
+            matrix_profile(df, m=1)
+        with pytest.raises(ValueError):
+            matrix_profile(df, m=8, max_positions=4)
+        with pytest.raises(ValueError):
+            matrix_profile(df, m=8, excl=0)
+
+    def test_zero_exchange_plan(self, spark):
+        from tsrollup.features import matrix_profile
+
+        df = _docs(spark, [("d", [1, 2, 3, 4, 5, 6, 7, 8])])
+        assert n_data_exchanges(formatted_plan(matrix_profile(df))) == 0

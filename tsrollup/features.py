@@ -359,3 +359,125 @@ def lttb(df: DataFrame, n_out: int = 32,
 
     return pruned.mapInPandas(
         run, "doc_id string, k int, pos int, val int")
+
+
+def matrix_profile_ref(y: np.ndarray, m: int,
+                       excl: int) -> list[tuple[int, int, int]]:
+    """Brute-force O(n²m) reference for :func:`matrix_profile` over one
+    series — the independent double-loop implementation the vectorized
+    kernel is pytest-pinned against. Returns (pos, mp_d2, mp_j) tuples."""
+    y = np.asarray(y, dtype=np.int64)
+    nw = len(y) - m + 1
+    out = []
+    for i in range(nw):
+        best_d, best_j = None, None
+        for j in range(nw):
+            if abs(i - j) < excl:
+                continue
+            d = int(((y[i:i + m] - y[j:j + m]) ** 2).sum())
+            if best_d is None or d < best_d:
+                best_d, best_j = d, j
+        if best_d is not None:
+            out.append((i, best_d, best_j))
+    return out
+
+
+def matrix_profile(df: DataFrame, m: int = 16, max_positions: int = 256,
+                   excl: int | None = None,
+                   tokens_col: str = "tokens") -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016) of every doc's token series:
+    for each length-``m`` subsequence, the squared Euclidean distance to its
+    nearest NON-TRIVIAL neighbor in the same series, plus that neighbor's
+    position. The profile's minimum marks the series' best motif pair
+    (repeated pattern); its maximum marks the discord (the subsequence least
+    like any other) — the classical motif/anomaly-discovery companion of the
+    rollup features (the reference mines the same per-window structure with
+    learned conv filters, e.g. TSFEDL/models_keras.py:59-63; the matrix
+    profile is its training-free counterpart).
+
+    Deviations from the z-normalized original, both for cross-engine
+    exactness: distances are UN-normalized squared Euclidean — tokens share
+    one scale here, and integer d² is bit-reproducible by any SQL engine
+    where the z-normalized variant's per-window σ division is not — and the
+    trivial-match exclusion zone is ``excl = max(1, m // 2)`` (|i−j| < excl
+    skipped; the original's m/4..m/2 convention, pinned to one exact rule).
+    Ties break to the SMALLEST neighbor position (np.argmin first-hit ==
+    SQL ``MIN(j) FILTER (d2 = min)``).
+
+    Series are truncated to ``max_positions`` tokens, bounding the per-doc
+    O(w²) pair space to (max_positions − m + 1)² — the same small-projection
+    convention as the window=4 spectral oracle; realistic window sizes are
+    pinned against :func:`matrix_profile_ref` in pytest.
+
+    Scale shape: a doc is one row, so this is a pure ``mapInPandas`` — zero
+    shuffle, embarrassingly parallel, constant row amplification (≤ w rows
+    out per doc). Inside a batch each doc is one vectorized NumPy pass: the
+    w×w distance matrix comes from ONE int64 Gram matmul via
+    ``D = ‖Wᵢ‖² + ‖Wⱼ‖² − 2·W Wᵀ`` (exact: word-length tokens and m ≤ 256
+    keep every entry ≪ 2^63), never a per-pair Python loop.
+
+    Output: doc_id, pos, mp_d2 (long), mp_j (int). A window with no valid
+    neighbor produces no row — that happens exactly when the exclusion band
+    covers its whole row (interior windows of a short series: nw ≤ 2·excl;
+    every window when nw ≤ excl) — the exact complement of the SQL
+    oracle's inner join, which also drops neighbor-less windows.
+    """
+    if m < 2:
+        raise ValueError("m must be >= 2")
+    if max_positions < m:
+        raise ValueError("max_positions must be >= m")
+    if excl is None:
+        excl = max(1, m // 2)
+    if excl < 1:
+        raise ValueError("excl must be >= 1 (0 would match a window to "
+                         "itself at distance 0 everywhere)")
+    pruned = df.select("doc_id", tokens_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, poss, d2s, js = [], [], [], []
+            for doc_id, toks in zip(pdf["doc_id"].to_numpy(),
+                                    pdf[tokens_col].to_numpy()):
+                if toks is None:
+                    continue
+                y = np.asarray(toks[:max_positions], dtype=np.int64)
+                nw = len(y) - m + 1
+                if nw <= excl:  # no window has a non-trivial neighbor
+                    continue
+                w = sliding_window_view(y, m)  # (nw, m) view, zero-copy
+                g = w @ w.T  # int64 Gram — exact
+                ss = np.diagonal(g)
+                d = ss[:, None] + ss[None, :] - 2 * g
+                # mask the trivial-match band |i-j| < excl with a sentinel
+                # above any real d² (max token ~few hundred ⇒ d² ≪ 2^62)
+                i_idx = np.arange(nw)
+                band = np.abs(i_idx[:, None] - i_idx[None, :]) < excl
+                d[band] = np.int64(2) ** 62
+                j = d.argmin(axis=1)  # first hit == smallest j on ties
+                best = d[i_idx, j]
+                # a window can still lack ANY valid neighbor when the band
+                # covers its whole row (nw <= 2*excl puts interior windows
+                # inside every exclusion zone) — drop sentinel rows, the
+                # exact complement of the SQL oracle's inner join
+                ok = best < np.int64(2) ** 62
+                if not ok.any():
+                    continue
+                nk = int(ok.sum())
+                ids.append(np.repeat(doc_id, nk))
+                poss.append(i_idx[ok].astype(np.int32))
+                d2s.append(best[ok])
+                js.append(j[ok].astype(np.int32))
+            if not ids:
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids),
+                "pos": np.concatenate(poss),
+                "mp_d2": np.concatenate(d2s),
+                "mp_j": np.concatenate(js)})
+
+    return pruned.mapInPandas(
+        run, "doc_id string, pos int, mp_d2 long, mp_j int")
