@@ -274,6 +274,28 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_cols(read_incremental(spark, out))
 
 
+def q_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-TIME continuous-aggregate view VALUE-checked end-to-end
+    (tsrollup.checkpoint.read_realtime): half the corpus is refreshed into
+    the store as epoch 0, the remainder arrives but is NOT refreshed — the
+    view serves stored epochs UNION a fresh rollup of only the raw tail
+    past the watermark, and must hash-match the same SQL oracle as
+    rollup_base (reads are exact no matter how far refresh lags)."""
+    from tsrollup.checkpoint import doc_seq, read_realtime, \
+        refresh_incremental
+
+    base = _scratch(sf_dir, "rt")
+    inp, out = f"{base}/input", f"{base}/store"
+    full = _tokenized(spark, sf_dir)
+    half = full.count() // 2
+    full.filter(doc_seq() < half).write.mode("overwrite").parquet(inp)
+    refresh_incremental(spark, inp, out, epoch=0, tiers={"w": 1},
+                        window=W0, seq=doc_seq())
+    full.write.mode("overwrite").parquet(inp)  # tail arrives, no refresh
+    return _rollup_cols(read_realtime(spark, inp, out, tiers={"w": 1},
+                                      window=W0))
+
+
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup VALUE-checked end-to-end (SURVEY §2.11):
     the sequences table streamed through readStream → the same mapInArrow
@@ -1861,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_rate": q_burn_rate,
         "mad_outliers": q_mad_outliers,
         "incremental_rollup": q_incremental_rollup,
+        "realtime_rollup": q_realtime_rollup,
         "holt_scan": q_holt_scan,
         "lttb": q_lttb,
         "trend_slope": q_trend_slope,
@@ -1931,6 +1954,9 @@ def oracle_sql() -> dict[str, str]:
     # incremental refresh must be bit-equal to one clean rollup of the
     # full input — the SAME oracle as rollup_base/checkpoint_rollup
     sqls["incremental_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
+    # realtime view = stored epochs UNION fresh tail; must equal the same
+    # clean rollup of the full corpus
+    sqls["realtime_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     sqls["stream_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     # chunk → reassemble must reproduce the unchunked rollup exactly
     sqls["rollup_chunked"] = _ROLLUP_ORACLE_BODY.format(span=W0)

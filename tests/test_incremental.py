@@ -371,3 +371,103 @@ class TestTableDiff:
         ch = out["changed"]
         assert ch.n_keys == 2 and ch.abs_delta == 2
         assert ch.n_null_deltas == 1
+
+
+class TestReadRealtime:
+    def test_no_store_serves_full_fresh_rollup(self, spark, tmp_path,
+                                               corpus):
+        from tsrollup.checkpoint import read_realtime
+
+        inp = str(tmp_path / "inp")
+        _write_first_n(spark, corpus, inp, 40)
+        got = read_realtime(spark, inp, str(tmp_path / "nostore"),
+                            tiers=TIERS)
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(got) == _rows(want)
+
+    def test_lagging_store_plus_tail_equals_clean_rollup(self, spark,
+                                                         tmp_path, corpus):
+        from tsrollup.checkpoint import read_realtime
+
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        _write_first_n(spark, corpus, inp, 60)  # 20 docs not yet refreshed
+        got = read_realtime(spark, inp, root, tiers=TIERS)
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(got) == _rows(want)
+        # the stored 40 docs come from the STORE, not a re-rollup: the
+        # plan must scan the store AND filter the raw side on the
+        # watermark before the rollup map
+        from tsrollup.planaudit import formatted_plan
+
+        plan = formatted_plan(got)
+        assert "store/data" in plan  # store subtree present
+        assert "39" in plan          # seq > 39 watermark filter pushed
+
+    def test_fully_refreshed_store_has_empty_tail(self, spark, tmp_path,
+                                                  corpus):
+        from tsrollup.checkpoint import read_realtime
+
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        got = read_realtime(spark, inp, root, tiers=TIERS)
+        assert _rows(got) == _rows(read_incremental(spark, root))
+
+    def test_orphan_epoch_served_fresh_not_duplicated(self, spark,
+                                                      tmp_path, corpus):
+        from tsrollup.checkpoint import read_realtime
+
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        wm_dir = os.path.join(root, "_watermarks")
+        snapshot = str(tmp_path / "wm_snapshot")
+        shutil.copytree(wm_dir, snapshot)
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        # crash: epoch-1 data committed, watermark append lost
+        shutil.rmtree(wm_dir)
+        shutil.copytree(snapshot, wm_dir)
+        got = read_realtime(spark, inp, root, tiers=TIERS)
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(got) == _rows(want)  # no dupes, nothing missing
+
+    def test_compressed_store_is_decoded_on_read(self, spark, tmp_path,
+                                                 corpus):
+        from tsrollup.checkpoint import read_realtime
+
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS,
+                            compressed=True)
+        _write_first_n(spark, corpus, inp, 60)
+        got = read_realtime(spark, inp, root, tiers=TIERS)
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(got) == _rows(want)
+
+    def test_null_seq_docs_always_served_fresh(self, spark, tmp_path):
+        from tsrollup.checkpoint import read_realtime
+
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        good = spark.createDataFrame(
+            [("web-0001-00000000", list(range(64)), 64, "web")],
+            "doc_id string, tokens array<int>, n_tok int, source string")
+        good.write.mode("overwrite").parquet(inp)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        # a doc whose id carries no sequence number arrives: refresh
+        # refuses it, but the realtime view must still serve it
+        both = good.union(spark.createDataFrame(
+            [("web-badid", list(range(32)), 32, "web")], good.schema))
+        both.write.mode("overwrite").parquet(inp)
+        with pytest.raises(ValueError, match="NULL ingest sequence"):
+            refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        got = read_realtime(spark, inp, root, tiers=TIERS)
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(got) == _rows(want)

@@ -218,6 +218,19 @@ def read_watermarks(spark: SparkSession, output_root: str) -> dict[str, int]:
     return _watermark_state(spark, output_root)[0]
 
 
+def _watermark_threshold(wm: dict[str, int]) -> Column:
+    """Per-row watermark for ``source`` as a literal-map lookup (watermarks
+    are a tiny driver-side dict by contract — no broadcast join needed);
+    unseen sources default to −1 (fully included)."""
+    if not wm:
+        return F.lit(-1)
+    entries = []
+    for k, v in sorted(wm.items()):
+        entries += [F.lit(k), F.lit(v)]
+    return F.coalesce(F.element_at(F.create_map(*entries), F.col("source")),
+                      F.lit(-1))
+
+
 def refresh_incremental(spark: SparkSession, input_path: str,
                         output_root: str, epoch: int,
                         run_id: str = "refresh-0",
@@ -274,14 +287,7 @@ def refresh_incremental(spark: SparkSession, input_path: str,
         return 0  # fully committed — never rewrite an epoch's partitions
     s = seq if seq is not None else doc_seq()
     src = read_table(spark, input_path)
-    if wm:
-        entries = []
-        for k, v in sorted(wm.items()):
-            entries += [F.lit(k), F.lit(v)]
-        thr = F.coalesce(F.element_at(F.create_map(*entries),
-                                      F.col("source")), F.lit(-1))
-    else:
-        thr = F.lit(-1)
+    thr = _watermark_threshold(wm)
     # stats + NULL-seq validation BEFORE the data write (the filter is
     # deterministic, so pre- and post-write stats are identical — and the
     # validation must fire before anything is committed)
@@ -339,6 +345,51 @@ def read_incremental(spark: SparkSession, output_root: str) -> DataFrame:
     """All epochs of an incrementally-refreshed store, rollup-row schema
     (epoch retained for audit; drop it for value comparisons)."""
     return read_table(spark, f"{output_root}/data")
+
+
+def read_realtime(spark: SparkSession, input_path: str, output_root: str,
+                  window: int = BASE_WINDOW,
+                  tiers: dict[str, int] = TIER_FACTOR,
+                  seq: Column | None = None) -> DataFrame:
+    """REAL-TIME continuous-aggregate view: the stored epochs UNION a
+    fresh rollup of only the raw tail past the per-source watermarks — the
+    read-side twin of :func:`refresh_incremental` (cf. TimescaleDB's
+    real-time continuous aggregates). Readers see results identical to a
+    clean rollup of the FULL input bit-for-bit (tested) no matter how far
+    the refresh schedule lags, while the scan cost of the query is
+    store + delta, never the 100 TB history.
+
+    Consistency rules, matching the refresh commit protocol:
+
+    * only COMMITTED epochs are served from the store. An orphan epoch
+      (data written, watermark append lost to a crash) is excluded — its
+      docs still sit past the watermark, so they arrive via the fresh
+      tail instead; served rows are never duplicated and never missing.
+    * docs with a NULL ``seq`` (which :func:`refresh_incremental` refuses
+      to commit) are ALWAYS served fresh: the view stays exact even while
+      the refresh path is blocked on the bad ids.
+    * a compressed store (codec-packed epochs) is decoded on read; the
+      transient tail is always computed plain — nothing packs rows that
+      were never at rest.
+
+    ``window``/``tiers``/``seq`` must match the store's refresh
+    parameters — they define the rows the store already holds.
+    """
+    wm, committed = _watermark_state(spark, output_root)
+    s = seq if seq is not None else doc_seq()
+    src = read_table(spark, input_path)
+    tail = src.filter(s.isNull() | (s > _watermark_threshold(wm)))
+    fresh = rollup_sequences(tail, window, tiers)
+    if not committed:
+        return fresh
+    stored = read_incremental(spark, output_root) \
+        .filter(F.col("epoch").isin(*[int(e) for e in committed])) \
+        .drop("epoch", "bucket")
+    if "n_windows" in stored.columns:  # codec-packed store
+        from .rollup import decompress_rollup
+
+        stored = decompress_rollup(stored)
+    return stored.select(*fresh.columns).unionByName(fresh)
 
 
 def compact_epochs(spark: SparkSession, output_root: str,
