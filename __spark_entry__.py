@@ -296,6 +296,40 @@ def q_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       window=W0))
 
 
+def q_repair_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted epoch REPAIR value-checked end-to-end
+    (tsrollup.checkpoint.repair_epochs — the invalidation-repair motion):
+    the corpus is refreshed in two epochs with one early doc CORRUPTED in
+    the raw table; the raw table is then corrected in place and only the
+    containing epoch is recomputed. The repaired store must hash-match the
+    same SQL oracle as rollup_base — the clean rollup of the corrected
+    corpus — proving the repair fixed the bad epoch without touching the
+    other's committed rows."""
+    from tsrollup.checkpoint import doc_seq, refresh_incremental, \
+        repair_epochs
+
+    base = _scratch(sf_dir, "repair")
+    inp, out = f"{base}/input", f"{base}/store"
+    full = _tokenized(spark, sf_dir)
+    half = full.count() // 2
+    corrupt = full.withColumn(
+        "tokens", F.when(doc_seq() == 2,
+                         F.expr("transform(tokens, t -> t + 3)"))
+                   .otherwise(F.col("tokens")))
+    corrupt.filter(doc_seq() < half).write.mode("overwrite").parquet(inp)
+    refresh_incremental(spark, inp, out, epoch=0, tiers={"w": 1},
+                        window=W0, seq=doc_seq())
+    corrupt.write.mode("overwrite").parquet(inp)
+    refresh_incremental(spark, inp, out, epoch=1, tiers={"w": 1},
+                        window=W0, seq=doc_seq())
+    full.write.mode("overwrite").parquet(inp)  # the correction lands
+    repair_epochs(spark, inp, out, [0], tiers={"w": 1}, window=W0,
+                  seq=doc_seq())
+    from tsrollup.checkpoint import read_incremental
+
+    return _rollup_cols(read_incremental(spark, out))
+
+
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup VALUE-checked end-to-end (SURVEY §2.11):
     the sequences table streamed through readStream → the same mapInArrow
@@ -852,6 +886,23 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.features import matrix_profile
 
     return matrix_profile(_tokenized(spark, sf_dir), m=4, max_positions=64)
+
+
+def q_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DTW k-nearest-neighbour retrieval (tsrollup.dtw.dtw_knn —
+    Rakthanmanon et al., KDD 2012 UCR-suite shape): for 3 query docs, the
+    k=5 nearest token series under banded integer DTW, found by the
+    LB_Keogh two-phase prune — ONE full-corpus lower-bound scan, then
+    exact DP only on the k seeds + the provably-unprunable survivors
+    (broadcast-semi-join fetches). Rows-only: the banded DP's sequential
+    cross-cell dependence has no SQL analog (same class as lttb/holt);
+    the pruned path is pytest-pinned bit-equal to the brute-force
+    baseline and the double-loop DP reference (tests/test_dtw.py)."""
+    from tsrollup.dtw import dtw_knn
+
+    toks = _tokenized(spark, sf_dir)
+    qdf = toks.filter(F.size("tokens") >= 64).orderBy("doc_id").limit(3)
+    return dtw_knn(toks, qdf, k=5, r=8, length=64)
 
 
 def q_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1884,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "incremental_rollup": q_incremental_rollup,
         "realtime_rollup": q_realtime_rollup,
+        "repair_rollup": q_repair_rollup,
         "holt_scan": q_holt_scan,
         "lttb": q_lttb,
         "trend_slope": q_trend_slope,
@@ -1899,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_ngrams": q_heavy_ngrams,
         "histogram_quantile_hourly": q_histogram_quantile_hourly,
         "matrix_profile": q_matrix_profile,
+        "dtw_knn": q_dtw_knn,
     }
 
 
@@ -1957,6 +2010,9 @@ def oracle_sql() -> dict[str, str]:
     # realtime view = stored epochs UNION fresh tail; must equal the same
     # clean rollup of the full corpus
     sqls["realtime_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
+    # epoch repair after an in-place correction must converge the store to
+    # the clean rollup of the CORRECTED corpus — the same oracle again
+    sqls["repair_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     sqls["stream_rollup"] = _ROLLUP_ORACLE_BODY.format(span=W0)
     # chunk → reassemble must reproduce the unchunked rollup exactly
     sqls["rollup_chunked"] = _ROLLUP_ORACLE_BODY.format(span=W0)

@@ -471,3 +471,115 @@ class TestReadRealtime:
         got = read_realtime(spark, inp, root, tiers=TIERS)
         want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
         assert _rows(got) == _rows(want)
+
+
+class TestRepairEpochs:
+    def _store(self, spark, tmp_path, corpus, splits=(40, 60)):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        prev = 0
+        for e, n in enumerate(splits):
+            _write_first_n(spark, corpus, inp, n)
+            refresh_incremental(spark, inp, root, epoch=e, tiers=TIERS)
+            prev = n
+        del prev
+        return inp, root
+
+    def test_epoch_ranges_reconstruct_commit_boundaries(self, spark,
+                                                        tmp_path, corpus):
+        from tsrollup.checkpoint import epoch_ranges
+
+        _, root = self._store(spark, tmp_path, corpus)
+        ranges = epoch_ranges(spark, root)
+        assert set(ranges) == {0, 1}
+        for src, (lo, hi) in ranges[0].items():
+            assert lo == -1 and hi < 60
+        for src, (lo, hi) in ranges[1].items():
+            # epoch 1 starts exactly where epoch 0's mark for that source
+            # ended (sources without epoch-0 docs start at -1)
+            assert lo == ranges[0].get(src, (None, -1))[1]
+
+    def test_corrected_doc_repairs_to_clean_rollup(self, spark, tmp_path,
+                                                   corpus):
+        from pyspark.sql import functions as F
+
+        from tsrollup.checkpoint import repair_epochs
+
+        inp, root = self._store(spark, tmp_path, corpus)
+        # corrupt one early doc IN PLACE (same doc_id, new tokens), as if
+        # the raw table was corrected after epoch 0 was rolled up
+        df = spark.read.parquet(inp)
+        victim = df.withColumn("_s", doc_seq()).filter("_s = 5") \
+                   .select("doc_id").first()["doc_id"]
+        fixed = df.withColumn(
+            "tokens",
+            F.when(F.col("doc_id") == victim,
+                   F.expr("transform(tokens, t -> t + 7)"))
+             .otherwise(F.col("tokens")))
+        fixed.coalesce(1).write.mode("overwrite").parquet(inp + ".v2")
+        # store now disagrees with raw; repair the containing epoch only
+        n = repair_epochs(spark, inp + ".v2", root, [0], tiers=TIERS)
+        assert n == 40
+        want = rollup_sequences(spark.read.parquet(inp + ".v2"), tiers=TIERS)
+        assert _rows(read_incremental(spark, root)) == _rows(want)
+        # watermarks untouched
+        from tsrollup.checkpoint import read_watermarks
+
+        assert read_watermarks(spark, root) == \
+            read_watermarks(spark, root)
+
+    def test_late_arrival_below_watermark_lands_via_repair(self, spark,
+                                                           tmp_path, corpus):
+        from tsrollup.checkpoint import repair_epochs
+
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        # arrival order skips doc seq 10: epochs commit without it
+        df = spark.read.parquet(corpus)
+        df.withColumn("_s", doc_seq()).filter("_s < 40 and _s != 10") \
+          .drop("_s").coalesce(1).write.mode("overwrite").parquet(inp)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        _write_first_n(spark, corpus, inp, 60)  # late doc 10 now present
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        # the late doc is invisible to refresh (below the watermark) …
+        want = rollup_sequences(spark.read.parquet(inp), tiers=TIERS)
+        assert _rows(read_incremental(spark, root)) != _rows(want)
+        # … and lands after repairing the epoch whose range covers it
+        repair_epochs(spark, inp, root, [0], tiers=TIERS)
+        assert _rows(read_incremental(spark, root)) == _rows(want)
+
+    def test_deleted_docs_stale_partitions_pruned(self, spark, tmp_path,
+                                                  corpus):
+        from tsrollup.checkpoint import repair_epochs
+
+        inp, root = self._store(spark, tmp_path, corpus)
+        # delete most epoch-0 docs from raw, repair: their rows must VANISH
+        df = spark.read.parquet(inp)
+        kept = df.withColumn("_s", doc_seq()).filter("_s >= 35").drop("_s")
+        kept.coalesce(1).write.mode("overwrite").parquet(inp + ".v2")
+        repair_epochs(spark, inp + ".v2", root, [0, 1], tiers=TIERS)
+        want = rollup_sequences(spark.read.parquet(inp + ".v2"), tiers=TIERS)
+        assert _rows(read_incremental(spark, root)) == _rows(want)
+
+    def test_uncommitted_epoch_refused(self, spark, tmp_path, corpus):
+        from tsrollup.checkpoint import repair_epochs
+
+        inp, root = self._store(spark, tmp_path, corpus)
+        with pytest.raises(ValueError, match="not committed"):
+            repair_epochs(spark, inp, root, [7], tiers=TIERS)
+
+    def test_compacted_store_refused(self, spark, tmp_path, corpus):
+        from tsrollup.checkpoint import compact_epochs, repair_epochs
+
+        inp, root = self._store(spark, tmp_path, corpus)
+        compact_epochs(spark, root)
+        with pytest.raises(ValueError, match="compacted"):
+            repair_epochs(spark, inp, root, [0], tiers=TIERS)
+
+    def test_repair_is_idempotent(self, spark, tmp_path, corpus):
+        from tsrollup.checkpoint import repair_epochs
+
+        inp, root = self._store(spark, tmp_path, corpus)
+        before = _rows(read_incremental(spark, root))
+        repair_epochs(spark, inp, root, [0, 1], tiers=TIERS)
+        assert _rows(read_incremental(spark, root)) == before

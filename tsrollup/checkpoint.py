@@ -392,6 +392,156 @@ def read_realtime(spark: SparkSession, input_path: str, output_root: str,
     return stored.select(*fresh.columns).unionByName(fresh)
 
 
+def epoch_ranges(spark: SparkSession, output_root: str
+                 ) -> dict[int, dict[str, tuple[int, int]]]:
+    """Per-epoch, per-source half-open ingest-seq ranges ``(lo, hi]``
+    reconstructed from the watermark log: for each source, its watermark
+    rows sorted by ``max_seq`` ARE the commit order (every refresh's delta
+    strictly raises the source's max), so epoch e covers
+    ``prev_max < seq <= max_seq(source, e)``. A source absent from an
+    epoch's rows contributed no docs to it. Bounded driver-side state —
+    one entry per (source, epoch), both small by contract."""
+    try:
+        wm = read_table(spark, f"{output_root}/_watermarks")
+    except Exception as e:  # noqa: BLE001
+        from .io import is_missing_table_error
+
+        if is_missing_table_error(e):
+            return {}
+        raise
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for r in wm.select("source", "max_seq", "epoch").collect():
+        per_src.setdefault(r["source"], []).append(
+            (int(r["max_seq"]), int(r["epoch"])))
+    out: dict[int, dict[str, tuple[int, int]]] = {}
+    for src_name, pairs in per_src.items():
+        lo = -1
+        # convergent crash re-runs may append a duplicate (source, epoch)
+        # row with the same max_seq — dedup before ordering
+        for hi, e in sorted(set(pairs)):
+            out.setdefault(e, {})[src_name] = (lo, hi)
+            lo = hi
+    return out
+
+
+def repair_epochs(spark: SparkSession, input_path: str, output_root: str,
+                  epochs, window: int = BASE_WINDOW,
+                  tiers: dict[str, int] = TIER_FACTOR,
+                  seq: Column | None = None, n_buckets: int = 8) -> int:
+    """Recompute the given COMMITTED epochs from the CURRENT raw input —
+    the invalidation-repair motion of a continuous aggregate (cf.
+    TimescaleDB's invalidation log → refresh_continuous_aggregate over a
+    window). Two situations need it, and :func:`refresh_incremental`
+    handles neither by design (its delta filter only looks PAST the
+    watermark):
+
+    * a doc already rolled up was corrected in place (same doc_id, new
+      tokens) — the stored epoch silently disagrees with the raw table;
+    * a doc arrived LATE with an ingest seq below its source's watermark —
+      no future refresh will ever see it.
+
+    Each requested epoch's doc set is its reconstructed per-source
+    ``(lo, hi]`` seq range (:func:`epoch_ranges`) evaluated against the
+    CURRENT raw table, so corrected docs re-roll, late docs appear, and
+    deleted docs vanish. Ranges are watermark-log facts, so watermarks are
+    NOT touched — the repair changes rows, never boundaries.
+
+    Commit: one dynamic partition overwrite of the epochs' (epoch, bucket,
+    tier) partitions, then stale leftover partitions under each repaired
+    epoch (a bucket/tier the new rows no longer populate) are pruned.
+    A crash between the two steps leaves stale extras only; re-running the
+    repair converges — same discipline as the refresh protocol. The prune
+    walks the local filesystem, so (like :func:`compact_epochs`) object
+    stores / Iceberg catalogs are rejected up front: there the equivalent
+    is a REPLACE-partition snapshot commit.
+
+    Refused: uncommitted/orphan epoch ids (re-run the refresh instead) and
+    compacted stores (physical epoch set ≠ committed set — per-epoch
+    provenance was folded; repair before compacting). Returns the number
+    of docs in the repaired epochs after repair.
+    """
+    import os
+    import shutil
+
+    from .io import table_format
+
+    if "://" in output_root or table_format() == "iceberg":
+        raise NotImplementedError(
+            "stale-partition pruning needs a local-filesystem parquet "
+            "store; on object stores / Iceberg catalogs the equivalent is "
+            "a REPLACE-partition snapshot commit (not implemented)")
+    epochs = sorted({int(e) for e in epochs})
+    if not epochs:
+        raise ValueError("no epochs requested")
+    _, committed = _watermark_state(spark, output_root)
+    bad = [e for e in epochs if e not in committed]
+    if bad:
+        raise ValueError(
+            f"epoch(s) {bad} are not committed in {output_root} — an "
+            "orphan/unstarted epoch is repaired by re-running its refresh")
+    existing = read_table(spark, f"{output_root}/data")
+    physical = {int(r["epoch"]) for r in
+                existing.select("epoch").distinct().collect()}
+    if physical != committed:
+        raise ValueError(
+            f"store at {output_root} was compacted (physical epochs "
+            f"{sorted(physical)} != committed {sorted(committed)}) — "
+            "per-epoch provenance is folded; repair before compacting")
+    packed = "n_windows" in existing.columns
+    ranges = epoch_ranges(spark, output_root)
+    s = seq if seq is not None else doc_seq()
+    src = read_table(spark, input_path)
+    assign = None
+    for e in epochs:
+        for src_name, (lo, hi) in sorted(ranges.get(e, {}).items()):
+            cond = (F.col("source") == src_name) & (s > lo) & (s <= hi)
+            assign = (F.when(cond, e) if assign is None
+                      else assign.when(cond, e))
+    if assign is None:  # committed epochs always have >=1 watermark row
+        raise ValueError(f"no watermark ranges found for epochs {epochs}")
+    docs = src.withColumn("_repair_epoch", assign).filter(
+        F.col("_repair_epoch").isNotNull())
+    parts = []
+    for e in epochs:  # few epochs by contract — one bounded loop
+        d = docs.filter(F.col("_repair_epoch") == e).drop("_repair_epoch")
+        rolled = (rollup_compressed(d, window, tiers) if packed
+                  else rollup_sequences(d, window, tiers))
+        parts.append(rolled.withColumn("bucket", _bucket_col(n_buckets))
+                           .withColumn("epoch", F.lit(e)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    data = f"{output_root}/data"
+    write_table(out, data, mode="overwrite",
+                partition_by=("epoch", "bucket", "tier"),
+                dynamic_overwrite=True)
+    # prune stale partitions the overwrite did not touch (a bucket/tier the
+    # repaired rows no longer populate would otherwise serve deleted docs).
+    # The fresh set comes from the REPAIRED rows — reading the store back
+    # would see the stale partitions too and protect them from the prune.
+    fresh = {(int(r["epoch"]), int(r["bucket"]), r["tier"]) for r in
+             out.select("epoch", "bucket", "tier").distinct().collect()}
+    for e in epochs:
+        edir = os.path.join(data, f"epoch={e}")
+        if not os.path.isdir(edir):
+            continue
+        for bdir in os.listdir(edir):
+            if not bdir.startswith("bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for tdir in os.listdir(os.path.join(edir, bdir)):
+                if not tdir.startswith("tier="):
+                    continue
+                t = tdir.split("=", 1)[1]
+                if (e, b, t) not in fresh:
+                    shutil.rmtree(os.path.join(edir, bdir, tdir))
+            if not os.listdir(os.path.join(edir, bdir)):
+                shutil.rmtree(os.path.join(edir, bdir))
+        if not any(x.startswith("bucket=") for x in os.listdir(edir)):
+            shutil.rmtree(edir)
+    return int(docs.select("doc_id").distinct().count())
+
+
 def compact_epochs(spark: SparkSession, output_root: str,
                    into_epoch: int | None = None) -> int:
     """Fold every committed epoch of an incremental store into ONE
