@@ -587,3 +587,64 @@ def test_stream_cusum_null_value_does_not_poison_state(spark, tmp_path):
     assert len(got) == len(want) == 2
     assert (got["cusum_hi"].values == want["cusum_hi"].values).all()
     assert got["alarm"].tolist() == [0, 1]
+
+
+def test_stream_dedup_drops_redeliveries_across_triggers(spark, tmp_path):
+    """At-least-once redelivery: the same events land again in a later
+    file (within the watermark horizon). The streamed output must equal
+    batch dropDuplicates on the full input — one row per event_id — and
+    survive a query restart without re-emitting."""
+    from tsrollup.streaming import stream_dedup
+
+    rng = np.random.default_rng(31)
+    n = 200
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 6, n).astype(np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    src = tmp_path / "ev"
+    src.mkdir()
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    # file 0: events 0-119; file 1: events 60-199 (60-119 redelivered)
+    ev.iloc[:120].to_parquet(src / "p0.parquet", **kw)
+    ev.iloc[60:].to_parquet(src / "p1.parquet", **kw)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id long, user_id long, ts timestamp, "
+                          "value double")
+                  .parquet(str(src)))
+        q = (stream_dedup(stream, watermark="1 hour").writeStream
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    # a restart with a THIRD redelivery of a processed range: state (and
+    # the checkpoint) must still suppress them
+    ev.iloc[100:140].to_parquet(src / "p2.parquet", **kw)
+    run_once()
+
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = (stream_dedup(spark.read.parquet(str(src)))  # batch twin
+            .toPandas().sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(want) == n  # every duplicate dropped, none lost
+    assert (got["event_id"].values == want["event_id"].values).all()
+    assert (got["value"].values == want["value"].values).all()
+
+
+def test_stream_dedup_composite_key_and_batch_twin(spark):
+    from tsrollup.streaming import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "a", 5.0), (1, "b", 2.0), (2, "a", 7.0)],
+        "user_id long, event_type string, value double")
+    out = stream_dedup(df, keys=("user_id", "event_type")).collect()
+    assert len(out) == 3

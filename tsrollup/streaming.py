@@ -301,6 +301,39 @@ CUSUM_OUT_SCHEMA = ("user_id long, event_type string, event_id long, "
                     "alarm int")
 
 
+def stream_dedup(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                 ts_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exactly-once event dedup for at-least-once sources
+    (Kafka redeliveries, file-source replays): keep the FIRST arrival of
+    each key, drop redeliveries — the ingestion front door every
+    exactly-once downstream (stream_rollup's sink, the minute tier)
+    assumes.
+
+    Built on ``dropDuplicatesWithinWatermark``, chosen over plain
+    ``dropDuplicates`` deliberately: the classic operator keeps one state
+    row per key FOREVER (unbounded state on an unbounded key stream — the
+    same class of leak the stateful-rolling operator guards against),
+    while the within-watermark variant EVICTS a key's row once the
+    event-time watermark passes its first arrival. State is bounded by
+    the watermark horizon × arrival rate, independent of stream lifetime.
+
+    The documented contract that buys the bound: duplicates are removed
+    when they arrive within the watermark delay of the first occurrence —
+    exactly the at-least-once redelivery window, which is short (retries,
+    task replays). A replay arriving LATER than the horizon re-emits; set
+    ``watermark`` to the source's maximum redelivery lag.
+
+    Works on a batch frame too (plain ``dropDuplicates`` — the horizon is
+    irrelevant when the whole input is visible), so batch/stream parity
+    is directly testable on the same data.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def stream_cusum(events: DataFrame, target: float = 50.0,
                  threshold: float = 200.0,
                  timeout: str = "NoTimeout",
