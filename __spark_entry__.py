@@ -1183,6 +1183,20 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        target=50.0, threshold=200.0)
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint location per (user, event_type) series
+    (tsrollup.counters.changepoint_cusum): the classical CUSUM location
+    estimator argmax_τ |n·P_τ − τ·S| — the binary-segmentation primitive,
+    the offline twin of cusum_drift's online scores. The per-series
+    constant n clears the τ/n division so every compared statistic is an
+    exact decimal(38,0) integer; ties break to the smallest τ, so the
+    argmax row is engine-independent and the DuckDB tail oracle (HUGEINT
+    arithmetic) hash-matches bit-for-bit."""
+    from tsrollup.counters import changepoint_cusum
+
+    return changepoint_cusum(_fact(spark, sf_dir, "events"))
+
+
 def q_wfdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WFDB format-212 codec (tsrollup/wfdb.py, ≙ reference wfdb.rdrecord
     ingestion, data.py:138) exercised distributed with an exact oracle:
@@ -1952,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile_hourly": q_histogram_quantile_hourly,
         "matrix_profile": q_matrix_profile,
         "dtw_knn": q_dtw_knn,
+        "changepoint": q_changepoint,
     }
 
 
@@ -4054,6 +4069,40 @@ FROM (SELECT doc_id, i, j, d2 FROM d2
       UNION ALL
       SELECT doc_id, j AS i, i AS j, d2 FROM d2)
 GROUP BY doc_id, i
+"""
+
+    # offline CUSUM changepoint location: argmax |n·P_tau − tau·S| per
+    # series, HUGEINT-exact, ties to smallest tau (mirrors the Spark
+    # decimal(38,0) ordering bit-for-bit)
+    sqls["changepoint"] = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id AS id,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT user_id, event_type, ts, id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, id) AS rn,
+         SUM(c) OVER (PARTITION BY user_id, event_type ORDER BY ts, id
+                      ROWS UNBOUNDED PRECEDING) AS p,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n,
+         SUM(c) OVER (PARTITION BY user_id, event_type) AS st
+  FROM s
+), cand AS (
+  SELECT *,
+         abs(n::HUGEINT * p::HUGEINT - rn::HUGEINT * st::HUGEINT) AS stat
+  FROM w WHERE rn < n
+), pick AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY stat DESC, rn ASC) AS pk
+  FROM cand
+)
+SELECT user_id, event_type, n::BIGINT AS n, rn::BIGINT AS tau,
+       ts AS split_ts, id AS split_id, stat::DOUBLE AS stat,
+       p::BIGINT AS left_cents, (st - p)::BIGINT AS right_cents,
+       p::DOUBLE / (rn * 100)::DOUBLE AS left_mean,
+       (st - p)::DOUBLE / ((n - rn) * 100)::DOUBLE AS right_mean
+FROM pick WHERE pk = 1
 """
 
     return sqls

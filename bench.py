@@ -66,6 +66,7 @@ HEADLINE = [
     "wfdb_roundtrip",
     "cusum_drift",
     "cusum_episodes",
+    "changepoint",
     "cadence_gaps",
     "lag_coupling",
     "asof_join",

@@ -203,6 +203,73 @@ class TestCusumDrift:
         assert n_data_exchanges(plan) == 1, plan
 
 
+class TestChangepointCusum:
+    def _brute(self, xs_cents):
+        """Pure-Python-int reference: argmax |n·P_tau − tau·S|, smallest
+        tau at ties."""
+        n = len(xs_cents)
+        p = 0
+        s = sum(xs_cents)
+        best = None
+        for tau, x in enumerate(xs_cents[:-1], start=1):
+            p += x
+            stat = abs(n * p - tau * s)
+            if best is None or stat > best[0]:
+                best = (stat, tau, p)
+        return best  # (stat, tau, left_cents)
+
+    def test_planted_mean_shift_found(self, spark):
+        from tsrollup.counters import changepoint_cusum
+        xs = [10.0] * 10 + [90.0] * 10
+        df = _events(spark, [_row(1, "a", i, i * 60, x)
+                             for i, x in enumerate(xs)])
+        r = changepoint_cusum(df).collect()[0]
+        assert r.tau == 10 and r.n == 20
+        assert r.split_id == 9  # last left-segment sample (0-indexed ids)
+        assert (r.left_mean, r.right_mean) == (10.0, 90.0)
+        assert (r.left_cents, r.right_cents) == (10_000, 90_000)
+
+    def test_matches_python_int_reference(self, spark):
+        from tsrollup.counters import changepoint_cusum
+        import random
+        rng = random.Random(17)
+        xs = [round(rng.uniform(-80, 120), 2) for _ in range(97)]
+        df = _events(spark, [_row(3, "z", i, i * 7, x)
+                             for i, x in enumerate(xs)])
+        r = changepoint_cusum(df).collect()[0]
+        stat, tau, left = self._brute([round(x * 100) for x in xs])
+        assert (r.stat, r.tau, r.left_cents) == (float(stat), tau, left)
+
+    def test_constant_series_ties_to_smallest_tau(self, spark):
+        from tsrollup.counters import changepoint_cusum
+        df = _events(spark, [_row(1, "a", i, i * 60, 42.0)
+                             for i in range(8)])
+        r = changepoint_cusum(df).collect()[0]
+        assert r.stat == 0.0 and r.tau == 1
+
+    def test_null_dropped_and_short_series_absent(self, spark):
+        from tsrollup.counters import changepoint_cusum
+        rows = [_row(1, "a", 0, 0, 10.0), (1, "a", 1, T0, None),
+                _row(1, "a", 2, 120, 90.0),
+                _row(2, "b", 3, 0, 5.0)]  # n=1 after policy: no candidate
+        out = changepoint_cusum(_events(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.user_id, r.n, r.tau) == (1, 2, 1)
+
+    def test_series_isolated_single_exchange(self, spark):
+        from tsrollup.counters import changepoint_cusum
+        rows = ([_row(1, "a", i, i * 60, 10.0 + 80.0 * (i >= 3))
+                 for i in range(6)]
+                + [_row(2, "a", 10 + i, i * 60, 50.0 - 40.0 * (i >= 2))
+                   for i in range(5)])
+        got = {r.user_id: r for r in
+               changepoint_cusum(_events(spark, rows)).collect()}
+        assert got[1].tau == 3 and got[2].tau == 2
+        plan = formatted_plan(changepoint_cusum(_events(spark, rows)))
+        assert n_data_exchanges(plan) == 1, plan
+
+
 class TestCusumEpisodes:
     def test_runs_split_on_non_alarm_samples(self, spark):
         # target 0, threshold 15: S+ spikes to 18 (alarm), bleeds down

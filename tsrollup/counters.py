@@ -17,6 +17,8 @@ output bit:
   prefix-sum ± running-extremum rewrite (no sequential fold).
 - ``cusum_episodes`` — maximal runs of consecutive alarming samples
   (gaps-and-islands over the scores), one summarized row per episode.
+- ``changepoint_cusum`` — OFFLINE changepoint location per series: the
+  classical CUSUM estimator argmax |n·P_τ − τ·P_n|, integer-exact.
 - ``m4_downsample`` — the M4 width-preserving visualization downsampler
   (Jugel et al., VLDB 2014): first/last/min/max per pixel bucket.
 - ``trend_slope`` — per-series OLS trend over the bucket grid, the classic
@@ -299,6 +301,84 @@ def cusum_episodes(events: DataFrame,
                       "n_samples",
                       "start_ts", "end_ts", "duration_us",
                       "peak_hi", "peak_lo"))
+
+
+def changepoint_cusum(events: DataFrame,
+                      series_cols: Sequence[str] = ("user_id", "event_type"),
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      value_col: str = "value") -> DataFrame:
+    """Offline changepoint LOCATION per series — "where did the level
+    shift" — via the classical CUSUM location estimator (Page 1954 /
+    Csörgő & Horváth 1997): the binary-segmentation primitive
+    (:func:`cusum_drift` scores drift ONLINE; this names the single most
+    likely change position after the fact).
+
+    With cents x_1..x_n per series ordered by (ts, id), prefix sums
+    P_τ = Σ_{i≤τ} x_i and total S = P_n, the estimator is::
+
+        τ* = argmax_{1 ≤ τ < n} |P_τ − (τ/n)·S|
+
+    Multiplying the objective by the per-series constant n clears the
+    division — ``stat(τ) = |n·P_τ − τ·S|`` — so every compared value is
+    an EXACT integer (decimal(38,0); |stat| ≤ n²·max_cents, int64
+    overflows already at n ≈ 3·10⁷ hundred-cent samples which is why the
+    products widen to 128-bit). Ties break to the SMALLEST τ — exact
+    integer ordering, so the pick is engine-independent. The emitted
+    ``stat`` double converts exactly while |stat| < 2^53 (true at every
+    test SF by orders of magnitude; the trend_slope bound argument), and
+    the two segment means are single IEEE divisions of exact integers.
+
+    NULL samples are no observations (engine-wide policy); a series needs
+    n ≥ 2 to have a candidate split, else it is absent from the output.
+
+    Shape: ONE exchange — the sequential window (prefix sums), the
+    whole-partition aggregates (n, S), and the argmax ranking all
+    partition on the series tuple, so EnsureRequirements reuses a single
+    series-hash exchange; the three orderings are sorts within it. At
+    100 TB series are the parallelism unit and nothing widens beyond one.
+
+    Output: series_cols…, n, tau (position of the LAST left-segment
+    sample, 1-indexed), split_ts, split_id, stat (double), left_cents,
+    right_cents (longs), left_mean, right_mean (doubles, value units).
+    """
+    scols = list(series_cols)
+    events = events.filter(F.col(value_col).isNotNull())
+    wseq = Window.partitionBy(*scols).orderBy(ts_col, id_col)
+    wall = Window.partitionBy(*scols)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    staged = events.select(
+        *scols, F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
+        F.row_number().over(wseq).alias("_rn"),
+        F.sum(cents).over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0)).alias("_p"),
+        F.count("*").over(wall).alias("_n"),
+        F.sum(cents).over(wall).alias("_s"))
+    d38 = "decimal(38,0)"
+    stat = F.abs(F.col("_n").cast(d38) * F.col("_p").cast(d38)
+                 - F.col("_rn").cast(d38) * F.col("_s").cast(d38))
+    pick = F.row_number().over(
+        Window.partitionBy(*scols)
+        .orderBy(F.col("_stat").desc(), F.col("_rn").asc()))
+    right = F.col("_s") - F.col("_p")
+    return (staged
+            .filter(F.col("_rn") < F.col("_n"))
+            .withColumn("_stat", stat)
+            .withColumn("_pick", pick)
+            .filter(F.col("_pick") == 1)
+            .select(*scols,
+                    F.col("_n").cast("long").alias("n"),
+                    F.col("_rn").cast("long").alias("tau"),
+                    F.col("ts").alias("split_ts"),
+                    F.col("id").alias("split_id"),
+                    F.col("_stat").cast("double").alias("stat"),
+                    F.col("_p").cast("long").alias("left_cents"),
+                    right.cast("long").alias("right_cents"),
+                    (F.col("_p").cast("double")
+                     / (F.col("_rn") * 100).cast("double"))
+                    .alias("left_mean"),
+                    (right.cast("double")
+                     / ((F.col("_n") - F.col("_rn")) * 100).cast("double"))
+                    .alias("right_mean")))
 
 
 def time_weighted_avg(events: DataFrame,
