@@ -135,6 +135,9 @@ HEADLINE = [
     "heavy_ngrams",
     "histogram_quantile_hourly",
     "matrix_profile",
+    # honest row: on the word-length fixture LB_Keogh prunes little, so
+    # this measures near-brute exact DTW retrieval (see dtw.py docstring)
+    "dtw_knn",
 ]
 
 # F1 sequences fixture size for the native-throughput leg. ~32k docs × ~700

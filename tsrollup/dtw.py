@@ -37,6 +37,20 @@ The two fetches are broadcast-semi-joins on doc_id (candidate lists are
 k·|Q| + |lb <= tau| rows — small by the pruning contract), so the only
 full-corpus work is the one LB scan. Queries are collected driver-side and
 closure-shipped (bounded small by contract, same as the IVF probe set).
+
+Although the lazy plan REFERENCES the LB stream three times (seed window,
+survivor filter, anti-join), Spark's ReuseExchange deduplicates the
+identical shuffle subtrees within the job, so the scan executes once —
+do not "fix" that by hand. Considered and REJECTED (round 5, measured
+interleaved at sf0.1): (a) an eager three-job restructure with the
+survivor DP fused into the LB scan — splitting into separate jobs loses
+exactly that exchange reuse (9.1 s vs 4.9 s); (b) JVM-side
+``F.slice(tokens, 1, length)`` before the Arrow boundary — the per-row
+array copy in the repeated projection costs more than the transfer it
+saves (4.5 s vs 3.5 s min-of-3). On fixtures whose token series are
+narrow-range word lengths the envelope prunes little and the operator
+honestly degrades toward brute force — the prune pays off exactly when
+series differ enough for the bound to bite.
 """
 
 from __future__ import annotations
