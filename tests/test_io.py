@@ -305,3 +305,71 @@ class TestProfileTable:
             profile_table(df, ["v"], ["v"])
         with _pytest.raises(ValueError, match="more than once"):
             profile_table(df, ["v", "v"], [])
+
+
+class TestBucketed:
+    """Co-located joins via catalog bucketing (io.write_bucketed): the
+    100 TB store layout — same key, same bucket count, zero exchanges."""
+
+    @staticmethod
+    def _frames(spark):
+        from pyspark.sql import functions as F
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v"))
+        b = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 3).alias("w"))
+        return a, b
+
+    def test_colocated_join_zero_exchanges_vs_two_plain(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from tsrollup.io import write_bucketed
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+
+        a, b = self._frames(spark)
+        write_bucketed(a, "tb_join_a", "doc_id", 4,
+                       path=str(tmp_path / "a"))
+        write_bucketed(b, "tb_join_b", "doc_id", 4,
+                       path=str(tmp_path / "b"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("tb_join_a").join(spark.table("tb_join_b"),
+                                              "doc_id")
+            plan = formatted_plan(j)
+            assert n_data_exchanges(plan) == 0, plan
+            got = j.agg(F.sum(F.col("v") + F.col("w"))).collect()[0][0]
+            assert got == sum(5 * i for i in range(1000))
+            # the same join without the layout shuffles BOTH sides
+            plain = formatted_plan(a.join(b, "doc_id"))
+            assert n_data_exchanges(plain) == 2, plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS tb_join_a")
+            spark.sql("DROP TABLE IF EXISTS tb_join_b")
+
+    def test_groupby_on_bucket_key_skips_shuffle(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from tsrollup.io import write_bucketed
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+
+        a, _ = self._frames(spark)
+        write_bucketed(a, "tb_grp", "doc_id", 4, path=str(tmp_path / "g"))
+        try:
+            g = spark.table("tb_grp").groupBy("doc_id").agg(
+                F.sum("v").alias("s"))
+            assert n_data_exchanges(formatted_plan(g)) == 0
+            assert g.count() == 1000
+        finally:
+            spark.sql("DROP TABLE IF EXISTS tb_grp")
+
+    def test_validation_and_iceberg_gate(self, spark, monkeypatch):
+        from tsrollup.io import write_bucketed
+        a, _ = self._frames(spark)
+        with pytest.raises(ValueError, match="buckets"):
+            write_bucketed(a, "tb_bad", "doc_id", 0)
+        with pytest.raises(ValueError, match="bucket key"):
+            write_bucketed(a, "tb_bad", [], 4)
+        monkeypatch.setenv("TSROLLUP_TABLE_FORMAT", "iceberg")
+        with pytest.raises(ValueError, match="bucket\\(N, col\\)"):
+            write_bucketed(a, "tb_bad", "doc_id", 4)
