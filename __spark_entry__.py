@@ -666,6 +666,21 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("n_docs").cast("double")))
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE session_window
+    (tsrollup.streaming.stream_sessionize, batch mode — the identical
+    expression runs streaming with watermark-bounded state): the same
+    30-minute-gap sessions as q_sessionize but computed by the engine's
+    session-merging machinery instead of the lag+cumsum gap rule. The
+    DuckDB oracle recomputes sessions independently WITH the gap rule,
+    so two unrelated implementations must agree bit-for-bit — boundary
+    semantics pinned in tests (an event at exactly last+gap merges)."""
+    from tsrollup.streaming import stream_sessionize
+
+    return stream_sessionize(_fact(spark, sf_dir, "events"),
+                             gap_minutes=30)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events stream (30-minute
     inactivity gap) → per-session stats. One exchange: the lag and the
@@ -1967,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": q_matrix_profile,
         "dtw_knn": q_dtw_knn,
         "changepoint": q_changepoint,
+        "session_windows": q_session_windows,
     }
 
 
@@ -4103,6 +4119,30 @@ SELECT user_id, event_type, n::BIGINT AS n, rn::BIGINT AS tau,
        p::DOUBLE / (rn * 100)::DOUBLE AS left_mean,
        (st - p)::DOUBLE / ((n - rn) * 100)::DOUBLE AS right_mean
 FROM pick WHERE pk = 1
+"""
+
+    # native session_window cross-check: DuckDB recomputes the sessions
+    # with the INDEPENDENT lag+cumsum gap rule (> 30 min starts a new one
+    # — the boundary test pins that session_window agrees)
+    sqls["session_windows"] = """
+WITH b AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS newsess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       COUNT(*)::BIGINT AS n_events,
+       (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))::BIGINT AS duration_us,
+       SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM s GROUP BY user_id, sid
 """
 
     return sqls

@@ -61,6 +61,7 @@ HEADLINE = [
     "revenue_by_nation",
     "rolling_mean_events",
     "sessionize",
+    "session_windows",
     "counter_increase",
     "m4_downsample",
     "wfdb_roundtrip",

@@ -648,3 +648,56 @@ def test_stream_dedup_composite_key_and_batch_twin(spark):
         "user_id long, event_type string, value double")
     out = stream_dedup(df, keys=("user_id", "event_type")).collect()
     assert len(out) == 3
+
+
+def test_stream_sessionize_merges_across_triggers(spark, tmp_path):
+    """Native session_window sessions, fed across two triggers with
+    maxFilesPerTrigger=1 (sessions that straddle the file boundary must
+    MERGE in the state store), must equal the batch aggregation of the
+    full input. A far-future sentinel advances the watermark so every
+    real session flushes under availableNow."""
+    from tsrollup.streaming import stream_sessionize
+
+    rng = np.random.default_rng(41)
+    n = 300
+    base = pd.Timestamp("2026-01-01")
+    steps = rng.integers(1, 20, n).cumsum()  # global minutes timeline
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 4, n).astype(np.int64),
+        "ts": base + pd.to_timedelta(steps, unit="m"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    src = tmp_path / "ev"
+    src.mkdir()
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    ev.iloc[:150].to_parquet(src / "p0.parquet", **kw)
+    sentinel = pd.DataFrame({
+        "event_id": np.int64([10**6]), "user_id": np.int64([999]),
+        "ts": [base + pd.Timedelta(days=30)], "value": [1.0]})
+    pd.concat([ev.iloc[150:], sentinel]).to_parquet(src / "p1.parquet", **kw)
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (stream_sessionize(stream).writeStream
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = (spark.read.parquet(sink).filter("user_id < 999").toPandas()
+           .sort_values(["user_id", "start_ts"])
+           .reset_index(drop=True))
+    want = (stream_sessionize(
+                spark.createDataFrame(ev, "event_id long, user_id long, "
+                                          "ts timestamp, value double"))
+            .toPandas().sort_values(["user_id", "start_ts"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) > 10
+    for c in ("user_id", "start_ts", "end_ts", "n_events",
+              "duration_us", "sum_value"):
+        assert (got[c].values == want[c].values).all(), c

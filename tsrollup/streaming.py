@@ -334,6 +334,53 @@ def stream_dedup(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
             .dropDuplicatesWithinWatermark(list(keys)))
 
 
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      value_col: str = "value",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Session AGGREGATION on Spark's native ``session_window`` — the
+    streaming face of :func:`tsrollup.segments.sessionize`: one summary
+    row per (user, session), where a session extends while events keep
+    arriving within ``gap_minutes`` of the previous one. On a stream the
+    engine merges/extends sessions in the state store and emits each one
+    when the event-time watermark passes its close (state bounded by
+    OPEN sessions × keys, not stream lifetime); on a batch frame the
+    identical expression runs as a plain aggregation, so batch/stream
+    parity is directly testable on the same input.
+
+    Boundary semantics (pinned by test): an event at exactly
+    last_event + gap still MERGES into the session — "new session when
+    delta > gap", the SAME strictly-greater rule as the batch gap-rule
+    operator, so the two agree row-for-row and the driver query's DuckDB
+    oracle (which recomputes sessions independently via lag+cumsum)
+    hash-matches bit-for-bit.
+
+    Output (the q_sessionize aggregate shape): user, start_ts, end_ts
+    (first/last event — NOT window end, which pads +gap), n_events,
+    duration_us (exact integer µs), sum_value (decimal-exact sum, one
+    double conversion). NULL values are no observations for the sum but
+    still count in n_events.
+    """
+    if gap_minutes < 1:
+        raise ValueError("need gap_minutes >= 1")
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (df.groupBy(F.session_window(
+                           F.col(ts_col),
+                           f"{int(gap_minutes)} minutes").alias("_sw"),
+                       F.col(user_col))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min(ts_col).alias("start_ts"),
+                 F.max(ts_col).alias("end_ts"),
+                 (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
+                 F.sum(F.col(value_col).cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value"))
+            .select(user_col, "start_ts", "end_ts", "n_events",
+                    "duration_us", "sum_value"))
+
+
 def stream_cusum(events: DataFrame, target: float = 50.0,
                  threshold: float = 200.0,
                  timeout: str = "NoTimeout",
