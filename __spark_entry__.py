@@ -1295,6 +1295,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc vocabulary novelty in ingestion order
+    (tsrollup.dedup.novelty_stats): fraction of each doc's distinct
+    3-gram shingles first seen IN that doc (min doc_id over the gram's
+    postings) — the curation saturation signal, per-gram twin of
+    exact_dedup's keep rule. One gram-hash exchange + one doc regroup;
+    bit-exact tail oracle (same md5-60bit hashing, identical collision
+    behavior)."""
+    from tsrollup.dedup import novelty_stats
+
+    return novelty_stats(_docs(spark, sf_dir), n=3)
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpinned full-corpus Jaccard with a document-frequency cap of 20 on
     shingles — the 100 TB-safe form (no hot-key quadratic groups)."""
@@ -1983,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_knn": q_dtw_knn,
         "changepoint": q_changepoint,
         "session_windows": q_session_windows,
+        "novelty": q_novelty,
     }
 
 
@@ -4143,6 +4157,22 @@ SELECT user_id,
        (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))::BIGINT AS duration_us,
        SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value
 FROM s GROUP BY user_id, sid
+"""
+
+    # per-doc novelty: grams hashed exactly like the Spark plan (collision
+    # behavior included); MIN(doc_id) over the gram's postings decides the
+    # one doc that gets the "new" credit
+    sqls["novelty"] = f"""
+WITH shs AS ({shingles_all}),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS g
+      FROM shs),
+f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY g) AS first_doc FROM h)
+SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+         / COUNT(*)::DOUBLE AS novelty
+FROM f GROUP BY doc_id
 """
 
     return sqls

@@ -80,6 +80,7 @@ HEADLINE = [
     "vocab_topk",
     "source_mixture",
     "dedup_exact",
+    "novelty",
     "dup_spans",
     "jaccard_pairs",
     "minhash_signatures",

@@ -324,3 +324,54 @@ class TestDuplicatedSpanStats:
         from tsrollup.dedup import duplicated_span_stats
         with pytest.raises(ValueError):
             duplicated_span_stats(self._docs(spark, []), n=0)
+
+
+class TestNoveltyStats:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    def test_exact_copy_has_zero_novelty(self, spark):
+        from tsrollup.dedup import novelty_stats
+
+        df = self._docs(spark, [(1, "a b c d e"), (2, "a b c d e"),
+                                (3, "p q r s t")])
+        out = {r.doc_id: r for r in novelty_stats(df, n=3).collect()}
+        assert out[1].novelty == 1.0          # first arrival owns its grams
+        assert out[2].novelty == 0.0          # exact copy: nothing new
+        assert out[3].novelty == 1.0          # disjoint text: all new
+        assert out[1].n_grams == out[2].n_grams == 3
+
+    def test_partial_overlap_counts_new_grams_only(self, spark):
+        from tsrollup.dedup import novelty_stats
+
+        # doc 2 shares the "a b c" gram with doc 1, adds two of its own
+        df = self._docs(spark, [(1, "a b c d"), (2, "z a b c y")])
+        out = {r.doc_id: r for r in novelty_stats(df, n=3).collect()}
+        assert out[1].n_grams == 2 and out[1].n_new == 2
+        assert out[2].n_grams == 3 and out[2].n_new == 2
+        assert out[2].novelty == 2.0 / 3.0
+
+    def test_new_credit_sums_to_vocabulary_size(self, spark):
+        from tsrollup.dedup import novelty_stats, word_shingles
+        import numpy as np
+        import random
+
+        rng = random.Random(7)
+        words = [f"w{i}" for i in range(30)]
+        rows = [(i, " ".join(rng.choices(words, k=40))) for i in range(20)]
+        df = self._docs(spark, rows)
+        out = novelty_stats(df, n=3).toPandas()
+        vocab = (word_shingles(df, 3).select("shingle").distinct().count())
+        assert int(out["n_new"].sum()) == vocab
+        assert (out["novelty"].to_numpy()
+                == out["n_new"].to_numpy(np.float64)
+                / out["n_grams"].to_numpy(np.float64)).all()
+
+    def test_two_exchanges(self, spark):
+        from tsrollup.dedup import novelty_stats
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+
+        df = self._docs(spark, [(1, "a b c d"), (2, "b c d e")])
+        plan = formatted_plan(novelty_stats(df))
+        assert n_data_exchanges(plan) == 2, plan

@@ -123,6 +123,40 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     )
 
 
+def novelty_stats(df: DataFrame, n: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc vocabulary NOVELTY in ingestion order (doc_id as arrival
+    order): of a doc's distinct word n-grams, the fraction appearing in NO
+    earlier doc — i.e. grams whose corpus-first posting is this doc. The
+    curation saturation signal: as a crawl saturates, per-doc novelty
+    decays toward 0 and marginal docs stop paying for their storage; the
+    per-gram twin of exact_dedup's whole-doc MIN(doc_id) keep rule.
+
+    Exactly one doc gets the "new" credit per gram (the MIN holder), so
+    Σ n_new = |corpus gram vocabulary| — a useful invariant (tested).
+
+    Shape: the per-doc gram sets are already distinct inside one row
+    (``_shingles_of``'s array_distinct — no global DISTINCT shuffle), so
+    the plan pays one gram-hash exchange (the MIN window) and one doc
+    regroup — no pair space, no quadratic key; grams are 60-bit md5 ints
+    before the shuffle (8-byte exchange rows, identical in the DuckDB
+    oracle down to collision behavior). ``novelty`` is one IEEE division
+    of exact int64s."""
+    sh = word_shingles(df, n, text_col) \
+        .select("doc_id", _h60(F.col("shingle")).alias("_g"))
+    from pyspark.sql import Window
+
+    first = F.min("doc_id").over(Window.partitionBy("_g"))
+    return (sh.withColumn("_first", first)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum((F.col("_first") == F.col("doc_id")).cast("long"))
+                 .cast("long").alias("n_new"))
+            .withColumn("novelty",
+                        F.col("n_new").cast("double")
+                        / F.col("n_grams").cast("double")))
+
+
 def minhash_signatures(df: DataFrame, k: int = 8, n: int = 3,
                        text_col: str = "text") -> DataFrame:
     """k-permutation MinHash signatures over word n-gram shingles:
