@@ -701,3 +701,85 @@ def test_stream_sessionize_merges_across_triggers(spark, tmp_path):
     for c in ("user_id", "start_ts", "end_ts", "n_events",
               "duration_us", "sum_value"):
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Clicks join their user's views within the 15-min lookback, with
+    view/click pairs deliberately straddling trigger boundaries (both
+    sides buffered in join state across batches); the streamed pairs must
+    equal the batch inequality join of the full inputs."""
+    from tsrollup.streaming import stream_interval_join
+
+    rng = np.random.default_rng(53)
+    n = 240
+    base = pd.Timestamp("2026-01-01")
+    steps = rng.integers(1, 7, n).cumsum()  # global minutes timeline
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 5, n).astype(np.int64),
+        "ts": base + pd.to_timedelta(steps, unit="m"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    views, clicks = ev.iloc[::2], ev.iloc[1::2]
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir(), cdir.mkdir()
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    views.iloc[:60].to_parquet(vdir / "p0.parquet", **kw)
+    views.iloc[60:].to_parquet(vdir / "p1.parquet", **kw)
+    clicks.iloc[:60].to_parquet(cdir / "p0.parquet", **kw)
+    clicks.iloc[60:].to_parquet(cdir / "p1.parquet", **kw)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    sv = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(vdir)))
+    sc_ = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(cdir)))
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (stream_interval_join(sc_, sv).writeStream
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    key = ["event_id", "event_id_r"]
+    got = (spark.read.parquet(sink).toPandas()
+           .sort_values(key).reset_index(drop=True))
+    bv = spark.createDataFrame(views, schema)
+    bc = spark.createDataFrame(clicks, schema)
+    want = (stream_interval_join(bc, bv).toPandas()
+            .sort_values(key).reset_index(drop=True))
+    assert len(got) == len(want) > 50
+    for c in ("event_id", "event_id_r", "user_id", "ts", "ts_r",
+              "value", "value_r"):
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_stream_interval_join_boundaries_inclusive(spark):
+    """Both interval ends are inclusive on exact microseconds: a view at
+    exactly left_ts − max_delay matches, one microsecond earlier does
+    not; a view at left_ts matches, one microsecond later does not."""
+    from tsrollup.streaming import stream_interval_join
+
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    delay = pd.Timedelta(minutes=15)
+    us = pd.Timedelta(microseconds=1)
+    views = pd.DataFrame({
+        "event_id": np.int64([0, 1, 2, 3]),
+        "user_id": np.int64([1, 1, 1, 1]),
+        "ts": [base - delay - us, base - delay, base, base + us],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    clicks = pd.DataFrame({
+        "event_id": np.int64([10]), "user_id": np.int64([1]),
+        "ts": [base], "value": [9.0]})
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    out = stream_interval_join(
+        spark.createDataFrame(clicks, schema),
+        spark.createDataFrame(views, schema)).toPandas()
+    assert sorted(out["event_id_r"].tolist()) == [1, 2]
+
+    from tsrollup.streaming import stream_interval_join as sij
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sij(spark.range(1), spark.range(1), max_delay_minutes=0)

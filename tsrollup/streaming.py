@@ -381,6 +381,46 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
                     "duration_us", "sum_value"))
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key: str = "user_id", ts_col: str = "ts",
+                         max_delay_minutes: int = 15,
+                         watermark: str = "1 hour",
+                         suffix: str = "_r") -> DataFrame:
+    """Stream-stream INNER interval join: pair each left event with every
+    same-key right event whose timestamp lies in
+    ``[left_ts − max_delay, left_ts]`` (inclusive both ends, exact
+    microsecond comparisons — pinned by test). The streaming attribution
+    primitive (click ⋈ preceding views, alert ⋈ recent deploys) that a
+    batch range join answers after the fact.
+
+    State contract: BOTH sides carry event-time watermarks and the join
+    predicate bounds their timestamp difference, so Spark derives a state
+    watermark per side and EVICTS buffered rows once no future match is
+    possible — state is bounded by max_delay × arrival rate per side,
+    not stream lifetime. Inner-join matches emit immediately (no
+    watermark hold); the watermark only gates eviction and late-data
+    drop. The time predicate deliberately stays on the raw timestamp
+    columns — rewriting it through unix_micros would hide the range from
+    the state-watermark analyzer and buffer both sides forever.
+
+    On batch frames the same expression is a plain inequality join, so
+    batch/stream parity is testable on identical input. Right-side
+    columns are suffixed with ``suffix`` (both sides often come from the
+    same table, e.g. views ⋈ clicks of one event stream)."""
+    if max_delay_minutes < 1:
+        raise ValueError("need max_delay_minutes >= 1")
+    lf = left.withWatermark(ts_col, watermark) if left.isStreaming else left
+    rt = (right.withWatermark(ts_col, watermark)
+          if right.isStreaming else right)
+    rt = rt.select([F.col(c).alias(c + suffix) for c in rt.columns])
+    ts_l, ts_r = F.col(ts_col), F.col(ts_col + suffix)
+    cond = ((F.col(key) == F.col(key + suffix))
+            & (ts_r <= ts_l)
+            & (ts_r >= ts_l - F.expr(
+                f"INTERVAL {int(max_delay_minutes)} MINUTES")))
+    return lf.join(rt, cond, "inner")
+
+
 def stream_cusum(events: DataFrame, target: float = 50.0,
                  threshold: float = 200.0,
                  timeout: str = "NoTimeout",
