@@ -186,3 +186,49 @@ def test_rollup_handles_million_token_doc(spark, tmp_path):
     # window starts tile [0, n) with stride 64, no gaps or dups
     ws = np.sort(out["window_start"].to_numpy())
     assert (ws == np.arange(len(out)) * 64).all()
+
+
+class TestTierRouting:
+    def test_finest_fitting_tier_wins(self):
+        from tsrollup.rollup import route_tier
+
+        # 64k positions = 1000 minute windows; budgets route the rule
+        assert route_tier(64_000, 1000) == "1m"
+        assert route_tier(64_000, 999) == "1h"   # 1m overflows -> next
+        assert route_tier(64 * 60 * 24 * 365, 500) == "1d"  # a "year"
+        # even the day tier overflows a 1-point budget on 2 "days":
+        assert route_tier(64 * 60 * 24 * 2, 1) == "1d"  # coarsest fallback
+
+    def test_ceil_division_boundaries(self):
+        from tsrollup.rollup import route_tier
+
+        # exactly max_points windows fits; one position more overflows
+        assert route_tier(64 * 10, 10) == "1m"
+        assert route_tier(64 * 10 + 1, 10) == "1h"
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from tsrollup.rollup import route_tier
+
+        with _pytest.raises(ValueError):
+            route_tier(0, 10)
+        with _pytest.raises(ValueError):
+            route_tier(10, 0)
+        with _pytest.raises(ValueError):
+            route_tier(10, 10, tiers={})
+
+    def test_read_routed_filters_tier_and_range(self, spark, seq_df):
+        from tsrollup.rollup import read_routed, rollup_sequences
+
+        rolled = rollup_sequences(seq_df)
+        # a 100-minute-window range with a 10-point budget -> hour tier
+        out = read_routed(rolled, 0, 64 * 100, 10).toPandas()
+        assert set(out["tier"]) == {"1h"}
+        assert (out["window_start"] < 64 * 100).all()
+        # per-doc row count respects the budget
+        assert out.groupby("doc_id").size().max() <= 10
+        # equals the manual filter (routing adds no row surgery)
+        want = rolled.filter("tier = '1h' and window_start >= 0 "
+                             "and window_start < 6400").count()
+        assert len(out) == want > 0

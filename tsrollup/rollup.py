@@ -553,6 +553,51 @@ def mad_outliers(df: DataFrame, group_cols=("source",),
 RETENTION_DEFAULT = {"1m": 1440, "1h": 168, "1d": 365}
 
 
+def route_tier(range_positions: int, max_points: int,
+               window: int = BASE_WINDOW,
+               tiers: dict[str, int] = TIER_FACTOR) -> str:
+    """Continuous-aggregate QUERY ROUTING: pick the FINEST tier whose
+    per-doc point count over a token-position range fits ``max_points``
+    (the Grafana maxDataPoints / TimescaleDB CAGG read rule — a dashboard
+    asking for a year at 500 points should hit the day tier, never scan
+    the minute tier and throw 99.97% of it away). Falls back to the
+    COARSEST tier when even it exceeds the budget (the caller gets the
+    cheapest over-budget answer rather than an error).
+
+    Pure driver-side arithmetic: points(tier) = ⌈range / (window·factor)⌉
+    over the same ``tiers`` dict the rollup writes, so routing can never
+    name a tier the store doesn't have."""
+    if range_positions < 1 or max_points < 1:
+        raise ValueError("need range_positions >= 1 and max_points >= 1")
+    if not tiers:
+        raise ValueError("need at least one tier")
+    coarsest = None
+    for name, f in sorted(tiers.items(), key=lambda kv: kv[1]):
+        if -(-range_positions // (window * f)) <= max_points:
+            return name
+        coarsest = name
+    return coarsest
+
+
+def read_routed(rolled: DataFrame, start_pos: int, end_pos: int,
+                max_points: int, window: int = BASE_WINDOW,
+                tiers: dict[str, int] = TIER_FACTOR) -> DataFrame:
+    """Read the rolled store at the tier :func:`route_tier` picks for
+    ``[start_pos, end_pos)`` — the read-path twin of the tier chain. The
+    tier equality and window_start range land as plain column predicates,
+    so a (tier, window_start)-partitioned/sorted store prunes partitions
+    and row groups for free (the zorder_layout/write_bucketed layouts
+    compose here); windows are tagged by their START position, so a
+    window straddling ``start_pos`` from before is excluded — the
+    half-open bucket convention the tiers are built on."""
+    if end_pos <= start_pos:
+        raise ValueError("need end_pos > start_pos")
+    t = route_tier(end_pos - start_pos, max_points, window, tiers)
+    return rolled.filter((F.col("tier") == t)
+                         & (F.col("window_start") >= start_pos)
+                         & (F.col("window_start") < end_pos))
+
+
 def apply_retention(rolled: DataFrame,
                     keep_windows: dict[str, int] = RETENTION_DEFAULT
                     ) -> DataFrame:
