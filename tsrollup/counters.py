@@ -19,6 +19,8 @@ output bit:
   (gaps-and-islands over the scores), one summarized row per episode.
 - ``changepoint_cusum`` — OFFLINE changepoint location per series: the
   classical CUSUM estimator argmax |n·P_τ − τ·P_n|, integer-exact.
+- ``last_point`` — the TSDB last()/first() idiom: newest/oldest value per
+  series by mergeable struct-MIN/MAX, never a per-series sort.
 - ``m4_downsample`` — the M4 width-preserving visualization downsampler
   (Jugel et al., VLDB 2014): first/last/min/max per pixel bucket.
 - ``trend_slope`` — per-series OLS trend over the bucket grid, the classic
@@ -301,6 +303,44 @@ def cusum_episodes(events: DataFrame,
                       "n_samples",
                       "start_ts", "end_ts", "duration_us",
                       "peak_hi", "peak_lo"))
+
+
+def last_point(events: DataFrame,
+               series_cols: Sequence[str] = ("user_id", "event_type"),
+               ts_col: str = "ts", id_col: str = "event_id",
+               value_col: str = "value") -> DataFrame:
+    """The TSDB ``last()``/``first()`` idiom: per series, the newest and
+    oldest observed values with their timestamps — the "current state of
+    every series" panel every monitoring read path serves, answered by
+    ONE partial-aggregating pass (max_by/min_by over a (ts, id) ordering
+    struct), never a per-series sort.
+
+    NULL values are no observations (engine-wide policy): the last POINT
+    is the last sample that carried a value. Ties on ts break by id via
+    lexicographic MIN/MAX over a (ts, id, payload) struct — the mergeable
+    aggregate BOTH engines order identically (pinned; a bare max_by(v, ts)
+    is nondeterministic on same-ts samples, and arg_max takes no composite
+    key in DuckDB). delta_cents = last − first exactly (the "how far has
+    this series moved" column).
+
+    Output: series_cols…, n (long), first_ts, first_value, last_ts,
+    last_value, delta_cents (long).
+    """
+    scols = list(series_cols)
+    events = events.filter(F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    pt = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+                  F.col(value_col).alias("v"), cents.alias("c"))
+    return (events
+            .groupBy(*scols)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min(pt).alias("_f"), F.max(pt).alias("_l"))
+            .select(*scols, "n",
+                    F.col("_f.t").alias("first_ts"),
+                    F.col("_f.v").alias("first_value"),
+                    F.col("_l.t").alias("last_ts"),
+                    F.col("_l.v").alias("last_value"),
+                    (F.col("_l.c") - F.col("_f.c")).alias("delta_cents")))
 
 
 def changepoint_cusum(events: DataFrame,
