@@ -583,3 +583,39 @@ class TestRepairEpochs:
         before = _rows(read_incremental(spark, root))
         repair_epochs(spark, inp, root, [0, 1], tiers=TIERS)
         assert _rows(read_incremental(spark, root)) == before
+
+
+class TestAsOfEpoch:
+    def test_time_travel_reproduces_past_state(self, spark, tmp_path,
+                                               corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        past = _rows(read_incremental(spark, root))
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        # as-of epoch 0 == the state the post-refresh-0 reader saw,
+        # bit-for-bit, even though epoch 1 now exists on disk
+        got = read_incremental(spark, root, as_of_epoch=0)
+        assert _rows(got) == past
+        # and the plain read still sees everything
+        assert read_incremental(spark, root).count() > got.count()
+
+    def test_as_of_latest_equals_plain_read(self, spark, tmp_path, corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        _write_first_n(spark, corpus, inp, 60)
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        assert _rows(read_incremental(spark, root, as_of_epoch=1)) \
+            == _rows(read_incremental(spark, root))
+
+    def test_validation(self, spark, tmp_path, corpus):
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        with pytest.raises(ValueError):
+            read_incremental(spark, root, as_of_epoch=-1)

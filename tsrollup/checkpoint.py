@@ -341,10 +341,26 @@ def refresh_incremental(spark: SparkSession, input_path: str,
     return int(sum(r["n_docs"] for r in stats))
 
 
-def read_incremental(spark: SparkSession, output_root: str) -> DataFrame:
+def read_incremental(spark: SparkSession, output_root: str,
+                     as_of_epoch: int | None = None) -> DataFrame:
     """All epochs of an incrementally-refreshed store, rollup-row schema
-    (epoch retained for audit; drop it for value comparisons)."""
-    return read_table(spark, f"{output_root}/data")
+    (epoch retained for audit; drop it for value comparisons).
+
+    ``as_of_epoch`` TIME-TRAVELS the read: epochs are disjoint per-source
+    deltas (refresh_incremental only rolls docs past the committed
+    watermarks), so ``epoch <= N`` reproduces exactly the table state the
+    post-refresh-N reader saw — training-data reproducibility ("the
+    corpus as the epoch-N train run consumed it"), at partition-prune
+    cost only (epoch is the leading partition directory, no data outside
+    the horizon is scanned). History lasts until :func:`compact_epochs`
+    deliberately folds it (documented there); orphan-epoch exclusion
+    remains :func:`read_realtime`'s domain, as for the plain read."""
+    df = read_table(spark, f"{output_root}/data")
+    if as_of_epoch is not None:
+        if as_of_epoch < 0:
+            raise ValueError("need as_of_epoch >= 0")
+        df = df.filter(F.col("epoch") <= int(as_of_epoch))
+    return df
 
 
 def read_realtime(spark: SparkSession, input_path: str, output_root: str,
