@@ -1322,6 +1322,17 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_stats(_docs(spark, sf_dir), n=3)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by exact-integer LIFT
+    (tsrollup.text.collocations): multi-word-expression mining, ranked
+    by n_bg·N/(n_w1·n_w2) — monotone-equal to PMI with no libm ln.
+    Joins run at bigram grain post-aggregation; corpus N broadcast;
+    deterministic (lift desc, w1, w2) k-cut; bit-exact tail oracle."""
+    from tsrollup.text import collocations
+
+    return collocations(_docs(spark, sf_dir), k=50, min_count=5)
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpinned full-corpus Jaccard with a document-frequency cap of 20 on
     shingles — the 100 TB-safe form (no hot-key quadratic groups)."""
@@ -2012,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "novelty": q_novelty,
         "last_point": q_last_point,
+        "collocations": q_collocations,
     }
 
 
@@ -4211,6 +4223,34 @@ SELECT user_id, event_type, COUNT(*)::BIGINT AS n,
         - (min(struct_pack(t := ts, i := event_id, v := value, c := c))).c
        )::BIGINT AS delta_cents
 FROM e GROUP BY user_id, event_type
+"""
+
+    # collocation mining: lift = n_bg·N/(n1·n2) in HUGEINT, one double
+    # division (exact conversion at this scale), deterministic k-cut
+    sqls["collocations"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), toks AS (
+  SELECT unnest(ws) AS w FROM w
+), uni AS (
+  SELECT w, COUNT(*)::BIGINT AS n FROM toks GROUP BY w
+), tot AS (
+  SELECT COUNT(*)::BIGINT AS nn FROM toks
+), p AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+), bg AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n_occ
+  FROM p GROUP BY w1, w2 HAVING COUNT(*) >= 5
+)
+SELECT bg.w1, bg.w2, bg.n_occ, u1.n AS n_w1, u2.n AS n_w2,
+       (bg.n_occ::HUGEINT * tot.nn::HUGEINT)::DOUBLE
+         / (u1.n::HUGEINT * u2.n::HUGEINT)::DOUBLE AS lift
+FROM bg
+JOIN uni u1 ON bg.w1 = u1.w
+JOIN uni u2 ON bg.w2 = u2.w
+CROSS JOIN tot
+ORDER BY lift DESC, bg.w1, bg.w2 LIMIT 50
 """
 
     return sqls

@@ -75,6 +75,7 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "bigram_lm",
+    "collocations",
     "pii_scan",
     "repetition",
     "pack_offsets",

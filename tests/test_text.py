@@ -402,3 +402,48 @@ class TestOovRate:
         plan = formatted_plan(oov_rate(df))
         assert count_op(plan, "BroadcastHashJoin") >= 1, plan
         assert count_op(plan, "SortMergeJoin") == 0, plan
+
+
+class TestCollocations:
+    def _docs(self, spark, texts):
+        import pandas as pd
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+    def test_planted_collocation_ranks_first(self, spark):
+        from tsrollup.text import collocations
+
+        # "new york" always together; "the", "a" everywhere (high count,
+        # low lift); filler independent
+        texts = ["new york " * 6 + "the a the a b c",
+                 "the b a c new york the a new york",
+                 "a the c b the a"]
+        out = collocations(self._docs(spark, texts), k=5,
+                           min_count=3).toPandas()
+        assert (out.iloc[0].w1, out.iloc[0].w2) == ("new", "york")
+        r = out.iloc[0]
+        # exact lift: n_bg * N / (n_new * n_york)
+        assert r.n_occ == 8 and r.n_w1 == 8 and r.n_w2 == 8
+        N = sum(len(t.split()) for t in texts)
+        assert r.lift == 8 * N / (8 * 8)
+
+    def test_min_count_drops_hapax(self, spark):
+        from tsrollup.text import collocations
+
+        texts = ["unique pairing " + "x y " * 5] * 1
+        out = collocations(self._docs(spark, texts), k=10,
+                           min_count=2).toPandas()
+        pairs = set(zip(out.w1, out.w2))
+        assert ("unique", "pairing") not in pairs  # count 1 < min_count
+        assert ("x", "y") in pairs
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tsrollup.text import collocations
+
+        df = self._docs(spark, ["a b"])
+        with _pytest.raises(ValueError):
+            collocations(df, k=0)
+        with _pytest.raises(ValueError):
+            collocations(df, min_count=0)

@@ -217,6 +217,58 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text"
             .orderBy(F.desc("n_occ"), F.asc("word")).limit(k))
 
 
+def collocations(df: DataFrame, k: int = 50, min_count: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """Top-k collocations by LIFT — multi-word-expression mining, the
+    association twin of :func:`bigram_lm_counts` (which ranks by raw
+    frequency): ``lift(w1,w2) = n_bigram · N_unigrams / (n_w1 · n_w2)``,
+    how much more often the pair co-occurs than independence predicts.
+    PMI is ln(lift); the ln is monotone, so ranking by lift IS ranking by
+    PMI without touching libm (the cross-engine-unsafe op the softmax
+    notes document).
+
+    Exactness: numerator and denominator are exact 128-bit decimal
+    products; the score is ONE double division of exactly-converted
+    integers (|·| < 2^53 at every test SF by orders of magnitude — the
+    trend_slope conversion bound), so the (lift desc, w1, w2) k-cut is a
+    deterministic total order any engine reproduces. ``min_count`` kills
+    the hapax noise that dominates raw PMI.
+
+    Shape: one unigram aggregation, one bigram aggregation (the pair
+    stream forms JVM-side), two joins AT BIGRAM GRAIN (post-aggregation,
+    post-min_count — never raw rows), corpus N as a broadcast 1-row
+    cross join (the tfidf_topk motion), and a TakeOrderedAndProject
+    k-cut. No raw-width re-shuffles.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("need k >= 1 and min_count >= 1")
+    ws = df.select("doc_id", words(text_col).alias("_ws"))
+    toks = ws.select(F.explode("_ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    tot = toks.agg(F.count("*").cast("long").alias("_N"))
+    pairs = (ws.select(F.explode(F.expr(
+                 "transform(slice(_ws, 1, size(_ws) - 1), "
+                 "(w, i) -> struct(w AS w1, _ws[i + 1] AS w2))")).alias("p"))
+             .select("p.w1", "p.w2"))
+    bg = (pairs.groupBy("w1", "w2")
+          .agg(F.count("*").cast("long").alias("n_occ"))
+          .filter(F.col("n_occ") >= int(min_count)))
+    d38 = "decimal(38,0)"
+    j = (bg
+         .join(uni.select(F.col("w").alias("w1"),
+                          F.col("n").alias("n_w1")), "w1")
+         .join(uni.select(F.col("w").alias("w2"),
+                          F.col("n").alias("n_w2")), "w2")
+         .crossJoin(F.broadcast(tot)))
+    lift = ((F.col("n_occ").cast(d38) * F.col("_N").cast(d38))
+            .cast("double")
+            / (F.col("n_w1").cast(d38) * F.col("n_w2").cast(d38))
+            .cast("double"))
+    return (j.withColumn("lift", lift)
+            .orderBy(F.desc("lift"), "w1", "w2").limit(int(k))
+            .select("w1", "w2", "n_occ", "n_w1", "n_w2", "lift"))
+
+
 def bigram_lm_counts(df: DataFrame, k: int = 100, text_col: str = "text"
                      ) -> DataFrame:
     """Bigram language-model count table with Kneser-Ney continuation
