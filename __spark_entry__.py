@@ -3570,8 +3570,7 @@ WITH e AS (
 ), o AS (
   SELECT user_id, b, COUNT(*)::BIGINT AS n_samples,
          SUM(cents)::BIGINT::DOUBLE / 100.0 AS sum_value,
-         MAX(CASE WHEN rn = 1 THEN cents END)::DOUBLE / 100.0
-           AS last_in_bucket
+         MAX(CASE WHEN rn = 1 THEN cents END)::BIGINT AS last_cents
   FROM e GROUP BY user_id, b
 ), s AS (
   SELECT user_id, MIN(b) AS mn, MAX(b) AS mx FROM o GROUP BY user_id
@@ -3580,17 +3579,38 @@ WITH e AS (
          unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
   FROM s
 ), j AS (
-  SELECT g.user_id, g.bucket_ts, o.n_samples, o.sum_value, o.last_in_bucket
+  SELECT g.user_id, g.bucket_ts, o.n_samples, o.sum_value, o.last_cents,
+         row_number() OVER (PARTITION BY g.user_id
+                            ORDER BY g.bucket_ts) AS i
   FROM g LEFT JOIN o ON o.user_id = g.user_id AND o.b = g.bucket_ts
+), a AS (
+  SELECT *,
+         last_value(last_cents IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS UNBOUNDED PRECEDING) AS pc,
+         last_value(CASE WHEN n_samples IS NOT NULL THEN i END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS UNBOUNDED PRECEDING) AS pi,
+         first_value(last_cents IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+         first_value(CASE WHEN n_samples IS NOT NULL THEN i END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM j
 )
 SELECT user_id, bucket_ts,
        COALESCE(n_samples, 0)::BIGINT AS n_samples,
        sum_value,
-       last_value(last_in_bucket IGNORE NULLS)
-         OVER (PARTITION BY user_id ORDER BY bucket_ts
-               ROWS UNBOUNDED PRECEDING) AS locf_value,
+       pc::DOUBLE / 100.0 AS locf_value,
+       CASE WHEN ni = pi THEN pc::DOUBLE / 100.0
+            ELSE (pc * (ni - pi) + (nc - pc) * (i - pi))::DOUBLE
+                 / ((ni - pi) * 100)::DOUBLE
+       END AS interp_value,
        (CASE WHEN n_samples IS NULL THEN 1 ELSE 0 END)::INT AS is_gap
-FROM j
+FROM a
 """
 
     # time-weighted average: LOCF segments attributed to the left

@@ -424,6 +424,30 @@ class TestGridGapfill:
         assert {(r.user_id, r.bucket_ts.hour) for r in rows} == \
             {(1, 10), (2, 12)}
 
+    def test_linear_interpolation_between_observed_buckets(self, spark):
+        from tsrollup.counters import grid_gapfill
+        # observed 7.0 @ 10h and 10.0 @ 13h: the two gap hours
+        # interpolate to 8.0 and 9.0; observed rows equal themselves
+        df = _events(spark, [_row(1, "a", 0, 0, 7.0),
+                             _row(1, "a", 1, 3 * 3600, 10.0)])
+        out = {r.bucket_ts.hour: r for r in grid_gapfill(df).collect()}
+        assert out[10].interp_value == 7.0
+        assert out[11].interp_value == 8.0
+        assert out[12].interp_value == 9.0
+        assert out[13].interp_value == 10.0
+        # LOCF carries flat while interp ramps — the two modes differ
+        assert out[11].locf_value == 7.0 and out[12].locf_value == 7.0
+
+    def test_interp_uses_last_sample_of_anchor_bucket(self, spark):
+        from tsrollup.counters import grid_gapfill
+        # hour 10 holds samples 1.0 then 4.0 (last wins as the anchor);
+        # hour 12 holds 8.0 -> the hour-11 gap interpolates to 6.0
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0),
+                             _row(1, "a", 1, 1800, 4.0),
+                             _row(1, "a", 2, 2 * 3600, 8.0)])
+        out = {r.bucket_ts.hour: r for r in grid_gapfill(df).collect()}
+        assert out[11].interp_value == 6.0
+
     def test_single_sample_single_bucket(self, spark):
         from tsrollup.counters import grid_gapfill
         r = grid_gapfill(_events(spark, [_row(1, "a", 0, 0, 4.0)])).collect()

@@ -511,7 +511,13 @@ def grid_gapfill(events: DataFrame,
 
     Output: series_cols…, bucket_ts, n_samples (0 on gap rows),
     sum_value (double, NULL on gap rows), locf_value (double),
-    is_gap (int).
+    interp_value (double — LINEAR interpolation between the surrounding
+    observed buckets, the north-star's second gap-fill mode; every gap is
+    interior because the grid spans the observed range, and the
+    interpolation clears to ONE double division of exact int64s on the
+    BUCKET-INDEX axis — pc·m + (nc−pc)·k over m·100, magnitudes bounded
+    by cents × retention-bounded gap length, never near the 2^53
+    conversion edge the time_weighted_avg note documents), is_gap (int).
     """
     step = {"minute": "interval 1 minute", "hour": "interval 1 hour",
             "day": "interval 1 day"}.get(bucket)
@@ -530,9 +536,8 @@ def grid_gapfill(events: DataFrame,
                 .agg(F.count("*").cast("long").alias("n_samples"),
                      (F.sum("_c").cast("double") / F.lit(100.0))
                      .alias("sum_value"),
-                     (F.max(F.when(F.col("_rn") == 1, F.col("_c")))
-                      .cast("double") / F.lit(100.0))
-                     .alias("_last_in_bucket")))
+                     F.max(F.when(F.col("_rn") == 1, F.col("_c")))
+                     .cast("long").alias("_last_cents")))
     span = (observed.groupBy(*scols)
             .agg(F.min("bucket_ts").alias("_mn"),
                  F.max("bucket_ts").alias("_mx")))
@@ -541,15 +546,35 @@ def grid_gapfill(events: DataFrame,
         F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step)))
         .alias("bucket_ts"))
     j = grid.join(observed, scols + ["bucket_ts"], "left")
-    locf = F.last("_last_in_bucket", ignorenulls=True).over(
-        Window.partitionBy(*scols).orderBy("bucket_ts")
-        .rowsBetween(Window.unboundedPreceding, 0))
+    wseq = Window.partitionBy(*scols).orderBy("bucket_ts")
+    wpast = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    wfut = wseq.rowsBetween(0, Window.unboundedFollowing)
+    locf = (F.last("_last_cents", ignorenulls=True).over(wpast)
+            .cast("double") / F.lit(100.0))
+    # linear interpolation on the bucket-INDEX axis: anchor cents and
+    # indices of the surrounding observed buckets carried by the same
+    # two windows LOCF uses (observed rows interpolate to themselves)
+    idx = F.row_number().over(wseq)
+    oc = F.col("_last_cents")  # exact cents, carried from the agg
+    j = (j.withColumn("_i", idx)
+         .withColumn("_oi", F.when(F.col("n_samples").isNotNull(),
+                                   F.col("_i"))))
+    pc = F.last(oc, ignorenulls=True).over(wpast)
+    pi = F.last("_oi", ignorenulls=True).over(wpast)
+    nc = F.first(oc, ignorenulls=True).over(wfut)
+    ni = F.first("_oi", ignorenulls=True).over(wfut)
+    m = (ni - pi).cast("long")
+    k = (F.col("_i") - pi).cast("long")
+    interp = F.when(m == 0, pc.cast("double") / F.lit(100.0)).otherwise(
+        (pc * m + (nc - pc) * k).cast("double")
+        / (m * 100).cast("double"))
     return (j.select(
         *scols, "bucket_ts",
         F.coalesce(F.col("n_samples"), F.lit(0)).cast("long")
         .alias("n_samples"),
         "sum_value",
         locf.alias("locf_value"),
+        interp.alias("interp_value"),
         F.when(F.col("n_samples").isNull(), 1).otherwise(0)
         .cast("int").alias("is_gap")))
 
