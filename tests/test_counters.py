@@ -240,6 +240,35 @@ class TestChangepointCusum:
         stat, tau, left = self._brute([round(x * 100) for x in xs])
         assert (r.stat, r.tau, r.left_cents) == (float(stat), tau, left)
 
+    def test_thirty_random_series_all_match_reference(self, spark):
+        """One job, 30 random series of varying length/scale — every
+        (stat, tau, left_cents) must equal the Python-int reference,
+        including negative values and constant (all-tie) series."""
+        from tsrollup.counters import changepoint_cusum
+        import random
+
+        rng = random.Random(99)
+        rows, want = [], {}
+        eid = 0
+        for s in range(30):
+            n = rng.randint(2, 60)
+            if s % 7 == 0:
+                xs = [42.0] * n  # constant: stat 0, tau 1
+            else:
+                xs = [round(rng.uniform(-500, 500), 2) for _ in range(n)]
+            for i, x in enumerate(xs):
+                rows.append((s, "a", eid, T0 + dt.timedelta(seconds=i * 9),
+                             float(x)))
+                eid += 1
+            want[s] = self._brute([round(x * 100) for x in xs])
+        got = {r.user_id: r for r in
+               changepoint_cusum(_events(spark, rows)).collect()}
+        assert len(got) == 30
+        for s, (stat, tau, left) in want.items():
+            r = got[s]
+            assert (r.stat, r.tau, r.left_cents) == (float(stat), tau,
+                                                     left), s
+
     def test_constant_series_ties_to_smallest_tau(self, spark):
         from tsrollup.counters import changepoint_cusum
         df = _events(spark, [_row(1, "a", i, i * 60, 42.0)
