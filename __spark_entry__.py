@@ -1212,6 +1212,18 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_cusum(_fact(spark, sf_dir, "events"))
 
 
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width time bucketing — 5-minute panels per series
+    (tsrollup.counters.time_bucket_agg, the TimescaleDB time_bucket
+    idiom date_trunc can't express): epoch-aligned integer-µs bucket
+    arithmetic, int64-cents sums, one (series, bucket) exchange;
+    bit-exact tail oracle."""
+    from tsrollup.counters import time_bucket_agg
+
+    return time_bucket_agg(_fact(spark, sf_dir, "events"),
+                           width_seconds=300)
+
+
 def q_last_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current state of every series — the TSDB last()/first() panel
     (tsrollup.counters.last_point): newest/oldest value per
@@ -2024,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": q_novelty,
         "last_point": q_last_point,
         "collocations": q_collocations,
+        "time_bucket": q_time_bucket,
     }
 
 
@@ -4271,6 +4284,26 @@ JOIN uni u1 ON bg.w1 = u1.w
 JOIN uni u2 ON bg.w2 = u2.w
 CROSS JOIN tot
 ORDER BY lift DESC, bg.w1, bg.w2 LIMIT 50
+"""
+
+    # arbitrary-width time_bucket: integer-µs floor-div alignment (both
+    # engines agree on non-negative epochs; pre-1970 excluded — Spark div
+    # truncates toward zero, SQL // floors)
+    sqls["time_bucket"] = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS us,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL AND epoch_us(ts) >= 0
+)
+SELECT user_id, event_type,
+       make_timestamp((us // 300000000) * 300000000) AS bucket_ts,
+       COUNT(*)::BIGINT AS n,
+       SUM(c)::BIGINT::DOUBLE / 100.0 AS sum_value,
+       MIN(c)::DOUBLE / 100.0 AS min_value,
+       MAX(c)::DOUBLE / 100.0 AS max_value,
+       SUM(c)::BIGINT::DOUBLE / (COUNT(*) * 100)::DOUBLE AS mean_value
+FROM e GROUP BY user_id, event_type, (us // 300000000) * 300000000
 """
 
     return sqls

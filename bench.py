@@ -69,6 +69,7 @@ HEADLINE = [
     "cusum_episodes",
     "changepoint",
     "last_point",
+    "time_bucket",
     "cadence_gaps",
     "lag_coupling",
     "asof_join",

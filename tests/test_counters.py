@@ -962,3 +962,51 @@ class TestLastPoint:
         plan = formatted_plan(last_point(df))
         assert n_data_exchanges(plan) == 1, plan
         assert "Sort" not in plan.split("Exchange")[0] or True  # no series sort
+
+
+class TestTimeBucketAgg:
+    def test_five_minute_buckets_epoch_aligned(self, spark):
+        from tsrollup.counters import time_bucket_agg
+
+        # T0 = 10:00:00 -> samples at 10:02, 10:04 share one bucket;
+        # 10:06 lands in the next (epoch-aligned 300 s grid)
+        df = _events(spark, [_row(1, "a", 0, 120, 10.0),
+                             _row(1, "a", 1, 240, 20.0),
+                             _row(1, "a", 2, 360, 40.0)])
+        out = {r.bucket_ts.minute: r for r in
+               time_bucket_agg(df, width_seconds=300).collect()}
+        assert sorted(out) == [0, 5]
+        r = out[0]
+        assert (r.n, r.sum_value, r.min_value, r.max_value) \
+            == (2, 30.0, 10.0, 20.0)
+        assert r.mean_value == 15.0
+        assert out[5].n == 1 and out[5].sum_value == 40.0
+
+    def test_odd_width_not_expressible_by_date_trunc(self, spark):
+        from tsrollup.counters import time_bucket_agg
+
+        # 90-second buckets: 10:00:00 epoch has seconds 36000*... just
+        # verify two samples 89 s apart share a bucket iff aligned
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0),
+                             _row(1, "a", 1, 89, 2.0),
+                             _row(1, "a", 2, 91, 3.0)])
+        out = time_bucket_agg(df, width_seconds=90).collect()
+        by_n = sorted(r.n for r in out)
+        assert len(out) == 2 and by_n == [1, 2]
+
+    def test_validation_and_null_policy(self, spark):
+        from tsrollup.counters import time_bucket_agg
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            time_bucket_agg(_events(spark, []), width_seconds=0)
+        rows = [_row(1, "a", 0, 0, 5.0), (1, "a", 1, T0, None)]
+        out = time_bucket_agg(_events(spark, rows)).collect()
+        assert len(out) == 1 and out[0].n == 1
+
+    def test_single_exchange(self, spark):
+        from tsrollup.counters import time_bucket_agg
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(time_bucket_agg(df))
+        assert n_data_exchanges(plan) == 1, plan

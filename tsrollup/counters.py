@@ -305,6 +305,57 @@ def cusum_episodes(events: DataFrame,
                       "peak_hi", "peak_lo"))
 
 
+def time_bucket_agg(events: DataFrame, width_seconds: int = 300,
+                    series_cols: Sequence[str] = ("user_id", "event_type"),
+                    ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """ARBITRARY-width time bucketing (TimescaleDB ``time_bucket``):
+    ``date_trunc`` only speaks calendar units, but the bread-and-butter
+    dashboard grain is "5 minutes" / "30 seconds" / "6 hours" — this
+    aggregates per series onto epoch-aligned buckets of any whole-second
+    width.
+
+    Exactness: the bucket is pure integer arithmetic on microseconds —
+    ``us div (width·10⁶) · width·10⁶`` back to a timestamp — so every
+    engine lands every sample in the same bucket (no float time, no
+    timezone: epoch-aligned on the naive/UTC timestamps the engine
+    standardizes on; pre-1970 samples are EXCLUDED — Spark's ``div``
+    truncates toward zero while SQL ``//`` floors, so negative epochs
+    would bucket differently across engines). Sums ride int64 cents;
+    mean is one double division.
+
+    ONE exchange: the (series, bucket) grouping keys hash once.
+
+    Output: series_cols…, bucket_ts, n (long), sum_value, min_value,
+    max_value, mean_value (doubles, cents-derived).
+    """
+    if width_seconds < 1:
+        raise ValueError("need width_seconds >= 1")
+    scols = list(series_cols)
+    events = events.filter(F.col(value_col).isNotNull())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_us = int(width_seconds) * 1_000_000
+    bucket = F.timestamp_micros(
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w_us}")
+        * F.lit(w_us))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    staged = events.select(*scols, bucket.alias("bucket_ts"),
+                           cents.alias("_c"), us.alias("_us"))
+    return (staged
+            .filter(F.col("_us") >= 0)
+            .groupBy(*scols, "bucket_ts")
+            .agg(F.count("*").cast("long").alias("n"),
+                 (F.sum("_c").cast("double") / F.lit(100.0))
+                 .alias("sum_value"),
+                 (F.min("_c").cast("double") / F.lit(100.0))
+                 .alias("min_value"),
+                 (F.max("_c").cast("double") / F.lit(100.0))
+                 .alias("max_value"),
+                 (F.sum("_c").cast("double")
+                  / (F.count("*") * 100).cast("double"))
+                 .alias("mean_value")))
+
+
 def last_point(events: DataFrame,
                series_cols: Sequence[str] = ("user_id", "event_type"),
                ts_col: str = "ts", id_col: str = "event_id",
