@@ -1212,6 +1212,18 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_cusum(_fact(spark, sf_dir, "events"))
 
 
+def q_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-(user, hour) feature table across four event types
+    (tsrollup.counters.feature_table): the model-input alignment op —
+    conditional aggregation (the portable pivot), explicit type list so
+    the schema is deterministic, int64-cents sums, absent types are
+    0-count/NULL-sum; ONE exchange. Bit-exact tail oracle."""
+    from tsrollup.counters import feature_table
+
+    return feature_table(_fact(spark, sf_dir, "events"),
+                         types=("click", "view", "purchase", "error"))
+
+
 def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-width time bucketing — 5-minute panels per series
     (tsrollup.counters.time_bucket_agg, the TimescaleDB time_bucket
@@ -2037,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_point": q_last_point,
         "collocations": q_collocations,
         "time_bucket": q_time_bucket,
+        "feature_table": q_feature_table,
     }
 
 
@@ -4304,6 +4317,26 @@ SELECT user_id, event_type,
        MAX(c)::DOUBLE / 100.0 AS max_value,
        SUM(c)::BIGINT::DOUBLE / (COUNT(*) * 100)::DOUBLE AS mean_value
 FROM e GROUP BY user_id, event_type, (us // 300000000) * 300000000
+"""
+
+    # wide feature table: conditional aggregation (the portable pivot)
+    ft_cols = []
+    for t in ("click", "view", "purchase", "error"):
+        ft_cols.append(
+            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_{t}")
+        ft_cols.append(
+            f"SUM(CASE WHEN event_type = '{t}' THEN c END)"
+            f"::BIGINT::DOUBLE / 100.0 AS sum_{t}")
+    sqls["feature_table"] = f"""
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, event_type,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, bucket_ts, COUNT(*)::BIGINT AS n_total,
+       {", ".join(ft_cols)}
+FROM e GROUP BY user_id, bucket_ts
 """
 
     return sqls

@@ -70,6 +70,7 @@ HEADLINE = [
     "changepoint",
     "last_point",
     "time_bucket",
+    "feature_table",
     "cadence_gaps",
     "lag_coupling",
     "asof_join",

@@ -1010,3 +1010,38 @@ class TestTimeBucketAgg:
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         plan = formatted_plan(time_bucket_agg(df))
         assert n_data_exchanges(plan) == 1, plan
+
+
+class TestFeatureTable:
+    def test_wide_alignment_and_absence_semantics(self, spark):
+        from tsrollup.counters import feature_table
+
+        rows = [(1, "click", 0, T0, 2.0), (1, "click", 1, T0, 3.0),
+                (1, "view", 2, T0, 7.0),
+                (1, "signup", 3, T0, 1.0)]  # unlisted type: n_total only
+        df = _events(spark, rows)
+        r = feature_table(df, types=("click", "view", "purchase")) \
+            .collect()[0]
+        assert r.n_total == 4
+        assert (r.n_click, r.sum_click) == (2, 5.0)
+        assert (r.n_view, r.sum_view) == (1, 7.0)
+        assert r.n_purchase == 0 and r.sum_purchase is None  # absence
+
+    def test_validation(self, spark):
+        from tsrollup.counters import feature_table
+        import pytest as _pytest
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        with _pytest.raises(ValueError):
+            feature_table(df, types=())
+        with _pytest.raises(ValueError):
+            feature_table(df, types=("a", "a"))
+        with _pytest.raises(ValueError):
+            feature_table(df, bucket="week")
+
+    def test_single_exchange(self, spark):
+        from tsrollup.counters import feature_table
+
+        df = _events(spark, [_row(1, "click", 0, 0, 1.0)])
+        plan = formatted_plan(feature_table(df))
+        assert n_data_exchanges(plan) == 1, plan

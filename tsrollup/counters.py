@@ -356,6 +356,51 @@ def time_bucket_agg(events: DataFrame, width_seconds: int = 300,
                  .alias("mean_value")))
 
 
+def feature_table(events: DataFrame,
+                  types: Sequence[str] = ("click", "view", "purchase"),
+                  series_cols: Sequence[str] = ("user_id",),
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  value_col: str = "value",
+                  bucket: str = "hour") -> DataFrame:
+    """WIDE feature table: every metric of a series aligned onto one time
+    grid — the model-input join (one row per (series, bucket), one
+    ``sum_<type>``/``n_<type>`` column pair per event type) that
+    downstream training pipelines consume, instead of N self-joins of the
+    long-format table.
+
+    ``types`` is EXPLICIT so the schema is deterministic (a
+    data-dependent ``pivot`` makes the schema a function of the input —
+    un-oracle-able, and illegal on a stream); unlisted types are
+    excluded. Implemented as conditional aggregation (the portable pivot
+    form every SQL engine shares), sums in int64 cents converted once;
+    a type absent from a bucket yields 0 count and NULL sum — absence,
+    not a fake 0.0 value. ONE exchange: the (series, bucket) grouping.
+
+    Output: series_cols…, bucket_ts, n_total, then per type t:
+    n_<t> (long), sum_<t> (double, NULL when absent).
+    """
+    if not types:
+        raise ValueError("need at least one type")
+    if len(set(types)) != len(list(types)):
+        raise ValueError("duplicate entries in types")
+    if bucket not in ("minute", "hour", "day"):
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    scols = list(series_cols)
+    events = events.filter(F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    staged = events.select(
+        *scols, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        F.col(type_col).alias("_t"), cents.alias("_c"))
+    aggs = [F.count("*").cast("long").alias("n_total")]
+    for t in types:
+        hit = F.col("_t") == t
+        aggs.append(F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+                    .alias(f"n_{t}"))
+        aggs.append((F.sum(F.when(hit, F.col("_c"))).cast("double")
+                     / F.lit(100.0)).alias(f"sum_{t}"))
+    return staged.groupBy(*scols, "bucket_ts").agg(*aggs)
+
+
 def last_point(events: DataFrame,
                series_cols: Sequence[str] = ("user_id", "event_type"),
                ts_col: str = "ts", id_col: str = "event_id",
