@@ -619,3 +619,36 @@ class TestAsOfEpoch:
         refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
         with pytest.raises(ValueError):
             read_incremental(spark, root, as_of_epoch=-1)
+
+
+class TestRefreshLag:
+    def test_reports_backlog_then_caught_up(self, spark, tmp_path, corpus):
+        from tsrollup.checkpoint import refresh_lag
+
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")
+        _write_first_n(spark, corpus, inp, 40)
+        refresh_incremental(spark, inp, root, epoch=0, tiers=TIERS)
+        # 20 more docs arrive but no refresh yet: lag must report them
+        _write_first_n(spark, corpus, inp, 60)
+        lag = refresh_lag(spark, inp, root).toPandas()
+        assert int(lag["pending_docs"].sum()) == 20
+        assert (lag["input_max_seq"] >= lag["watermark_seq"]).all()
+        behind = lag[lag.pending_docs > 0]
+        assert (behind["caught_up"] == 0).all()
+        # after the refresh the debt is zero everywhere
+        refresh_incremental(spark, inp, root, epoch=1, tiers=TIERS)
+        lag2 = refresh_lag(spark, inp, root).toPandas()
+        assert int(lag2["pending_docs"].sum()) == 0
+        assert (lag2["caught_up"] == 1).all()
+
+    def test_never_refreshed_store_reports_full_backlog(self, spark,
+                                                        tmp_path, corpus):
+        from tsrollup.checkpoint import refresh_lag
+
+        inp = str(tmp_path / "inp")
+        root = str(tmp_path / "store")  # store dir never created
+        _write_first_n(spark, corpus, inp, 40)
+        lag = refresh_lag(spark, inp, root).toPandas()
+        assert (lag["watermark_seq"] == -1).all()
+        assert int(lag["pending_docs"].sum()) == 40

@@ -231,6 +231,39 @@ def _watermark_threshold(wm: dict[str, int]) -> Column:
                       F.lit(-1))
 
 
+def refresh_lag(spark: SparkSession, input_path: str,
+                output_root: str) -> DataFrame:
+    """Per-source refresh LAG report — the staleness monitor an on-call
+    pages on before anyone trusts a continuous aggregate: for every
+    source in the raw input, the committed watermark, the input's actual
+    high seq, and how many docs are waiting for the next
+    :func:`refresh_incremental` (``read_realtime`` serves them fresh
+    meanwhile; this reports the store's debt).
+
+    Sources absent from the store report watermark −1 and a full backlog
+    (exactly the delta semantics refresh uses — `_watermark_threshold`'s
+    unseen-source default, so the report can never disagree with what a
+    refresh would actually roll). One aggregation over the raw scan;
+    the watermark side is the tiny committed dict, joined as a literal
+    map, never a shuffle.
+
+    Output: source, watermark_seq (long, −1 if never refreshed),
+    input_max_seq (long), pending_docs (long), caught_up (int).
+    """
+    wm = read_watermarks(spark, output_root)
+    thr = _watermark_threshold(wm)
+    raw = spark.read.parquet(input_path).withColumn("_s", doc_seq())
+    return (raw
+            .withColumn("_wm", thr.cast("long"))
+            .groupBy("source")
+            .agg(F.max("_wm").alias("watermark_seq"),
+                 F.max("_s").cast("long").alias("input_max_seq"),
+                 F.sum(F.when(F.col("_s") > F.col("_wm"), 1).otherwise(0))
+                 .cast("long").alias("pending_docs"))
+            .withColumn("caught_up",
+                        (F.col("pending_docs") == 0).cast("int")))
+
+
 def refresh_incremental(spark: SparkSession, input_path: str,
                         output_root: str, epoch: int,
                         run_id: str = "refresh-0",
