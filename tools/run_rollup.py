@@ -57,6 +57,10 @@ def main() -> int:
                     "the stored per-source watermarks, committed as this "
                     "epoch (idempotent per epoch; incompatible with the "
                     "bucket sharding flags)")
+    ap.add_argument("--lag", action="store_true",
+                    help="report per-source refresh lag (committed "
+                    "watermark vs input high seq + pending docs) and exit "
+                    "— the staleness check an orchestrator gates on")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -93,6 +97,19 @@ def main() -> int:
               file=sys.stderr)
         spark.stop()
         return 2
+    if args.lag:
+        from tsrollup.checkpoint import refresh_lag
+
+        rows = refresh_lag(spark, args.input, args.output) \
+            .orderBy("source").collect()
+        for r in rows:
+            print(f"{r.source}: watermark={r.watermark_seq} "
+                  f"input_max={r.input_max_seq} "
+                  f"pending={r.pending_docs} caught_up={r.caught_up}")
+        behind = sum(int(r.pending_docs) for r in rows)
+        print(f"total pending: {behind}")
+        spark.stop()
+        return 0 if behind == 0 else 1
     if args.refresh is not None:
         if args.bucket_lo is not None or args.max_buckets is not None:
             print("ERROR: --refresh is incompatible with the bucket "
