@@ -4213,14 +4213,14 @@ FROM pick WHERE pk = 1
     # — the boundary test pins that session_window agrees)
     sqls["session_windows"] = """
 WITH b AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS newsess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
   FROM b
 )

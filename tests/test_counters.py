@@ -961,7 +961,12 @@ class TestLastPoint:
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         plan = formatted_plan(last_point(df))
         assert n_data_exchanges(plan) == 1, plan
-        assert "Sort" not in plan.split("Exchange")[0] or True  # no series sort
+        # struct extremes plan as SortAggregate (no hash-agg buffer for
+        # structs) — the scalable property is partial + final around ONE
+        # exchange, i.e. map-side combine before any shuffle
+        # tree section lists "SortAggregate (<id>)" once per node:
+        # exactly two nodes = partial + final
+        assert plan.count("SortAggregate (") == 2, plan
 
 
 class TestTimeBucketAgg:

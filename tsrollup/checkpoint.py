@@ -252,7 +252,10 @@ def refresh_lag(spark: SparkSession, input_path: str,
     """
     wm = read_watermarks(spark, output_root)
     thr = _watermark_threshold(wm)
-    raw = spark.read.parquet(input_path).withColumn("_s", doc_seq())
+    # read_table, not read.parquet: the input resolves through the same
+    # format boundary refresh_incremental uses, so the report holds on
+    # Iceberg deployments too (review finding)
+    raw = read_table(spark, input_path).withColumn("_s", doc_seq())
     return (raw
             .withColumn("_wm", thr.cast("long"))
             .groupBy("source")

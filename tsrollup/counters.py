@@ -408,8 +408,11 @@ def last_point(events: DataFrame,
     """The TSDB ``last()``/``first()`` idiom: per series, the newest and
     oldest observed values with their timestamps — the "current state of
     every series" panel every monitoring read path serves, answered by
-    ONE partial-aggregating pass (max_by/min_by over a (ts, id) ordering
-    struct), never a per-series sort.
+    ONE mergeable partial-aggregating pass over (ts, id, payload) struct
+    extremes. Struct min/max has no hash-agg buffer, so Spark plans it as
+    SortAggregate — a within-partition sort by the GROUP keys with
+    map-side partials before the single exchange (plan-pinned), never a
+    per-series raw shuffle-and-sort.
 
     NULL values are no observations (engine-wide policy): the last POINT
     is the last sample that carried a value. Ties on ts break by id via

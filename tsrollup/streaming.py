@@ -234,48 +234,6 @@ def stream_minute_rollup(events: DataFrame, watermark: str = "10 minutes",
                     "count", "sum", "min", "max"))
 
 
-def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
-                      watermark: str = "1 hour") -> DataFrame:
-    """Streaming gap-based sessionization with Spark's NATIVE session
-    windows — the streaming twin of ``segments.sessionize`` (same 30-min
-    gap rule the batch oracle pins). ``session_window`` merges events whose
-    event-time gap is below ``gap_minutes`` into one growing window and the
-    state store handles merges/expiry; a session EMITS (append mode) once
-    the watermark passes its close — i.e. after ``gap_minutes + watermark
-    delay`` of event-time silence. No custom state code: the operator is a
-    groupBy on ``F.session_window``, so Catalyst picks the streaming
-    session-aggregation physical plan and the state-store format stays
-    upgrade-compatible (vs hand-rolled applyInPandasWithState state).
-
-    Emitted rows carry the same aggregate surface the batch operator
-    produces (n_events, start/end, duration_us, decimal-exact sum_value);
-    parity for watermark-closed sessions is pytest-verified against
-    ``segments.sessionize`` on the same data (start/end/duration are
-    bit-equal; the session boundary rule is identical: gap STRICTLY
-    greater than ``gap_minutes`` splits — session_window treats a gap of
-    exactly ``gap_minutes`` as same-session, matching the batch rule).
-
-    Works identically in batch mode (session_window is a plain
-    aggregation there) — the parity test exploits that.
-    """
-    if gap_minutes < 1:
-        raise ValueError("gap_minutes must be >= 1")
-    sw = F.session_window("ts", f"{gap_minutes} minutes").alias("w")
-    # withWatermark is a no-op on a batch frame → one code path, batch twin
-    return (events.withWatermark("ts", watermark)
-            .groupBy("user_id", sw)
-            .agg(F.count("*").cast("long").alias("n_events"),
-                 F.min("ts").alias("start_ts"),
-                 F.max("ts").alias("end_ts"),
-                 F.sum(F.col("value").cast("decimal(18,2)"))
-                  .cast("double").alias("sum_value"))
-            .select("user_id", "n_events", "start_ts", "end_ts",
-                    (F.unix_micros(F.col("end_ts"))
-                     - F.unix_micros(F.col("start_ts")))
-                    .cast("long").alias("duration_us"),
-                    "sum_value"))
-
-
 def reaggregate_time_tier(points: DataFrame,
                           tier: str = "hour") -> DataFrame:
     """Batch maintenance over the STREAMED minute tier: re-aggregate the
@@ -326,7 +284,13 @@ def stream_dedup(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
 
     Works on a batch frame too (plain ``dropDuplicates`` — the horizon is
     irrelevant when the whole input is visible), so batch/stream parity
-    is directly testable on the same data.
+    is directly testable on the same data. Parity caveat: when
+    redeliveries are byte-identical to the original (the at-least-once
+    contract this operator targets), WHICH duplicate survives is
+    immaterial and batch == stream; if a "redelivery" carries a DIFFERENT
+    payload under the same key, the stream keeps the first ARRIVAL while
+    batch keeps an arbitrary row — that is payload mutation, not
+    redelivery, and needs a versioned upsert, not a dedup.
     """
     if not events.isStreaming:
         return events.dropDuplicates(list(keys))
@@ -343,10 +307,15 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
     row per (user, session), where a session extends while events keep
     arriving within ``gap_minutes`` of the previous one. On a stream the
     engine merges/extends sessions in the state store and emits each one
-    when the event-time watermark passes its close (state bounded by
-    OPEN sessions × keys, not stream lifetime); on a batch frame the
-    identical expression runs as a plain aggregation, so batch/stream
-    parity is directly testable on the same input.
+    (append mode) once the event-time watermark passes its close — i.e.
+    after ``gap_minutes + watermark delay`` of event-time silence; state
+    is bounded by OPEN sessions × keys, not stream lifetime, and because
+    the operator is a plain groupBy on ``F.session_window`` Catalyst
+    picks the native streaming session-aggregation plan (state-store
+    format upgrade-compatible, unlike hand-rolled
+    applyInPandasWithState state). On a batch frame the identical
+    expression runs as a plain aggregation, so batch/stream parity is
+    directly testable on the same input.
 
     Boundary semantics (pinned by test): an event at exactly
     last_event + gap still MERGES into the session — "new session when
