@@ -1250,6 +1250,39 @@ def q_last_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_point(_fact(spark, sf_dir, "events"))
 
 
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick continuous aggregate (tsrollup.states.ohlc): per
+    event_type × hour, open/close by (ts, id) struct extremes — the
+    last_point tie-break contract per bucket — plus high/low/volume in
+    int64 cents. One groupBy exchange; at 100 TB this IS the 1h-tier
+    rollup shape for the ops dashboard."""
+    from tsrollup.states import ohlc
+
+    return ohlc(_fact(spark, sf_dir, "events"))
+
+
+def q_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state under LOCF (tsrollup.states.state_agg): each user's
+    event_type holds until their next event; exact integer-µs durations,
+    entry counts, and share-of-observed-time per (user, state). Series
+    window + grouping + share window ride ONE hash-partitioning on
+    user_id."""
+    from tsrollup.states import state_agg
+
+    return state_agg(_fact(spark, sf_dir, "events"))
+
+
+def q_heartbeat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liveness panel (tsrollup.states.heartbeat_agg): treat each user's
+    events as heartbeats with a 10-minute liveness window — exact µs
+    live/dead time over the observed span, outage count, longest
+    silence. One exchange on the series key."""
+    from tsrollup.states import heartbeat_agg
+
+    return heartbeat_agg(_fact(spark, sf_dir, "events"),
+                         interval_seconds=600)
+
+
 def q_wfdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WFDB format-212 codec (tsrollup/wfdb.py, ≙ reference wfdb.rdrecord
     ingestion, data.py:138) exercised distributed with an exact oracle:
@@ -2050,6 +2083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "time_bucket": q_time_bucket,
         "feature_table": q_feature_table,
+        "ohlc": q_ohlc,
+        "state_agg": q_state_agg,
+        "heartbeat_agg": q_heartbeat_agg,
     }
 
 
@@ -4269,6 +4305,77 @@ SELECT user_id, event_type, COUNT(*)::BIGINT AS n,
         - (min(struct_pack(t := ts, i := event_id, v := value, c := c))).c
        )::BIGINT AS delta_cents
 FROM e GROUP BY user_id, event_type
+"""
+
+    # candlestick: open/close via the same struct-extreme tie-break as
+    # last_point, per (event_type, hour) bucket; cents int64-exact
+    sqls["ohlc"] = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ts, event_id,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bucket_ts, COUNT(*)::BIGINT AS n,
+       ((min(struct_pack(t := ts, i := event_id, c := c))).c)::DOUBLE
+         / 100.0 AS open_value,
+       max(c)::DOUBLE / 100.0 AS high_value,
+       min(c)::DOUBLE / 100.0 AS low_value,
+       ((max(struct_pack(t := ts, i := event_id, c := c))).c)::DOUBLE
+         / 100.0 AS close_value,
+       sum(c)::BIGINT AS volume_cents
+FROM e GROUP BY event_type, bucket_ts
+"""
+
+    # time-in-state, LOCF: state holds until the series' next sample;
+    # integer-µs durations, one exact int/int -> double share division
+    sqls["state_agg"] = """
+WITH e AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS us, event_id
+  FROM events WHERE event_type IS NOT NULL
+), w AS (
+  SELECT user_id, state,
+         COALESCE(lead(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) - us, 0) AS dur_us,
+         CASE WHEN lag(state) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id)
+                   IS DISTINCT FROM state THEN 1 ELSE 0 END AS entry
+  FROM e
+), a AS (
+  SELECT user_id, state, COUNT(*)::BIGINT AS n_samples,
+         SUM(entry)::BIGINT AS n_entries, SUM(dur_us)::BIGINT AS total_us
+  FROM w GROUP BY user_id, state
+)
+SELECT user_id, state, n_samples, n_entries, total_us,
+       total_us::DOUBLE
+         / NULLIF(SUM(total_us) OVER (PARTITION BY user_id), 0)::DOUBLE
+         AS frac_time
+FROM a
+"""
+
+    # heartbeat liveness: gaps capped at the 600 s window, exact µs sums
+    sqls["heartbeat_agg"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+), w AS (
+  SELECT user_id, us,
+         us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS gap_us
+  FROM e
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_heartbeats,
+       min(us)::BIGINT AS first_us, max(us)::BIGINT AS last_us,
+       (max(us) - min(us))::BIGINT AS span_us,
+       COALESCE(SUM(CASE WHEN gap_us IS NULL THEN NULL
+                          ELSE LEAST(gap_us, 600000000) END),
+                0)::BIGINT AS live_us,
+       ((max(us) - min(us))
+        - COALESCE(SUM(CASE WHEN gap_us IS NULL THEN NULL
+                            ELSE LEAST(gap_us, 600000000) END),
+                   0))::BIGINT AS dead_us,
+       COALESCE(SUM(CASE WHEN gap_us > 600000000 THEN 1 ELSE 0 END),
+                0)::BIGINT AS outages,
+       COALESCE(max(gap_us), 0)::BIGINT AS longest_gap_us
+FROM w GROUP BY user_id
 """
 
     # collocation mining: lift = n_bg·N/(n1·n2) in HUGEINT, one double

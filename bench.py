@@ -141,6 +141,9 @@ HEADLINE = [
     "heavy_ngrams",
     "histogram_quantile_hourly",
     "matrix_profile",
+    "ohlc",
+    "state_agg",
+    "heartbeat_agg",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",
