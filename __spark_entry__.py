@@ -1283,6 +1283,29 @@ def q_heartbeat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          interval_seconds=600)
 
 
+def q_bucketed_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-boundary time-weighted average
+    (tsrollup.counters.bucketed_twa): LOCF holding segments split
+    EXACTLY across the daily bucket grid — each bucket integrates only
+    the microseconds observed inside it (cents·µs int64-exact). One
+    exchange: explode + regroup ride the lead window's series
+    partitioning."""
+    from tsrollup.counters import bucketed_twa
+
+    return bucketed_twa(_fact(spark, sf_dir, "events"),
+                        bucket_seconds=86400)
+
+
+def q_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 labels per hour + __other__ (tsrollup.counters.topn_others):
+    map-side partials reduce to |buckets × labels| before the
+    deterministic (volume DESC, label) rank window; the collapse
+    re-group reuses the bucket partitioning."""
+    from tsrollup.counters import topn_others
+
+    return topn_others(_fact(spark, sf_dir, "events"), n=3)
+
+
 def q_wfdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WFDB format-212 codec (tsrollup/wfdb.py, ≙ reference wfdb.rdrecord
     ingestion, data.py:138) exercised distributed with an exact oracle:
@@ -2086,6 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": q_ohlc,
         "state_agg": q_state_agg,
         "heartbeat_agg": q_heartbeat_agg,
+        "bucketed_twa": q_bucketed_twa,
+        "topn_others": q_topn_others,
     }
 
 
@@ -4376,6 +4401,62 @@ SELECT user_id, COUNT(*)::BIGINT AS n_heartbeats,
                 0)::BIGINT AS outages,
        COALESCE(max(gap_us), 0)::BIGINT AS longest_gap_us
 FROM w GROUP BY user_id
+"""
+
+    # interpolated-boundary TWA: LOCF segments split exactly across the
+    # daily grid; cents·µs int64, one int/int double division
+    sqls["bucketed_twa"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
+), seg AS (
+  SELECT user_id, event_type, c, us AS us0,
+         lead(us) OVER (PARTITION BY user_id, event_type
+                        ORDER BY us, event_id) AS us1
+  FROM e
+), s AS (
+  SELECT * FROM seg WHERE us1 IS NOT NULL AND us1 > us0
+), x AS (
+  SELECT user_id, event_type, c, us0, us1,
+         unnest(range(us0 // 86400000000,
+                      (us1 - 1) // 86400000000 + 1)) AS b
+  FROM s
+), o AS (
+  SELECT user_id, event_type, b, c,
+         least(us1, (b + 1) * 86400000000)
+           - greatest(us0, b * 86400000000) AS len
+  FROM x
+)
+SELECT user_id, event_type,
+       make_timestamp(b * 86400000000) AS bucket_ts,
+       COUNT(*)::BIGINT AS n_slices,
+       SUM(len)::BIGINT AS held_us,
+       SUM(c * len)::BIGINT AS vw_cents_us,
+       SUM(c * len)::BIGINT::DOUBLE
+         / (SUM(len)::BIGINT * 100)::DOUBLE AS twa
+FROM o GROUP BY user_id, event_type, b
+"""
+
+    # top-3 + __other__: deterministic (volume DESC, label) row_number,
+    # partial-agg before the rank window
+    sqls["topn_others"] = """
+WITH per AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type AS lbl,
+         SUM((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS v,
+         COUNT(*)::BIGINT AS ns
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), r AS (
+  SELECT bucket_ts, v, ns,
+         CASE WHEN row_number() OVER (PARTITION BY bucket_ts
+                                      ORDER BY v DESC, lbl) <= 3
+              THEN lbl ELSE '__other__' END AS label
+  FROM per
+)
+SELECT bucket_ts, label, COUNT(*)::BIGINT AS n_series,
+       SUM(ns)::BIGINT AS n_samples, SUM(v)::BIGINT AS volume_cents
+FROM r GROUP BY bucket_ts, label
 """
 
     # collocation mining: lift = n_bg·N/(n1·n2) in HUGEINT, one double

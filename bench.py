@@ -144,6 +144,8 @@ HEADLINE = [
     "ohlc",
     "state_agg",
     "heartbeat_agg",
+    "bucketed_twa",
+    "topn_others",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

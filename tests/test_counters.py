@@ -1050,3 +1050,82 @@ class TestFeatureTable:
         df = _events(spark, [_row(1, "click", 0, 0, 1.0)])
         plan = formatted_plan(feature_table(df))
         assert n_data_exchanges(plan) == 1, plan
+
+
+class TestBucketedTwa:
+    def test_segment_splits_across_buckets(self, spark):
+        from tsrollup.counters import bucketed_twa
+
+        # value 10 held from t=30s for 60s with 60s buckets: 30s in
+        # bucket 0, 30s in bucket 1; then 20 held 30s in bucket 1
+        df = _events(spark, [_row(1, "a", 0, 30, 10.0),
+                             _row(1, "a", 1, 90, 20.0),
+                             _row(1, "a", 2, 120, 5.0)])
+        out = {r.bucket_ts.minute: r
+               for r in bucketed_twa(df, bucket_seconds=60).collect()}
+        assert out[0].held_us == 30_000_000 and out[0].twa == 10.0
+        b1 = out[1]
+        assert b1.held_us == 60_000_000 and b1.n_slices == 2
+        # 30s@10 + 30s@20 -> twa 15
+        assert b1.twa == 15.0
+        assert b1.vw_cents_us == 1000 * 30_000_000 + 2000 * 30_000_000
+
+    def test_long_gap_fills_intermediate_buckets(self, spark):
+        from tsrollup.counters import bucketed_twa
+
+        # one value held 5 full minutes: every intermediate bucket gets a
+        # full-width slice (the interpolated-boundary semantics)
+        df = _events(spark, [_row(1, "a", 0, 0, 7.0),
+                             _row(1, "a", 1, 300, 9.0)])
+        rows = bucketed_twa(df, bucket_seconds=60).collect()
+        assert len(rows) == 5
+        assert all(r.held_us == 60_000_000 and r.twa == 7.0 for r in rows)
+
+    def test_final_sample_holds_nothing(self, spark):
+        from tsrollup.counters import bucketed_twa
+
+        df = _events(spark, [_row(1, "a", 0, 0, 7.0)])
+        assert bucketed_twa(df, bucket_seconds=60).count() == 0
+
+    def test_one_exchange(self, spark):
+        from tsrollup.counters import bucketed_twa
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(bucketed_twa(df, bucket_seconds=60))
+        assert n_data_exchanges(plan) == 1
+
+
+class TestTopnOthers:
+    def test_collapses_tail_into_other(self, spark):
+        from tsrollup.counters import topn_others
+
+        rows = []
+        # five labels with distinct volumes in one hour
+        for i, (lbl, v) in enumerate([("a", 50), ("b", 40), ("c", 30),
+                                      ("d", 20), ("e", 10)]):
+            rows.append((1, lbl, i, T0, float(v)))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, event_id long, "
+                  "ts timestamp, value double")
+        got = {r.label: r for r in topn_others(df, n=3).collect()}
+        assert set(got) == {"a", "b", "c", "__other__"}
+        other = got["__other__"]
+        assert other.n_series == 2 and other.volume_cents == 3000
+        assert got["a"].n_series == 1 and got["a"].volume_cents == 5000
+
+    def test_tie_breaks_by_label(self, spark):
+        from tsrollup.counters import topn_others
+
+        # b and c tie on volume with n=1: b (label-asc) wins the slot
+        df = _events(spark, [_row(1, "c", 0, 0, 5.0),
+                             _row(1, "b", 1, 0, 5.0),
+                             _row(1, "a", 2, 0, 9.0)])
+        got = {r.label for r in topn_others(df, n=2).collect()}
+        assert got == {"a", "b", "__other__"}
+
+    def test_two_exchanges(self, spark):
+        from tsrollup.counters import topn_others
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        plan = formatted_plan(topn_others(df))
+        assert n_data_exchanges(plan) == 2

@@ -31,6 +31,11 @@ output bit:
   ladder (integer-exact crossing, one-division interpolation).
 - ``hampel_filter`` — rolling-median/MAD despiking on a ×2 integer scale
   (no float median anywhere).
+- ``bucketed_twa`` — time-weighted average with LOCF segments split
+  EXACTLY across the bucket grid (the interpolated-boundary twin of
+  ``time_weighted_avg``).
+- ``topn_others`` — per-bucket top-N labels with the tail collapsed into
+  one ``__other__`` row (fixed panel cardinality at any label count).
 
 The per-series operators pay ONE exchange: the window partitioning is a
 subset of every later grouping key, so Spark's EnsureRequirements reuses it.
@@ -1176,3 +1181,107 @@ def seasonal_baseline(events: DataFrame,
                         / F.col("n_samples").cast("double"))
             .select(*scols, "hod", "n_samples", "sum_cents", "mean_value",
                     "n_anom", "anom_rate"))
+
+
+def bucketed_twa(events: DataFrame,
+                 series_cols: Sequence[str] = ("user_id", "event_type"),
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 value_col: str = "value",
+                 bucket_seconds: int = 86400) -> DataFrame:
+    """Bucketed time-weighted average with EXACT boundary splitting (the
+    TimescaleDB interpolated-``time_weight`` idiom): where
+    ``time_weighted_avg`` attributes each LOCF holding segment wholly to
+    its left endpoint's bucket, this splits every segment across the
+    integer bucket grid it crosses, so each bucket's integral covers
+    precisely the microseconds observed inside it — the semantics a
+    continuous aggregate needs when segments are long relative to the
+    bucket (a value held 3 days must weight 3 daily buckets, not 1).
+
+    Per series ordered by (ts, id): segment ``[t_i, t_{i+1})`` holds
+    ``v_i``; it explodes into the buckets ``t_i div W .. (t_{i+1}-1)
+    div W`` (W = bucket_seconds in µs) and contributes
+    ``cents · overlap_µs`` to each. The series' final sample holds
+    nothing. Slices per segment = gap/W, bounded by the source's max
+    silence over the bucket width — the production lever is the bucket
+    width, same as TimescaleDB's. All sums are exact int64
+    (cents·µs per bucket ≤ 2e6·8.64e10 ≪ 2^63); twa is one IEEE
+    division of exactly-converted integers.
+
+    One exchange: the lead window hashes on the series; the exploded
+    (series, bucket) grouping is clustered by that same partitioning.
+
+    Output: series_cols…, bucket_ts (timestamp, grid-aligned),
+    n_slices (long), held_us (long), vw_cents_us (long), twa (double).
+    """
+    if bucket_seconds < 1:
+        raise ValueError("need bucket_seconds >= 1")
+    scols = list(series_cols)
+    w_us = int(bucket_seconds) * 1_000_000
+    events = events.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*scols).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    seg = (events
+           .select(*scols, us.alias("_us0"), F.lead(us).over(w).alias("_us1"),
+                   cents.alias("_c"))
+           .filter(F.col("_us1") > F.col("_us0")))  # drops last + zero-len
+    sliced = seg.select(
+        *scols, "_us0", "_us1", "_c",
+        F.explode(F.sequence(F.expr(f"_us0 div {w_us}"),
+                             F.expr(f"(_us1 - 1) div {w_us}"))).alias("_b"))
+    overlap = (F.least(F.col("_us1"), (F.col("_b") + 1) * w_us)
+               - F.greatest(F.col("_us0"), F.col("_b") * w_us))
+    staged = sliced.select(*scols, "_b", F.col("_c").alias("_c"),
+                           overlap.alias("_len"))
+    sum_len = F.sum("_len").cast("long")
+    sum_vw = F.sum(F.col("_c") * F.col("_len")).cast("long")
+    return (staged
+            .groupBy(*scols, "_b")
+            .agg(F.count("*").cast("long").alias("n_slices"),
+                 sum_len.alias("held_us"),
+                 sum_vw.alias("vw_cents_us"),
+                 (sum_vw.cast("double")
+                  / (sum_len * 100).cast("double")).alias("twa"))
+            .select(*scols,
+                    F.timestamp_micros(F.col("_b") * w_us).alias("bucket_ts"),
+                    "n_slices", "held_us", "vw_cents_us", "twa"))
+
+
+def topn_others(events: DataFrame, label_col: str = "event_type",
+                ts_col: str = "ts", value_col: str = "value",
+                bucket: str = "hour", n: int = 3) -> DataFrame:
+    """Top-N series per bucket with the tail collapsed into ``__other__``
+    (the Grafana/dashboard "top 3 + others" idiom): per
+    ``date_trunc(bucket)``, rank labels by volume and keep the top ``n``
+    as named rows; everything else folds into one ``__other__`` row so
+    the panel's cardinality is fixed no matter how many labels exist.
+
+    Rank is deterministic: row_number over (volume DESC, label ASC) —
+    a bare rank-by-volume is nondeterministic on ties. Two-phase at
+    scale: the first aggregation's map-side partials reduce the stream to
+    |buckets × labels| rows BEFORE the rank window, so the window and
+    the re-group never see raw events; the re-group rides the window's
+    bucket partitioning (no third exchange).
+
+    Output: bucket_ts, label (string), n_series (long, 1 for named rows),
+    n_samples (long), volume_cents (long).
+    """
+    if n < 1:
+        raise ValueError("need n >= 1")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    per = (events.filter(F.col(value_col).isNotNull())
+           .groupBy(F.date_trunc(bucket, ts_col).alias("bucket_ts"),
+                    F.col(label_col).alias("_lbl"))
+           .agg(F.sum(cents).cast("long").alias("_v"),
+                F.count("*").cast("long").alias("_ns")))
+    rk = F.row_number().over(
+        Window.partitionBy("bucket_ts").orderBy(F.desc("_v"), F.col("_lbl")))
+    ranked = per.select(
+        "bucket_ts", "_v", "_ns",
+        F.when(rk <= n, F.col("_lbl")).otherwise(F.lit("__other__"))
+        .alias("label"))
+    return (ranked
+            .groupBy("bucket_ts", "label")
+            .agg(F.count("*").cast("long").alias("n_series"),
+                 F.sum("_ns").cast("long").alias("n_samples"),
+                 F.sum("_v").cast("long").alias("volume_cents")))
