@@ -1471,6 +1471,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, k=10, dim=64, n_hint=n)
 
 
+def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening of the embedding corpus
+    (tsrollup.similarity.pca_fit/pca_project): exact distributed moments
+    (one tree-combined Arrow-partial pass, the MLlib-Gramian shape), a
+    d×d driver eigendecomposition (constant in corpus size), and one
+    (X−μ)Wᵀ BLAS matmul per batch for projection. Rows-only: eigh is
+    float-iterative (tolerance-grade, like the ANN recall family);
+    parity vs single-node NumPy and partitioning invariance are
+    pytest-pinned (test_similarity.TestPca). Emits the first four
+    whitened coordinates as a stable scalar schema."""
+    from tsrollup.similarity import pca_fit, pca_project
+
+    emb = _fact(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, dim=64, k=4, whiten=True)
+    out = pca_project(emb, model, out_col="_p")
+    return out.select(
+        "vec_id", "label",
+        *[F.element_at("_p", i + 1).alias(f"pc{i}") for i in range(4)])
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the fifth dedup family): SRP-LSH
     bucketed candidates → exact cosine ≥ τ edge list, no top-k cap. The
@@ -2111,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heartbeat_agg": q_heartbeat_agg,
         "bucketed_twa": q_bucketed_twa,
         "topn_others": q_topn_others,
+        # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
+        "pca_whiten": q_pca_whiten,
     }
 
 

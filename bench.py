@@ -146,6 +146,7 @@ HEADLINE = [
     "heartbeat_agg",
     "bucketed_twa",
     "topn_others",
+    "pca_whiten",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

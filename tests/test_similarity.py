@@ -285,3 +285,64 @@ def test_ivf_reuses_stored_centroids(spark, emb_df, tmp_path, monkeypatch):
         centroids=c2).toPandas()
     assert set(out["qid"]) == {0, 1}
     assert (out.groupby("qid")["rank"].max() == 3).all()
+
+
+class TestPca:
+    def _numpy_fit(self, X, k, whiten=True, eps=1e-9):
+        n = len(X)
+        mean = X.mean(axis=0)
+        cov = (X.T @ X) / n - np.outer(mean, mean)
+        w, v = np.linalg.eigh(cov)
+        idx = np.argsort(w)[::-1][:k]
+        eigvals = np.maximum(w[idx], 0.0)
+        comps = v[:, idx].T
+        flip = comps[np.arange(len(comps)),
+                     np.abs(comps).argmax(axis=1)] < 0
+        comps[flip] *= -1.0
+        if whiten:
+            comps = comps / np.sqrt(eigvals + eps)[:, None]
+        return mean, eigvals, comps
+
+    def test_fit_matches_single_node_numpy(self, spark, emb_df):
+        from tsrollup.similarity import pca_fit
+
+        model = pca_fit(emb_df, dim=DIM, k=4)
+        pdf = emb_df.toPandas()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mean, eigvals, comps = self._numpy_fit(X, k=4)
+        assert model["n"] == len(X)
+        np.testing.assert_allclose(model["mean"], mean, atol=1e-10)
+        np.testing.assert_allclose(model["eigvals"], eigvals, atol=1e-10)
+        np.testing.assert_allclose(model["components"], comps, atol=1e-8)
+
+    def test_partitioning_invariance(self, spark, emb_df):
+        from tsrollup.similarity import pca_fit
+
+        m1 = pca_fit(emb_df.repartition(1), dim=DIM, k=3)
+        m7 = pca_fit(emb_df.repartition(7), dim=DIM, k=3)
+        np.testing.assert_allclose(m1["components"], m7["components"],
+                                   atol=1e-9)
+
+    def test_whitened_projection_has_identity_covariance(self, spark,
+                                                         emb_df):
+        from tsrollup.similarity import pca_fit, pca_project
+
+        model = pca_fit(emb_df, dim=DIM, k=4, whiten=True)
+        out = pca_project(emb_df, model, out_col="proj").toPandas()
+        Y = np.stack(out["proj"].to_numpy())
+        cov = (Y.T @ Y) / len(Y) - np.outer(Y.mean(0), Y.mean(0))
+        np.testing.assert_allclose(cov, np.eye(4), atol=1e-5)
+
+    def test_sign_pin(self, spark, emb_df):
+        from tsrollup.similarity import pca_fit
+
+        model = pca_fit(emb_df, dim=DIM, k=4, whiten=False)
+        comps = model["components"]
+        picked = comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)]
+        assert (picked > 0).all()
+
+    def test_fit_rejects_tiny_corpus(self, spark, emb_df):
+        from tsrollup.similarity import pca_fit
+
+        with pytest.raises(ValueError):
+            pca_fit(emb_df.limit(1), dim=DIM, k=2)

@@ -450,3 +450,108 @@ def ivf_topk_for_queries(df: DataFrame, queries: DataFrame, k: int = 5,
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "id", "cos_sim", "rank"))
+
+
+# ------------------------------------------------------------- PCA ---------
+
+def pca_moments(df: DataFrame, vec_col: str = "embedding",
+                dim: int = 64, fan_in: int = 64) -> tuple[int, np.ndarray,
+                                                          np.ndarray]:
+    """Exact corpus moments for PCA — (n, Σx, Σxxᵀ) — via Arrow-batched
+    partials: one (n, sum[dim], outer[dim·dim]) row per batch, tree-combined
+    before the driver sees anything (mapInPandas partial → coalesce(fan_in)
+    → partition-sum → collect ≤ fan_in rows; the MLlib treeAggregate shape
+    for Gramians). Per-batch outer products are one BLAS ``XᵀX`` — no
+    per-row Python. At 10^12 rows the partial count is #batches, collapsed
+    by the combine level to ``fan_in`` rows regardless of input size; raise
+    the combine to two levels (coalesce(fan_in²) first) if #batches
+    overflows a single coalesce pass — the rows are 33 KB each.
+
+    Float addition order inside a batch is row-ordered; across batches the
+    combine order depends on partitioning, so moments are deterministic to
+    ~1e-12 relative, not bit-pinned (documented: PCA is the one
+    tolerance-grade operator family, like the ANN recall paths)."""
+    schema = "n long, s array<double>, o array<double>"
+
+    def partial(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[:, :dim]
+            yield pd.DataFrame({"n": [len(X)], "s": [X.sum(axis=0).tolist()],
+                                "o": [(X.T @ X).ravel().tolist()]})
+
+    partials = df.select(vec_col).mapInPandas(partial, schema)
+
+    def combine(it):
+        n, s, o = 0, np.zeros(dim), np.zeros(dim * dim)
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                n += int(r["n"])
+                s += np.asarray(r["s"])
+                o += np.asarray(r["o"])
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "o": [o.tolist()]})
+
+    rows = partials.coalesce(fan_in).mapInPandas(combine, schema).collect()
+    n = sum(int(r["n"]) for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    o = np.sum([np.asarray(r["o"]) for r in rows], axis=0).reshape(dim, dim)
+    return n, s, o
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+            k: int = 8, whiten: bool = True,
+            eps: float = 1e-9) -> dict:
+    """Fit a PCA(-whitening) model on an embedding column: exact
+    distributed moments (``pca_moments``), then a driver-side ``dim×dim``
+    eigendecomposition — the d² work is constant in corpus size, so the
+    only scale axis is the one moments pass.
+
+    Population covariance C = Σxxᵀ/n − μμᵀ; components are the top-k
+    eigenvectors (descending eigenvalue), each SIGN-PINNED so its
+    largest-|coordinate| entry is positive (eigh's sign is arbitrary;
+    unpinned components flip across BLAS builds). Whitening divides each
+    component by √(λ+eps) so projected coordinates have ~unit variance —
+    the standard preconditioner before k-means/IVF training
+    (train_ivf_centroids) and cosine bucketing.
+
+    Returns {"n", "mean" (dim,), "eigvals" (k,), "components" (k, dim)}.
+    """
+    n, s, o = pca_moments(df, vec_col, dim)
+    if n < 2:
+        raise ValueError("need >= 2 vectors to fit PCA")
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending
+    idx = np.argsort(w)[::-1][:k]
+    eigvals = np.maximum(w[idx], 0.0)
+    comps = v[:, idx].T                  # (k, dim)
+    flip = comps[np.arange(len(comps)),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    if whiten:
+        comps = comps / np.sqrt(eigvals + eps)[:, None]
+    return {"n": n, "mean": mean, "eigvals": eigvals, "components": comps}
+
+
+def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
+                out_col: str = "proj") -> DataFrame:
+    """Project an embedding column through a fitted PCA model — one
+    Arrow-batched pandas UDF doing a single ``(X−μ)Wᵀ`` BLAS matmul per
+    batch (the model rides the closure; Spark broadcasts it with the
+    serialized UDF). Adds ``out_col`` array<double> of length k."""
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    dim = mean.shape[0]
+
+    @pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)[:, :dim]
+        Y = (X - mean) @ comps.T
+        return pd.Series(list(Y))
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))
