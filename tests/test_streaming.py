@@ -783,3 +783,61 @@ def test_stream_interval_join_boundaries_inclusive(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sij(spark.range(1), spark.range(1), max_delay_minutes=0)
+
+
+def test_stream_ohlc_matches_batch_and_states(spark, tmp_path):
+    from tsrollup.states import ohlc
+    from tsrollup.streaming import stream_ohlc
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["click", "view", "error"], n),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 4 * 3600, n)), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    src = tmp_path / "events"
+    src.mkdir()
+    ev.to_parquet(src / "p0.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, ts timestamp, "
+                          "value double")
+                  .parquet(str(src)))
+        q = (stream_ohlc(stream).writeStream
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await_done(q)
+
+    run_once()
+    flush = pd.DataFrame({"event_id": [99999], "event_type": ["flush"],
+                          "ts": [pd.Timestamp("2026-01-03")],
+                          "value": [0.0]})
+    flush.to_parquet(src / "p1.parquet", coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+    run_once()
+
+    got = (spark.read.parquet(sink)
+           .filter("event_type <> 'flush'").toPandas())
+    batch = spark.read.parquet(str(src)).filter("event_type <> 'flush'")
+    want = stream_ohlc(batch).toPandas()   # watermark no-op on batch
+    key = ["event_type", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+    # cross-module semantic parity: window("1 hour").start aligns with
+    # states.ohlc's date_trunc('hour') buckets, so the streamed panel IS
+    # the batch continuous aggregate
+    via_states = (ohlc(batch)
+                  .withColumnRenamed("bucket_ts", "window_start")
+                  .toPandas()
+                  .sort_values(key).reset_index(drop=True)[want.columns])
+    pd.testing.assert_frame_equal(via_states, want)

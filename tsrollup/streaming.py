@@ -234,6 +234,48 @@ def stream_minute_rollup(events: DataFrame, watermark: str = "10 minutes",
                     "count", "sum", "min", "max"))
 
 
+def stream_ohlc(events: DataFrame, watermark: str = "10 minutes",
+                tier: str = "1 hour", label_col: str = "event_type",
+                ts_col: str = "ts", id_col: str = "event_id",
+                value_col: str = "value") -> DataFrame:
+    """Watermarked streaming candlesticks — the live twin of
+    ``states.ohlc``: per label × tumbling window, open/close via the same
+    lexicographic (ts, id, cents) struct extremes (struct MIN/MAX are
+    decomposable, so they fold incrementally in streaming state exactly
+    like count/sum), high/low/volume in int64 cents. Batch and stream
+    share this one expression set: ``withWatermark`` is a no-op on a
+    batch frame, so the same function IS the batch oracle
+    (test_streaming pins stream == batch == states.ohlc).
+
+    Output mirrors ``states.ohlc`` with ``window_start`` as the bucket.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    pt = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+                  cents.alias("c"))
+    # watermarks reject TIMESTAMP_NTZ (the parquet fixtures' type) — cast
+    # up-front so the operator accepts either flavor
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (events
+            .filter(F.col(value_col).isNotNull())
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, tier).alias("w"),
+                     F.col(label_col))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min(pt).alias("_o"), F.max(pt).alias("_c"),
+                 F.max(cents).alias("_hi"), F.min(cents).alias("_lo"),
+                 F.sum(cents).cast("long").alias("volume_cents"))
+            .select(label_col, F.col("w.start").alias("window_start"), "n",
+                    (F.col("_o.c").cast("double") / F.lit(100.0))
+                    .alias("open_value"),
+                    (F.col("_hi").cast("double") / F.lit(100.0))
+                    .alias("high_value"),
+                    (F.col("_lo").cast("double") / F.lit(100.0))
+                    .alias("low_value"),
+                    (F.col("_c.c").cast("double") / F.lit(100.0))
+                    .alias("close_value"),
+                    "volume_cents"))
+
+
 def reaggregate_time_tier(points: DataFrame,
                           tier: str = "hour") -> DataFrame:
     """Batch maintenance over the STREAMED minute tier: re-aggregate the
