@@ -4452,7 +4452,7 @@ FROM w GROUP BY user_id
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
          (value::DECIMAL(18,2) * 100)::BIGINT AS c
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND epoch_us(ts) >= 0
 ), seg AS (
   SELECT user_id, event_type, c, us AS us0,
          lead(us) OVER (PARTITION BY user_id, event_type
@@ -4488,7 +4488,7 @@ WITH per AS (
   SELECT date_trunc('hour', ts) AS bucket_ts, event_type AS lbl,
          SUM((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS v,
          COUNT(*)::BIGINT AS ns
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
   GROUP BY 1, 2
 ), r AS (
   SELECT bucket_ts, v, ns,

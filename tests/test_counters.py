@@ -1129,3 +1129,40 @@ class TestTopnOthers:
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         plan = formatted_plan(topn_others(df))
         assert n_data_exchanges(plan) == 2
+
+
+class TestReviewRegressionsR5b:
+    def test_bucketed_twa_drops_pre_epoch_samples(self, spark):
+        from tsrollup.counters import bucketed_twa
+
+        pre = dt.datetime(1969, 12, 31, 23, 0, 0)
+        df = spark.createDataFrame(
+            [(1, "a", 0, pre, 5.0),
+             (1, "a", 1, pre + dt.timedelta(minutes=30), 7.0),
+             (1, "a", 2, dt.datetime(1970, 1, 1, 0, 30), 9.0),
+             (1, "a", 3, dt.datetime(1970, 1, 1, 1, 30), 9.0)],
+            "user_id long, event_type string, event_id long, "
+            "ts timestamp, value double")
+        rows = bucketed_twa(df, bucket_seconds=3600).collect()
+        # pre-epoch samples are out of axis; the surviving segment is
+        # [00:30, 01:30) at 9.0 split over two hourly buckets
+        assert all(r.held_us >= 0 for r in rows)
+        assert sum(r.held_us for r in rows) == 3600_000_000
+        assert {r.twa for r in rows} == {9.0}
+
+    def test_topn_others_rejects_bad_bucket(self, spark):
+        import pytest as _pytest
+
+        from tsrollup.counters import topn_others
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        with _pytest.raises(ValueError):
+            topn_others(df, bucket="hourly")
+
+    def test_topn_others_ignores_null_labels(self, spark):
+        from tsrollup.counters import topn_others
+
+        df = _events(spark, [_row(1, None, 0, 0, 99.0),
+                             _row(1, "a", 1, 0, 1.0)])
+        got = {r.label for r in topn_others(df, n=1).collect()}
+        assert got == {"a"}

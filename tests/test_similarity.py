@@ -346,3 +346,10 @@ class TestPca:
 
         with pytest.raises(ValueError):
             pca_fit(emb_df.limit(1), dim=DIM, k=2)
+
+
+def test_pca_fit_empty_corpus_raises_cleanly(spark, emb_df):
+    from tsrollup.similarity import pca_fit
+
+    with pytest.raises(ValueError, match="need >= 2"):
+        pca_fit(emb_df.filter("vec_id < 0"), dim=DIM, k=2)

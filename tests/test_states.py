@@ -117,3 +117,11 @@ class TestHeartbeatAgg:
     def test_one_exchange(self, spark):
         df = _events(spark, [_row(1, "a", 0, 0, 1)])
         assert n_data_exchanges(formatted_plan(heartbeat_agg(df))) == 1
+
+
+def test_ohlc_rejects_bad_bucket(spark):
+    import pytest as _pytest
+
+    df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+    with _pytest.raises(ValueError):
+        ohlc(df, bucket="hourly")

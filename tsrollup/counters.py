@@ -1205,7 +1205,10 @@ def bucketed_twa(events: DataFrame,
     silence over the bucket width — the production lever is the bucket
     width, same as TimescaleDB's. All sums are exact int64
     (cents·µs per bucket ≤ 2e6·8.64e10 ≪ 2^63); twa is one IEEE
-    division of exactly-converted integers.
+    division of exactly-converted integers. Post-epoch samples only
+    (``us ≥ 0`` guard): truncating ``div`` would map a pre-1970 segment
+    into bucket 0 with a negative overlap (the time_bucket_agg axis
+    restriction).
 
     One exchange: the lead window hashes on the series; the exploded
     (series, bucket) grouping is clustered by that same partitioning.
@@ -1217,7 +1220,11 @@ def bucketed_twa(events: DataFrame,
         raise ValueError("need bucket_seconds >= 1")
     scols = list(series_cols)
     w_us = int(bucket_seconds) * 1_000_000
-    events = events.filter(F.col(value_col).isNotNull())
+    # post-epoch samples only: `div` truncates toward zero, so a negative
+    # epoch would land in bucket 0 with a NEGATIVE overlap (the
+    # time_bucket_agg guard, same hazard)
+    events = events.filter(F.col(value_col).isNotNull()).filter(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) >= 0)
     w = Window.partitionBy(*scols).orderBy(ts_col, id_col)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
@@ -1256,7 +1263,10 @@ def topn_others(events: DataFrame, label_col: str = "event_type",
     as named rows; everything else folds into one ``__other__`` row so
     the panel's cardinality is fixed no matter how many labels exist.
 
-    Rank is deterministic: row_number over (volume DESC, label ASC) —
+    NULL values and NULL labels are no observations (the engine-wide /
+    state_agg policy — a NULL group ranking into the top N would emit a
+    panel row that is neither named nor ``__other__``). Rank is
+    deterministic: row_number over (volume DESC, label ASC) —
     a bare rank-by-volume is nondeterministic on ties. Two-phase at
     scale: the first aggregation's map-side partials reduce the stream to
     |buckets × labels| rows BEFORE the rank window, so the window and
@@ -1268,8 +1278,17 @@ def topn_others(events: DataFrame, label_col: str = "event_type",
     """
     if n < 1:
         raise ValueError("need n >= 1")
+    if bucket not in ("minute", "hour", "day", "week", "month"):
+        # an unrecognized unit makes date_trunc return NULL and the whole
+        # dataset silently collapses into one NULL-bucket panel
+        raise ValueError(f"unsupported bucket {bucket!r}")
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
-    per = (events.filter(F.col(value_col).isNotNull())
+    # NULL labels are no observations (the state_agg policy) — an unfiltered
+    # NULL group could rank into the top N and emit a label=NULL panel row
+    # (neither named nor __other__), and Spark/DuckDB order NULLs
+    # differently at the rank boundary
+    per = (events.filter(F.col(value_col).isNotNull()
+                         & F.col(label_col).isNotNull())
            .groupBy(F.date_trunc(bucket, ts_col).alias("bucket_ts"),
                     F.col(label_col).alias("_lbl"))
            .agg(F.sum(cents).cast("long").alias("_v"),

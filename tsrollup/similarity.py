@@ -495,6 +495,10 @@ def pca_moments(df: DataFrame, vec_col: str = "embedding",
                                 "o": [o.tolist()]})
 
     rows = partials.coalesce(fan_in).mapInPandas(combine, schema).collect()
+    if not rows:
+        # empty corpus: surface the designed pca_fit guard instead of a
+        # cryptic np reshape error from summing zero partials
+        return 0, np.zeros(dim), np.zeros((dim, dim))
     n = sum(int(r["n"]) for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     o = np.sum([np.asarray(r["o"]) for r in rows], axis=0).reshape(dim, dim)

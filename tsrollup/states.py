@@ -47,32 +47,55 @@ def ohlc(events: DataFrame,
 
     NULL values are no observations (engine-wide policy). open/high/low/
     close are exact: int64 cents divided by 100.0 once at the end — both
-    engines perform the identical int→double division.
+    engines perform the identical int→double division. Bucket alignment
+    follows the engine's naive/UTC session standard (the lag_coupling DST
+    note): in a fractional-offset local timezone, ``date_trunc`` hours sit
+    on :30 boundaries while epoch-aligned tumbling windows don't.
+
+    The aggregation expressions live in :func:`ohlc_aggs` /
+    :func:`ohlc_finish`, SHARED with ``streaming.stream_ohlc`` — the
+    batch/stream panel parity is structural, not merely test-enforced.
 
     Output: series_cols…, bucket_ts, n (long), open_value, high_value,
     low_value, close_value (double), volume_cents (long).
     """
+    if bucket not in ("minute", "hour", "day", "week", "month"):
+        # an unrecognized unit makes date_trunc return NULL and every row
+        # silently collapses into one NULL bucket per series
+        raise ValueError(f"unsupported bucket {bucket!r}")
     scols = list(series_cols)
     events = events.filter(F.col(value_col).isNotNull())
+    return (events
+            .groupBy(*scols, F.date_trunc(bucket, ts_col).alias("bucket_ts"))
+            .agg(*ohlc_aggs(ts_col, id_col, value_col))
+            .select(*scols, "bucket_ts", "n", *ohlc_finish()))
+
+
+def ohlc_aggs(ts_col: str = "ts", id_col: str = "event_id",
+              value_col: str = "value") -> list:
+    """The candlestick aggregate expressions (shared by the batch and
+    streaming OHLC operators): count, (ts, id, cents) struct extremes for
+    open/close, cents extremes for high/low, cents volume."""
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     pt = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
                   cents.alias("c"))
-    return (events
-            .groupBy(*scols, F.date_trunc(bucket, ts_col).alias("bucket_ts"))
-            .agg(F.count("*").cast("long").alias("n"),
-                 F.min(pt).alias("_o"), F.max(pt).alias("_c"),
-                 F.max(cents).alias("_hi"), F.min(cents).alias("_lo"),
-                 F.sum(cents).cast("long").alias("volume_cents"))
-            .select(*scols, "bucket_ts", "n",
-                    (F.col("_o.c").cast("double") / F.lit(100.0))
-                    .alias("open_value"),
-                    (F.col("_hi").cast("double") / F.lit(100.0))
-                    .alias("high_value"),
-                    (F.col("_lo").cast("double") / F.lit(100.0))
-                    .alias("low_value"),
-                    (F.col("_c.c").cast("double") / F.lit(100.0))
-                    .alias("close_value"),
-                    "volume_cents"))
+    return [F.count("*").cast("long").alias("n"),
+            F.min(pt).alias("_o"), F.max(pt).alias("_c"),
+            F.max(cents).alias("_hi"), F.min(cents).alias("_lo"),
+            F.sum(cents).cast("long").alias("volume_cents")]
+
+
+def ohlc_finish() -> list:
+    """The candlestick output projection over :func:`ohlc_aggs` results."""
+    return [(F.col("_o.c").cast("double") / F.lit(100.0))
+            .alias("open_value"),
+            (F.col("_hi").cast("double") / F.lit(100.0))
+            .alias("high_value"),
+            (F.col("_lo").cast("double") / F.lit(100.0))
+            .alias("low_value"),
+            (F.col("_c.c").cast("double") / F.lit(100.0))
+            .alias("close_value"),
+            F.col("volume_cents")]
 
 
 def state_agg(events: DataFrame,

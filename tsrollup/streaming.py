@@ -245,13 +245,18 @@ def stream_ohlc(events: DataFrame, watermark: str = "10 minutes",
     like count/sum), high/low/volume in int64 cents. Batch and stream
     share this one expression set: ``withWatermark`` is a no-op on a
     batch frame, so the same function IS the batch oracle
-    (test_streaming pins stream == batch == states.ohlc).
+    (test_streaming pins stream == batch == states.ohlc). The aggregate
+    expressions are IMPORTED from ``states`` (ohlc_aggs/ohlc_finish) —
+    the parity with the batch panel is structural, not merely
+    test-enforced. Alignment caveat: hourly-window ≡ date_trunc('hour')
+    holds on the engine's naive/UTC session standard; a fractional-offset
+    local timezone puts date_trunc boundaries on :30 while tumbling
+    windows stay epoch-aligned (lag_coupling DST note).
 
     Output mirrors ``states.ohlc`` with ``window_start`` as the bucket.
     """
-    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
-    pt = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
-                  cents.alias("c"))
+    from tsrollup.states import ohlc_aggs, ohlc_finish
+
     # watermarks reject TIMESTAMP_NTZ (the parquet fixtures' type) — cast
     # up-front so the operator accepts either flavor
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -260,20 +265,9 @@ def stream_ohlc(events: DataFrame, watermark: str = "10 minutes",
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, tier).alias("w"),
                      F.col(label_col))
-            .agg(F.count("*").cast("long").alias("n"),
-                 F.min(pt).alias("_o"), F.max(pt).alias("_c"),
-                 F.max(cents).alias("_hi"), F.min(cents).alias("_lo"),
-                 F.sum(cents).cast("long").alias("volume_cents"))
+            .agg(*ohlc_aggs(ts_col, id_col, value_col))
             .select(label_col, F.col("w.start").alias("window_start"), "n",
-                    (F.col("_o.c").cast("double") / F.lit(100.0))
-                    .alias("open_value"),
-                    (F.col("_hi").cast("double") / F.lit(100.0))
-                    .alias("high_value"),
-                    (F.col("_lo").cast("double") / F.lit(100.0))
-                    .alias("low_value"),
-                    (F.col("_c.c").cast("double") / F.lit(100.0))
-                    .alias("close_value"),
-                    "volume_cents"))
+                    *ohlc_finish()))
 
 
 def reaggregate_time_tier(points: DataFrame,
