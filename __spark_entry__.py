@@ -1283,6 +1283,17 @@ def q_heartbeat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          interval_seconds=600)
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast scorecard
+    (tsrollup.counters.seasonal_naive_backtest): hourly cent-volume
+    predicted by the bucket exactly 24h earlier via a RANGE window frame
+    (gap-safe where LAG mis-aligns), int64 |error|/bias sums, one
+    series-key exchange shared by the agg and the window."""
+    from tsrollup.counters import seasonal_naive_backtest
+
+    return seasonal_naive_backtest(_fact(spark, sf_dir, "events"))
+
+
 def q_bucketed_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-boundary time-weighted average
     (tsrollup.counters.bucketed_twa): LOCF holding segments split
@@ -2152,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heartbeat_agg": q_heartbeat_agg,
         "bucketed_twa": q_bucketed_twa,
         "topn_others": q_topn_others,
+        "forecast_backtest": q_forecast_backtest,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4444,6 +4456,34 @@ SELECT user_id, COUNT(*)::BIGINT AS n_heartbeats,
                 0)::BIGINT AS outages,
        COALESCE(max(gap_us), 0)::BIGINT AS longest_gap_us
 FROM w GROUP BY user_id
+"""
+
+    # seasonal-naive backtest: RANGE frame pinned to exactly -24 hourly
+    # buckets; int64 error sums, NULL-safe divisions
+    sqls["forecast_backtest"] = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL AND epoch_us(ts) >= 0
+), hourly AS (
+  SELECT event_type, h, SUM(c)::BIGINT AS v
+  FROM e GROUP BY event_type, h
+), scored AS (
+  SELECT event_type, v,
+         MAX(v) OVER (PARTITION BY event_type ORDER BY h
+                      RANGE BETWEEN 24 PRECEDING AND 24 PRECEDING) AS p
+  FROM hourly
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_buckets,
+       COUNT(p)::BIGINT AS n_scored,
+       COUNT(p)::DOUBLE / COUNT(*)::DOUBLE AS coverage,
+       SUM(ABS(v - p))::BIGINT::DOUBLE
+         / NULLIF(COUNT(p), 0)::DOUBLE AS mae_cents,
+       SUM(v - p)::BIGINT::DOUBLE
+         / NULLIF(COUNT(p), 0)::DOUBLE AS bias_cents,
+       COALESCE(SUM(ABS(v - p)), 0)::BIGINT AS sae_cents,
+       SUM(v)::BIGINT AS actual_cents
+FROM scored GROUP BY event_type
 """
 
     # interpolated-boundary TWA: LOCF segments split exactly across the

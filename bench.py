@@ -147,6 +147,7 @@ HEADLINE = [
     "bucketed_twa",
     "topn_others",
     "pca_whiten",
+    "forecast_backtest",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

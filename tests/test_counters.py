@@ -1166,3 +1166,40 @@ class TestReviewRegressionsR5b:
                              _row(1, "a", 1, 0, 1.0)])
         got = {r.label for r in topn_others(df, n=1).collect()}
         assert got == {"a"}
+
+
+class TestSeasonalNaiveBacktest:
+    def test_exact_seasonal_match_scores_zero_error(self, spark):
+        from tsrollup.counters import seasonal_naive_backtest
+
+        # identical volumes 24h apart -> mae 0, bias 0 on scored buckets
+        rows = [_row(1, "a", i, h * 3600, 10.0)
+                for i, h in enumerate([0, 1, 24, 25])]
+        r = seasonal_naive_backtest(spark.createDataFrame(
+            rows, "user_id long, event_type string, event_id long, "
+                  "ts timestamp, value double")).collect()[0]
+        assert r.n_buckets == 4 and r.n_scored == 2
+        assert r.mae_cents == 0.0 and r.bias_cents == 0.0
+
+    def test_gap_does_not_misalign_prediction(self, spark):
+        from tsrollup.counters import seasonal_naive_backtest
+
+        # bucket at h=30 has NO bucket at h=6 -> unscored (a LAG-based
+        # impl would wrongly pair it with the previous row h=1)
+        rows = [_row(1, "a", 0, 0, 10.0), _row(1, "a", 1, 3600, 20.0),
+                _row(1, "a", 2, 30 * 3600, 99.0),
+                _row(1, "a", 3, 25 * 3600, 35.0)]
+        r = seasonal_naive_backtest(spark.createDataFrame(
+            rows, "user_id long, event_type string, event_id long, "
+                  "ts timestamp, value double")).collect()[0]
+        assert r.n_buckets == 4 and r.n_scored == 1
+        # only h=25 scored against h=1: |3500-2000| = 1500
+        assert r.sae_cents == 1500 and r.mae_cents == 1500.0
+
+    def test_unscored_series_null_mae(self, spark):
+        from tsrollup.counters import seasonal_naive_backtest
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        r = seasonal_naive_backtest(df).collect()[0]
+        assert r.n_scored == 0 and r.mae_cents is None
+        assert r.sae_cents == 0

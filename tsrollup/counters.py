@@ -1304,3 +1304,71 @@ def topn_others(events: DataFrame, label_col: str = "event_type",
             .agg(F.count("*").cast("long").alias("n_series"),
                  F.sum("_ns").cast("long").alias("n_samples"),
                  F.sum("_v").cast("long").alias("volume_cents")))
+
+
+def seasonal_naive_backtest(events: DataFrame,
+                            series_cols: Sequence[str] = ("event_type",),
+                            ts_col: str = "ts", value_col: str = "value",
+                            season_buckets: int = 24) -> DataFrame:
+    """Forecast-accuracy scorecard for the seasonal-naive baseline (the
+    M4-competition yardstick every fancier forecaster must beat): on the
+    hourly grid, predict each bucket's cent-volume with the bucket exactly
+    ``season_buckets`` hours earlier, and report per-series error
+    aggregates. Scoring the BASELINE is the backtest a monitoring stack
+    runs to decide whether a seasonal profile (seasonal_baseline) is even
+    worth applying to a series.
+
+    Integer-exact: bucket volume is Σcents (int64) on an epoch-hour index;
+    the prediction lookup is a RANGE window frame pinned to exactly
+    −season (a LAG would silently mis-align across missing hours);
+    |error| and bias accumulate as int64, with single int→double
+    divisions at the end. Buckets with no bucket one season earlier are
+    unscored (coverage reports how many were). Post-epoch samples only
+    (the truncating-div axis restriction, as bucketed_twa).
+
+    One exchange: an up-front hash-repartition on the series key lets the
+    (series, hour) aggregation AND the per-series window ride the same
+    partitioning (hash(series) clusters every (series, hour) group).
+
+    Output: series_cols…, n_buckets (long), n_scored (long), coverage
+    (double), mae_cents (double), bias_cents (double), sae_cents (long),
+    actual_cents (long).
+    """
+    if season_buckets < 1:
+        raise ValueError("need season_buckets >= 1")
+    scols = list(series_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    staged = (events
+              .filter(F.col(value_col).isNotNull())
+              .filter(us >= 0)
+              .select(*scols, F.expr(
+                  f"unix_micros(cast({ts_col} as timestamp))"
+                  f" div {3_600_000_000}").alias("_h"),
+                  cents.alias("_c")))
+    hourly = (staged.repartition(*scols)
+              .groupBy(*scols, "_h")
+              .agg(F.sum("_c").cast("long").alias("_v")))
+    w = (Window.partitionBy(*scols).orderBy("_h")
+         .rangeBetween(-season_buckets, -season_buckets))
+    scored = hourly.select(
+        *scols, "_v", F.max("_v").over(w).alias("_p"))
+    err = F.col("_v") - F.col("_p")
+    return (scored
+            .groupBy(*scols)
+            .agg(F.count("*").cast("long").alias("n_buckets"),
+                 F.count("_p").cast("long").alias("n_scored"),
+                 F.coalesce(F.sum(F.abs(err)), F.lit(0))
+                 .cast("long").alias("sae_cents"),
+                 F.sum(err).cast("long").alias("_bias_sum"),
+                 F.sum("_v").cast("long").alias("actual_cents"))
+            .select(*scols, "n_buckets", "n_scored",
+                    (F.col("n_scored").cast("double")
+                     / F.col("n_buckets").cast("double")).alias("coverage"),
+                    (F.col("sae_cents").cast("double")
+                     / F.nullif(F.col("n_scored"), F.lit(0)).cast("double"))
+                    .alias("mae_cents"),
+                    (F.col("_bias_sum").cast("double")
+                     / F.nullif(F.col("n_scored"), F.lit(0)).cast("double"))
+                    .alias("bias_cents"),
+                    "sae_cents", "actual_cents"))
