@@ -1283,6 +1283,29 @@ def q_heartbeat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          interval_seconds=600)
 
 
+def q_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus alert-rule evaluation
+    (tsrollup.counters.threshold_episodes): value > 150 runs per
+    (user, type) with a 30-minute `for:` duration gate — int64-cents
+    compare, gaps-and-islands episodes, ONE per-series exchange (the
+    cusum_episodes shape with exceedance instead of shift)."""
+    from tsrollup.counters import threshold_episodes
+
+    return threshold_episodes(_fact(spark, sf_dir, "events"),
+                              threshold=150.0,
+                              min_duration_seconds=1800)
+
+
+def q_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana heatmap source (tsrollup.counters.value_heatmap):
+    hour × 5.00-wide value bin sample counts — the distribution-
+    preserving downsample next to m4/lttb's shape-preserving ones;
+    exact int64 div binning, one (bucket, bin) exchange."""
+    from tsrollup.counters import value_heatmap
+
+    return value_heatmap(_fact(spark, sf_dir, "events"), bin_cents=500)
+
+
 def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast scorecard
     (tsrollup.counters.seasonal_naive_backtest): hourly cent-volume
@@ -2164,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_twa": q_bucketed_twa,
         "topn_others": q_topn_others,
         "forecast_backtest": q_forecast_backtest,
+        "threshold_episodes": q_threshold_episodes,
+        "value_heatmap": q_value_heatmap,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4456,6 +4481,50 @@ SELECT user_id, COUNT(*)::BIGINT AS n_heartbeats,
                 0)::BIGINT AS outages,
        COALESCE(max(gap_us), 0)::BIGINT AS longest_gap_us
 FROM w GROUP BY user_id
+"""
+
+    # Prometheus for:-gated alert episodes: cents > 15000 runs, islands
+    # key rank - firing-rank, duration gate exact µs
+    sqls["threshold_episodes"] = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c,
+         epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), f AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS grp
+  FROM e WHERE c > 15000
+), ep AS (
+  SELECT user_id, event_type, grp,
+         COUNT(*)::BIGINT AS n_samples,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         (MAX(us) - MIN(us))::BIGINT AS duration_us,
+         MAX(c)::DOUBLE / 100.0 AS peak_value
+  FROM f GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type,
+       row_number() OVER (PARTITION BY user_id, event_type
+                          ORDER BY start_ts)::BIGINT AS episode,
+       n_samples, start_ts, end_ts, duration_us, peak_value,
+       CASE WHEN duration_us >= 1800000000 THEN 1 ELSE 0 END::INT AS fired
+FROM ep
+"""
+
+    # heatmap: hour x 500-cent bin counts on the non-negative value axis
+    sqls["value_heatmap"] = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts,
+         (value::DECIMAL(18,2) * 100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bucket_ts, (c // 500)::BIGINT AS bin,
+       ((c // 500) * 500)::DOUBLE AS bin_low_cents,
+       COUNT(*)::BIGINT AS n
+FROM e WHERE c >= 0
+GROUP BY bucket_ts, c // 500
 """
 
     # seasonal-naive backtest: RANGE frame pinned to exactly -24 hourly

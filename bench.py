@@ -148,6 +148,8 @@ HEADLINE = [
     "topn_others",
     "pca_whiten",
     "forecast_backtest",
+    "threshold_episodes",
+    "value_heatmap",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -1203,3 +1203,66 @@ class TestSeasonalNaiveBacktest:
         r = seasonal_naive_backtest(df).collect()[0]
         assert r.n_scored == 0 and r.mae_cents is None
         assert r.sae_cents == 0
+
+
+class TestThresholdEpisodes:
+    def test_for_gate_and_islands(self, spark):
+        from tsrollup.counters import threshold_episodes
+
+        # two exceedance runs: [0,10min] (fires at 10min gate) and a
+        # single spike (duration 0 -> pending only)
+        rows = [_row(1, "a", 0, 0, 120.0), _row(1, "a", 1, 300, 130.0),
+                _row(1, "a", 2, 600, 125.0), _row(1, "a", 3, 900, 50.0),
+                _row(1, "a", 4, 1200, 140.0), _row(1, "a", 5, 1500, 60.0)]
+        eps = threshold_episodes(_events(spark, rows), threshold=100.0,
+                                 min_duration_seconds=600).collect()
+        eps = sorted(eps, key=lambda r: r.episode)
+        assert len(eps) == 2
+        first, second = eps
+        assert first.n_samples == 3 and first.fired == 1
+        assert first.duration_us == 600_000_000
+        assert first.peak_value == 130.0
+        assert second.n_samples == 1 and second.fired == 0
+
+    def test_boundary_value_not_firing(self, spark):
+        from tsrollup.counters import threshold_episodes
+
+        # exactly-at-threshold is NOT an exceedance (strict >)
+        df = _events(spark, [_row(1, "a", 0, 0, 100.0)])
+        assert threshold_episodes(df, threshold=100.0).count() == 0
+
+    def test_one_exchange(self, spark):
+        from tsrollup.counters import threshold_episodes
+
+        df = _events(spark, [_row(1, "a", 0, 0, 150.0)])
+        plan = formatted_plan(threshold_episodes(df))
+        assert n_data_exchanges(plan) == 1
+
+
+class TestValueHeatmap:
+    def test_bins_and_edges(self, spark):
+        from tsrollup.counters import value_heatmap
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0),
+                             _row(1, "a", 1, 10, 4.99),
+                             _row(1, "a", 2, 20, 5.0),
+                             _row(1, "a", 3, 30, 12.34)])
+        got = {r.bin: r for r in value_heatmap(df, bin_cents=500).collect()}
+        assert got[0].n == 2 and got[0].bin_low_cents == 0.0
+        assert got[1].n == 1 and got[1].bin_low_cents == 500.0
+        assert got[2].n == 1
+
+    def test_rejects_bad_bucket(self, spark):
+        import pytest as _pytest
+
+        from tsrollup.counters import value_heatmap
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        with _pytest.raises(ValueError):
+            value_heatmap(df, bucket="hourly")
+
+    def test_one_exchange(self, spark):
+        from tsrollup.counters import value_heatmap
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        assert n_data_exchanges(formatted_plan(value_heatmap(df))) == 1

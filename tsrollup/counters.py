@@ -1372,3 +1372,98 @@ def seasonal_naive_backtest(events: DataFrame,
                      / F.nullif(F.col("n_scored"), F.lit(0)).cast("double"))
                     .alias("bias_cents"),
                     "sae_cents", "actual_cents"))
+
+
+def threshold_episodes(events: DataFrame,
+                       series_cols: Sequence[str] = ("user_id",
+                                                     "event_type"),
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "value",
+                       threshold: float = 100.0,
+                       min_duration_seconds: int = 600) -> DataFrame:
+    """Prometheus alert-rule evaluation (`expr > threshold` with a `for:`
+    duration gate): per series, maximal runs of consecutive
+    above-threshold samples become episodes; an episode FIRES only once
+    its observed duration reaches ``min_duration_seconds`` — the pending/
+    firing distinction that keeps flapping series from paging. The
+    fixed-threshold sibling of :func:`cusum_episodes` (which detects
+    level SHIFTS; this detects level EXCEEDANCE).
+
+    Exactness: the threshold compare is int64 cents vs an int constant
+    (quantized once, driver-side); durations are epoch-µs differences;
+    the `for:` gate is an integer compare. Gaps-and-islands keying,
+    episode aggregation, and episode numbering all ride ONE per-series
+    exchange (the cusum_episodes shape). NULL values are no observations.
+
+    Output: series_cols…, episode (long), n_samples (long), start_ts,
+    end_ts, duration_us (long), peak_value (double), fired (int).
+    """
+    if min_duration_seconds < 0:
+        raise ValueError("need min_duration_seconds >= 0")
+    scols = list(series_cols)
+    thr_cents = int(round(float(threshold) * 100))
+    min_us = int(min_duration_seconds) * 1_000_000
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    ranked = (events.filter(F.col(value_col).isNotNull())
+              .select(*scols, F.col(ts_col).alias("ts"),
+                      F.col(id_col).alias("id"), cents.alias("_c"))
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy(*scols).orderBy("ts", "id"))))
+    firing = (ranked.filter(F.col("_c") > thr_cents)
+              .withColumn("_grp", F.col("_rn") - F.row_number().over(
+                  Window.partitionBy(*scols).orderBy("ts", "id"))))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ep = (firing
+          .select(*scols, "_grp", "ts", us.alias("_us"), "_c")
+          .groupBy(*scols, "_grp")
+          .agg(F.count("*").cast("long").alias("n_samples"),
+               F.min("ts").alias("start_ts"),
+               F.max("ts").alias("end_ts"),
+               (F.max("_us") - F.min("_us")).cast("long")
+               .alias("duration_us"),
+               (F.max("_c").cast("double") / F.lit(100.0))
+               .alias("peak_value")))
+    number = F.row_number().over(
+        Window.partitionBy(*scols).orderBy("start_ts"))
+    return (ep.select(*scols, number.cast("long").alias("episode"),
+                      "n_samples", "start_ts", "end_ts", "duration_us",
+                      "peak_value",
+                      (F.col("duration_us") >= min_us).cast("int")
+                      .alias("fired")))
+
+
+def value_heatmap(events: DataFrame, ts_col: str = "ts",
+                  value_col: str = "value", bucket: str = "hour",
+                  bin_cents: int = 500) -> DataFrame:
+    """Time × value 2D histogram — the data source behind a Grafana
+    heatmap panel: per ``date_trunc(bucket)`` × fixed-width value bin,
+    the sample count. Complements m4_downsample/lttb (shape-preserving
+    line downsamples) with the DISTRIBUTION-preserving downsample: at
+    100 TB a heatmap is the only honest way to draw a billion points.
+
+    Exactness: bin index = int64 cents ``div`` bin_cents on the
+    NON-NEGATIVE value axis (negative cents excluded and documented —
+    Spark's ``div`` truncates toward zero while SQL ``//`` floors, the
+    time_bucket_agg axis restriction applied to the value axis);
+    bin_low_cents is the exact bin lower edge in cents. One
+    (bucket, bin) exchange with map-side partials.
+
+    Output: bucket_ts, bin (long), bin_low_cents (double), n (long).
+    """
+    if bin_cents < 1:
+        raise ValueError("need bin_cents >= 1")
+    if bucket not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    staged = (events.filter(F.col(value_col).isNotNull())
+              .select(F.date_trunc(bucket, ts_col).alias("bucket_ts"),
+                      cents.alias("_c"))
+              .filter(F.col("_c") >= 0)
+              .withColumn("_bin", F.expr(f"_c div {int(bin_cents)}")))
+    return (staged
+            .groupBy("bucket_ts", "_bin")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select("bucket_ts", F.col("_bin").alias("bin"),
+                    (F.col("_bin") * int(bin_cents)).cast("double")
+                    .alias("bin_low_cents"),
+                    "n"))
