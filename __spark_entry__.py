@@ -1283,6 +1283,21 @@ def q_heartbeat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          interval_seconds=600)
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget → rate planning (tsrollup.text.token_budget), the step
+    AHEAD of mixture_sample's rate application: per-source char totals
+    (int64 partials, corpus never shuffles) and the basis-point keep
+    rate hitting each budget in expectation — integer `div` on the same
+    1/10000 grid mixture_sample thresholds on. src0 dropped, src1/src2
+    capped, everything else uncapped."""
+    from tsrollup.text import token_budget
+
+    return token_budget(_docs(spark, sf_dir),
+                        budgets={"src0": 0, "src1": 10_000,
+                                 "src2": 50_000},
+                        n_tok_col="n_chars")
+
+
 def q_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus alert-rule evaluation
     (tsrollup.counters.threshold_episodes): value > 150 runs per
@@ -2189,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "threshold_episodes": q_threshold_episodes,
         "value_heatmap": q_value_heatmap,
+        "token_budget": q_token_budget,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4481,6 +4497,30 @@ SELECT user_id, COUNT(*)::BIGINT AS n_heartbeats,
                 0)::BIGINT AS outages,
        COALESCE(max(gap_us), 0)::BIGINT AS longest_gap_us
 FROM w GROUP BY user_id
+"""
+
+    # token-budget planning: basis-point rates by integer floor division
+    # (budget*10000 // total), the mixture_sample grid
+    sqls["token_budget"] = """
+WITH t AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         SUM(n_chars)::BIGINT AS total_tokens
+  FROM documents GROUP BY source
+), b AS (
+  SELECT source, n_docs, total_tokens,
+         (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 10000
+                      WHEN 'src2' THEN 50000 END)::BIGINT AS budget_tokens
+  FROM t
+), r AS (
+  SELECT *, (CASE WHEN budget_tokens IS NULL
+                       OR budget_tokens >= total_tokens THEN 10000
+                  ELSE (budget_tokens * 10000) // total_tokens
+             END)::BIGINT AS rate_bp
+  FROM b
+)
+SELECT source, n_docs, total_tokens, budget_tokens, rate_bp,
+       ((total_tokens * rate_bp) // 10000)::BIGINT AS expected_tokens
+FROM r
 """
 
     # Prometheus for:-gated alert episodes: cents > 15000 runs, islands

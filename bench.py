@@ -150,6 +150,7 @@ HEADLINE = [
     "forecast_backtest",
     "threshold_episodes",
     "value_heatmap",
+    "token_budget",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

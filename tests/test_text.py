@@ -447,3 +447,49 @@ class TestCollocations:
             collocations(df, k=0)
         with _pytest.raises(ValueError):
             collocations(df, min_count=0)
+
+
+class TestTokenBudget:
+    def _docs(self, spark):
+        rows = [(i, f"t{i}", "en", "a" if i < 4 else "b", 100)
+                for i in range(8)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_tok long")
+
+    def test_rates_hit_budget_in_expectation(self, spark):
+        from tsrollup.text import token_budget
+
+        # source a: 400 tokens, budget 100 -> 2500 bp, expect 100
+        out = {r.source: r for r in token_budget(
+            self._docs(spark), budgets={"a": 100}).collect()}
+        assert out["a"].total_tokens == 400
+        assert out["a"].rate_bp == 2500
+        assert out["a"].expected_tokens == 100
+        # unbudgeted source keeps everything
+        assert out["b"].budget_tokens is None
+        assert out["b"].rate_bp == 10000
+        assert out["b"].expected_tokens == 400
+
+    def test_budget_over_total_uncapped_and_zero_drops(self, spark):
+        from tsrollup.text import token_budget
+
+        out = {r.source: r for r in token_budget(
+            self._docs(spark), budgets={"a": 0, "b": 999_999}).collect()}
+        assert out["a"].rate_bp == 0 and out["a"].expected_tokens == 0
+        assert out["b"].rate_bp == 10000
+
+    def test_default_budget_applies(self, spark):
+        from tsrollup.text import token_budget
+
+        out = {r.source: r for r in token_budget(
+            self._docs(spark), budgets={}, default_budget=200).collect()}
+        assert out["a"].rate_bp == 5000 and out["b"].rate_bp == 5000
+
+    def test_negative_budget_rejected(self, spark):
+        import pytest as _pytest
+
+        from tsrollup.text import token_budget
+
+        with _pytest.raises(ValueError):
+            token_budget(self._docs(spark), budgets={"a": -1})

@@ -481,3 +481,53 @@ def oov_rate(df: DataFrame, vocab_size: int = 20, text_col: str = "text",
                     (F.col("n_oov").cast("double")
                      / F.col("n_words").cast("double")).alias("oov_rate"),
                     "n_oov_types"))
+
+
+def token_budget(df: DataFrame, budgets: dict[str, int],
+                 default_budget: int | None = None,
+                 source_col: str = "source",
+                 n_tok_col: str = "n_tok") -> DataFrame:
+    """Per-source sampling rates from token BUDGETS — the planning step
+    ahead of :func:`mixture_sample` (which applies rates): given a target
+    token count per source, compute each source's corpus total and the
+    keep-rate that hits the budget in expectation. Budget → rate here,
+    rate → deterministic per-doc keep there; together they are the
+    dataset-mixing loop of an LLM pipeline (sources oversized vs their
+    budget get down-sampled, sources within budget keep everything).
+
+    Exactness: totals are int64 token sums (map-side partials, one tiny
+    per-source rollup — the corpus never shuffles); the rate is quantized
+    to basis points by INTEGER floor division (budget·10000 div total —
+    exact cross-engine, and the same 1/10000 grid mixture_sample
+    thresholds on), capped at 10000; expected_tokens = total·rate_bp div
+    10000, again integer. Sources without a budget (and no default) keep
+    rate_bp 10000.
+
+    Output: source, n_docs (long), total_tokens (long), budget_tokens
+    (long, NULL when uncapped), rate_bp (long), expected_tokens (long).
+    """
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"negative budget for {s!r}")
+    totals = (df.groupBy(F.col(source_col).alias("source"))
+              .agg(F.count("*").cast("long").alias("n_docs"),
+                   F.sum(F.col(n_tok_col).cast("long")).cast("long")
+                   .alias("total_tokens")))
+    budget: Column = (F.lit(None).cast("long") if default_budget is None
+                      else F.lit(int(default_budget)).cast("long"))
+    for s, b in sorted(budgets.items(), reverse=True):
+        budget = F.when(F.col("source") == F.lit(s),
+                        F.lit(int(b)).cast("long")).otherwise(budget)
+    staged = totals.select("source", "n_docs", "total_tokens",
+                           budget.alias("budget_tokens"))
+    # integer `div`, not float divide-then-cast: a double division of
+    # int64s can floor one ulp off past 2^53 (budgets stay < 2^63/10^4)
+    rate_bp = F.when(
+        F.col("budget_tokens").isNull()
+        | (F.col("budget_tokens") >= F.col("total_tokens")),
+        F.lit(10000).cast("long")
+    ).otherwise(F.expr("(budget_tokens * 10000) div total_tokens"))
+    return (staged
+            .withColumn("rate_bp", rate_bp)
+            .withColumn("expected_tokens",
+                        F.expr("(total_tokens * rate_bp) div 10000")))
