@@ -456,6 +456,36 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "m_val_sum")
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction AS-OF join (tsrollup.joins.asof_join
+    direction='nearest', the kdb aj-family completion): each event
+    attaches its closest minute-tier point by window-end distance on the
+    exact integer-µs axis, ties to backward. Same ONE-shuffle
+    union-window plan as the recorded asof_join (a second sort on the
+    same partitioning, no extra exchange). Oracle: two DuckDB native
+    ASOF joins (>= and <=) arbitrated by the same exact delta CASE."""
+    from tsrollup.joins import asof_join
+
+    ev = _fact(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    minute = (ev.groupBy(
+        "user_id", (us / F.lit(60_000_000)).cast("long").alias("m"))
+        .agg(F.count("*").cast("long").alias("m_count"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+              .alias("m_val_sum"))
+        .select("user_id", F.col("m").alias("m_minute"),
+                ((F.col("m") + 1) * 60_000_000).alias("_te_us"),
+                "m_count", "m_val_sum"))
+    left = ev.select("event_id", "user_id", us.alias("_ts_us"))
+    out = asof_join(left, minute, on="user_id",
+                    left_ts="_ts_us", right_ts="_te_us",
+                    attrs=("m_minute", "m_count", "m_val_sum"),
+                    direction="nearest")
+    return out.select("event_id", "user_id", "m_minute", "m_count",
+                      "m_val_sum")
+
+
 def q_znorm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BatchNorm-inference z-normalization + outlier count (reference
     models_keras.py:203-206, eps blocks_pytorch.py:246)."""
@@ -2207,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -4497,6 +4528,40 @@ SELECT user_id, COUNT(*)::BIGINT AS n_heartbeats,
                 0)::BIGINT AS outages,
        COALESCE(max(gap_us), 0)::BIGINT AS longest_gap_us
 FROM w GROUP BY user_id
+"""
+
+    # nearest-direction asof: two native ASOF joins (>= / <=) arbitrated
+    # by the exact integer-µs delta, ties to backward
+    sqls["asof_nearest"] = """
+WITH m AS (
+  SELECT user_id, (epoch_us(ts) // 60000000)::BIGINT AS m_minute,
+         COUNT(*)::BIGINT AS m_count,
+         SUM(value::DECIMAL(18,2))::DOUBLE AS m_val_sum
+  FROM events GROUP BY user_id, epoch_us(ts) // 60000000
+), m2 AS (
+  SELECT user_id, m_minute, (m_minute + 1) * 60000000 AS te_us,
+         m_count, m_val_sum
+  FROM m
+), b AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t,
+         m2.m_minute AS bm, m2.m_count AS bc, m2.m_val_sum AS bv,
+         m2.te_us AS bt
+  FROM events e ASOF LEFT JOIN m2
+    ON e.user_id = m2.user_id AND epoch_us(e.ts) >= m2.te_us
+), f AS (
+  SELECT e.event_id, m2.m_minute AS fm, m2.m_count AS fc,
+         m2.m_val_sum AS fv, m2.te_us AS ft
+  FROM events e ASOF LEFT JOIN m2
+    ON e.user_id = m2.user_id AND epoch_us(e.ts) <= m2.te_us
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN bm IS NULL THEN fm WHEN fm IS NULL THEN bm
+            WHEN (t - bt) <= (ft - t) THEN bm ELSE fm END AS m_minute,
+       CASE WHEN bm IS NULL THEN fc WHEN fm IS NULL THEN bc
+            WHEN (t - bt) <= (ft - t) THEN bc ELSE fc END AS m_count,
+       CASE WHEN bm IS NULL THEN fv WHEN fm IS NULL THEN bv
+            WHEN (t - bt) <= (ft - t) THEN bv ELSE fv END AS m_val_sum
+FROM b JOIN f USING (event_id)
 """
 
     # token-budget planning: basis-point rates by integer floor division

@@ -151,6 +151,7 @@ HEADLINE = [
     "threshold_episodes",
     "value_heatmap",
     "token_budget",
+    "asof_nearest",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -249,3 +249,59 @@ def test_range_join_exact_bucketing_beyond_double_precision(spark):
                      end_col="e", bucket_width=7, attrs=("iid",)).collect()
     assert sorted((r["pid"], r["iid"]) for r in got) == [(0, 0), (1, 1),
                                                          (2, 2)]
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "e0"), (1, 100, "e1"), (1, 55, "e2"), (2, 5, "e3")],
+            "k long, t long, tag string").selectExpr("k", "t", "tag")
+        right = spark.createDataFrame(
+            [(1, 20, "r20"), (1, 90, "r90"), (2, 50, "r50")],
+            "k long, rt long, lab string")
+        return left, right
+
+    def test_forward_matches_next(self, spark):
+        from tsrollup.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = {r.tag: r.lab for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            attrs=("lab",), direction="forward").collect()}
+        # e0(t=10) -> r20; e1(t=100) has no following -> dropped (inner)
+        assert out == {"e0": "r20", "e2": "r90", "e3": "r50"}
+
+    def test_nearest_picks_closer_and_ties_backward(self, spark):
+        from tsrollup.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = {r.tag: r.lab for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            attrs=("lab",), direction="nearest").collect()}
+        # e2(t=55): |55-20|=35 vs |90-55|=35 -> tie -> backward r20
+        assert out["e2"] == "r20"
+        # e0(t=10): only forward exists -> r20; e1(t=100): backward r90
+        assert out["e0"] == "r20" and out["e1"] == "r90"
+        assert out["e3"] == "r50"
+
+    def test_forward_null_left_ts_matches_nothing(self, spark):
+        from tsrollup.joins import asof_join
+
+        left = spark.createDataFrame([(1, None, "eN")],
+                                     "k long, t long, tag string")
+        right = spark.createDataFrame([(1, 20, "r20")],
+                                      "k long, rt long, lab string")
+        got = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                        attrs=("lab",), how="left",
+                        direction="forward").collect()
+        assert len(got) == 1 and got[0].lab is None
+
+    def test_bad_direction_rejected(self, spark):
+        import pytest as _pytest
+
+        from tsrollup.joins import asof_join
+
+        left, right = self._frames(spark)
+        with _pytest.raises(ValueError):
+            asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                      attrs=("lab",), direction="sideways")

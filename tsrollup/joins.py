@@ -26,12 +26,21 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
-              attrs: tuple[str, ...], how: str = "inner") -> DataFrame:
-    """For each ``left`` row, attach ``attrs`` from the ``right`` row with
-    the greatest ``right_ts`` ≤ ``left_ts`` sharing the ``on`` key.
+              attrs: tuple[str, ...], how: str = "inner",
+              direction: str = "backward") -> DataFrame:
+    """For each ``left`` row, attach ``attrs`` from the matching ``right``
+    row sharing the ``on`` key — ``direction`` picks the match (the kdb
+    ``aj``-family semantics): ``backward`` (default) takes the greatest
+    ``right_ts`` ≤ ``left_ts``; ``forward`` the smallest ``right_ts`` ≥
+    ``left_ts``; ``nearest`` whichever of the two sits closer, ties to
+    backward. All three are the same ONE-shuffle union-window plan —
+    ``nearest`` adds a second sort on the SAME partitioning (no extra
+    exchange), with the time delta compared on the exact integer-µs axis
+    for timestamp columns.
 
-    Ties at equal timestamps match (≤, DuckDB ASOF semantics): the sort
-    places right rows BEFORE left rows at the same instant. ``right`` must
+    Ties at equal timestamps match (≤ / ≥ inclusive, DuckDB ASOF
+    semantics): the sort places right rows BEFORE left rows at the same
+    instant. ``right`` must
     be unique per (on, right_ts) — the tier-store contract (one point per
     window). ``how='inner'`` drops left rows with no preceding right row;
     ``'left'`` keeps them with null attrs.
@@ -52,6 +61,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     """
     if not attrs:
         raise ValueError("asof_join needs at least one right attr")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction {direction!r}")
+    if "_rt" in attrs:
+        raise ValueError("attr name '_rt' is reserved (carried match ts)")
     lcols = [c for c in left.columns if c not in (on, left_ts)]
     clash = set(attrs) & set(lcols)
     if clash:
@@ -65,7 +78,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
         F.lit(None).cast(
-            right.select(F.struct(*[F.col(a) for a in attrs]).alias("_r"))
+            right.select(F.struct(
+                F.col(right_ts).alias("_rt"),
+                *[F.col(a) for a in attrs]).alias("_r"))
             .schema["_r"].dataType).alias("_r"))
     r = right.filter(F.col(right_ts).isNotNull()
                      & F.col(on).isNotNull()).select(
@@ -73,15 +88,40 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col(right_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(l.schema["_l"].dataType).alias("_l"),
-        F.struct(*[F.col(a) for a in attrs]).alias("_r"))
+        F.struct(F.col(right_ts).alias("_rt"),
+                 *[F.col(a) for a in attrs]).alias("_r"))
     u = l.unionByName(r)
     # right rows sort FIRST at equal _t so a left row at exactly right_ts
-    # sees it (the ≤ contract)
-    w = (Window.partitionBy(on).orderBy(F.col("_t").asc(), F.col("_side").desc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # sees it (the ≤ / ≥ contract). asc is NULLS FIRST and desc is forced
+    # nulls-first too: a NULL left ts must traverse BEFORE any right row
+    # in either direction so it matches nothing.
+    wb = (Window.partitionBy(on)
+          .orderBy(F.col("_t").asc(), F.col("_side").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(on)
+          .orderBy(F.desc_nulls_first("_t"), F.col("_side").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if direction == "backward":
+        matched = F.last("_r", ignorenulls=True).over(wb)
+    elif direction == "forward":
+        matched = F.last("_r", ignorenulls=True).over(wf)
+    else:
+        b = F.last("_r", ignorenulls=True).over(wb)
+        fwd = F.last("_r", ignorenulls=True).over(wf)
+        ts_type = left.schema[left_ts].dataType.typeName()
+        if ts_type.startswith("timestamp"):
+            def _us(c):
+                return F.unix_micros(c.cast("timestamp"))
+        else:
+            def _us(c):
+                return c
+        db = _us(F.col("_t")) - _us(b["_rt"])
+        df_ = _us(fwd["_rt"]) - _us(F.col("_t"))
+        matched = (F.when(b.isNull(), fwd)
+                   .when(fwd.isNull(), b)
+                   .when(db <= df_, b).otherwise(fwd))
     carried = u.select(
-        on, "_t", "_side", "_l",
-        F.last("_r", ignorenulls=True).over(w).alias("_m"))
+        on, "_t", "_side", "_l", matched.alias("_m"))
     out = carried.filter(F.col("_side") == 0)
     if how == "inner":
         out = out.filter(F.col("_m").isNotNull())
