@@ -478,10 +478,13 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("m") + 1) * 60_000_000).alias("_te_us"),
                 "m_count", "m_val_sum"))
     left = ev.select("event_id", "user_id", us.alias("_ts_us"))
+    # how='left': the oracle's two ASOF LEFT JOINs keep every event (a
+    # NULL-ts event would surface with NULL attrs there), so the Spark
+    # side must too — 'inner' would silently drop such a row
     out = asof_join(left, minute, on="user_id",
                     left_ts="_ts_us", right_ts="_te_us",
                     attrs=("m_minute", "m_count", "m_val_sum"),
-                    direction="nearest")
+                    direction="nearest", how="left")
     return out.select("event_id", "user_id", "m_minute", "m_count",
                       "m_val_sum")
 
@@ -2235,9 +2238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_episodes": q_threshold_episodes,
         "value_heatmap": q_value_heatmap,
         "token_budget": q_token_budget,
+        "asof_nearest": q_asof_nearest,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
-        "asof_nearest": q_asof_nearest,
     }
 
 

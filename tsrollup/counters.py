@@ -260,6 +260,34 @@ def cusum_drift(events: DataFrame,
                          | (F.col("cusum_lo") > thr)).cast("int")))
 
 
+def _episodize(flagged: DataFrame, scols: list[str],
+               *extra_aggs) -> DataFrame:
+    """Shared gaps-and-islands episodeization (cusum_episodes and
+    threshold_episodes): ``flagged`` carries the per-series sample rank
+    ``_rn`` (computed over ALL samples, before the firing filter), plus
+    ``ts``/``id`` and any payload columns ``extra_aggs`` reference.
+    Consecutive ranks collapse to one episode row with n_samples/
+    start_ts/end_ts/duration_us + the extra aggregates, numbered by
+    start_ts per series. Every window/groupBy partitions on (a superset
+    of) the series tuple so the caller's single per-series exchange is
+    reused end-to-end."""
+    w = Window.partitionBy(*scols).orderBy("ts", "id")
+    grp = flagged.withColumn("_grp",
+                             F.col("_rn") - F.row_number().over(w))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ep = (grp.withColumn("_us", us)
+          .groupBy(*scols, "_grp")
+          .agg(F.count("*").cast("long").alias("n_samples"),
+               F.min("ts").alias("start_ts"),
+               F.max("ts").alias("end_ts"),
+               (F.max("_us") - F.min("_us")).cast("long")
+               .alias("duration_us"),
+               *extra_aggs))
+    number = F.row_number().over(
+        Window.partitionBy(*scols).orderBy("start_ts"))
+    return ep.withColumn("episode", number.cast("long"))
+
+
 def cusum_episodes(events: DataFrame,
                    series_cols: Sequence[str] = ("user_id", "event_type"),
                    ts_col: str = "ts", id_col: str = "event_id",
@@ -287,27 +315,12 @@ def cusum_episodes(events: DataFrame,
                          target=target, threshold=threshold)
     w = Window.partitionBy(*scols).orderBy("ts", "id")
     ranked = scored.withColumn("_rn", F.row_number().over(w))
-    alarms = (ranked.filter(F.col("alarm") == 1)
-              .withColumn("_grp",
-                          F.col("_rn") - F.row_number().over(w)))
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    ep = (alarms
-          .select(*scols, "_grp", "ts", us.alias("_us"),
-                  "cusum_hi", "cusum_lo")
-          .groupBy(*scols, "_grp")
-          .agg(F.count("*").cast("long").alias("n_samples"),
-               F.min("ts").alias("start_ts"),
-               F.max("ts").alias("end_ts"),
-               (F.max("_us") - F.min("_us")).cast("long")
-               .alias("duration_us"),
-               F.max("cusum_hi").alias("peak_hi"),
-               F.max("cusum_lo").alias("peak_lo")))
-    number = F.row_number().over(
-        Window.partitionBy(*scols).orderBy("start_ts"))
-    return (ep.select(*scols, number.cast("long").alias("episode"),
-                      "n_samples",
-                      "start_ts", "end_ts", "duration_us",
-                      "peak_hi", "peak_lo"))
+    ep = _episodize(ranked.filter(F.col("alarm") == 1), scols,
+                    F.max("cusum_hi").alias("peak_hi"),
+                    F.max("cusum_lo").alias("peak_lo"))
+    return ep.select(*scols, "episode", "n_samples",
+                     "start_ts", "end_ts", "duration_us",
+                     "peak_hi", "peak_lo")
 
 
 def time_bucket_agg(events: DataFrame, width_seconds: int = 300,
@@ -1409,27 +1422,13 @@ def threshold_episodes(events: DataFrame,
                       F.col(id_col).alias("id"), cents.alias("_c"))
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy(*scols).orderBy("ts", "id"))))
-    firing = (ranked.filter(F.col("_c") > thr_cents)
-              .withColumn("_grp", F.col("_rn") - F.row_number().over(
-                  Window.partitionBy(*scols).orderBy("ts", "id"))))
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    ep = (firing
-          .select(*scols, "_grp", "ts", us.alias("_us"), "_c")
-          .groupBy(*scols, "_grp")
-          .agg(F.count("*").cast("long").alias("n_samples"),
-               F.min("ts").alias("start_ts"),
-               F.max("ts").alias("end_ts"),
-               (F.max("_us") - F.min("_us")).cast("long")
-               .alias("duration_us"),
-               (F.max("_c").cast("double") / F.lit(100.0))
-               .alias("peak_value")))
-    number = F.row_number().over(
-        Window.partitionBy(*scols).orderBy("start_ts"))
-    return (ep.select(*scols, number.cast("long").alias("episode"),
-                      "n_samples", "start_ts", "end_ts", "duration_us",
-                      "peak_value",
-                      (F.col("duration_us") >= min_us).cast("int")
-                      .alias("fired")))
+    ep = _episodize(ranked.filter(F.col("_c") > thr_cents), scols,
+                    (F.max("_c").cast("double") / F.lit(100.0))
+                    .alias("peak_value"))
+    return ep.select(*scols, "episode", "n_samples",
+                     "start_ts", "end_ts", "duration_us", "peak_value",
+                     (F.col("duration_us") >= min_us).cast("int")
+                     .alias("fired"))
 
 
 def value_heatmap(events: DataFrame, ts_col: str = "ts",

@@ -42,8 +42,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     semantics): the sort places right rows BEFORE left rows at the same
     instant. ``right`` must
     be unique per (on, right_ts) — the tier-store contract (one point per
-    window). ``how='inner'`` drops left rows with no preceding right row;
-    ``'left'`` keeps them with null attrs.
+    window). ``how='inner'`` drops left rows with no matching right row
+    in the chosen direction (backward: none at-or-before; forward: none
+    at-or-after; nearest: none at all); ``'left'`` keeps them with null
+    attrs.
 
     The matched right row is carried as ONE struct (a single
     last(ignorenulls) over the whole attr tuple): carrying attrs in

@@ -509,9 +509,14 @@ def token_budget(df: DataFrame, budgets: dict[str, int],
     for s, b in budgets.items():
         if b < 0:
             raise ValueError(f"negative budget for {s!r}")
+    if default_budget is not None and default_budget < 0:
+        raise ValueError("negative default_budget")
+    # coalesce: a source whose n_tok values are ALL NULL totals 0 (not
+    # NULL), so the rate stays a non-null long (budget >= 0 ⇒ bp 10000)
     totals = (df.groupBy(F.col(source_col).alias("source"))
               .agg(F.count("*").cast("long").alias("n_docs"),
-                   F.sum(F.col(n_tok_col).cast("long")).cast("long")
+                   F.coalesce(F.sum(F.col(n_tok_col).cast("long")),
+                              F.lit(0)).cast("long")
                    .alias("total_tokens")))
     budget: Column = (F.lit(None).cast("long") if default_budget is None
                       else F.lit(int(default_budget)).cast("long"))
