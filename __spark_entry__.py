@@ -489,6 +489,38 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "m_val_sum")
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded AS-OF join (tsrollup.joins.asof_join
+    tolerance=, pandas merge_asof semantics): each event attaches its
+    latest COMPLETED minute-tier point only if that window ended within
+    the last 120 s — the staleness gate a serving layer applies before
+    trusting a rollup point (stale ⇒ NULL attrs under how='left', the
+    row itself survives). Same ONE-shuffle union-window plan; the bound
+    is an exact integer-µs compare applied after the match choice (the
+    closest match out of tolerance ⇒ none in tolerance). Oracle: DuckDB
+    native ASOF LEFT JOIN + the same delta CASE."""
+    from tsrollup.joins import asof_join
+
+    ev = _fact(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    minute = (ev.groupBy(
+        "user_id", (us / F.lit(60_000_000)).cast("long").alias("m"))
+        .agg(F.count("*").cast("long").alias("m_count"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+              .alias("m_val_sum"))
+        .select("user_id", F.col("m").alias("m_minute"),
+                ((F.col("m") + 1) * 60_000_000).alias("_te_us"),
+                "m_count", "m_val_sum"))
+    left = ev.select("event_id", "user_id", us.alias("_ts_us"))
+    out = asof_join(left, minute, on="user_id",
+                    left_ts="_ts_us", right_ts="_te_us",
+                    attrs=("m_minute", "m_count", "m_val_sum"),
+                    how="left", tolerance=120_000_000)
+    return out.select("event_id", "user_id", "m_minute", "m_count",
+                      "m_val_sum")
+
+
 def q_znorm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BatchNorm-inference z-normalization + outlier count (reference
     models_keras.py:203-206, eps blocks_pytorch.py:246)."""
@@ -2239,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_heatmap": q_value_heatmap,
         "token_budget": q_token_budget,
         "asof_nearest": q_asof_nearest,
+        "asof_tolerance": q_asof_tolerance,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4565,6 +4598,31 @@ SELECT b.event_id, b.user_id,
        CASE WHEN bm IS NULL THEN fv WHEN fm IS NULL THEN bv
             WHEN (t - bt) <= (ft - t) THEN bv ELSE fv END AS m_val_sum
 FROM b JOIN f USING (event_id)
+"""
+
+    # staleness-gated ASOF: match kept only if the minute window ended
+    # within 120 s of the event (exact integer-µs delta, inclusive)
+    sqls["asof_tolerance"] = """
+WITH m AS (
+  SELECT user_id, (epoch_us(ts) // 60000000)::BIGINT AS m_minute,
+         COUNT(*)::BIGINT AS m_count,
+         SUM(value::DECIMAL(18,2))::DOUBLE AS m_val_sum
+  FROM events GROUP BY user_id, epoch_us(ts) // 60000000
+), m2 AS (
+  SELECT user_id, m_minute, (m_minute + 1) * 60000000 AS te_us,
+         m_count, m_val_sum
+  FROM m
+), j AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t,
+         m2.m_minute, m2.m_count, m2.m_val_sum, m2.te_us
+  FROM events e ASOF LEFT JOIN m2
+    ON e.user_id = m2.user_id AND epoch_us(e.ts) >= m2.te_us
+)
+SELECT event_id, user_id,
+       CASE WHEN t - te_us <= 120000000 THEN m_minute END AS m_minute,
+       CASE WHEN t - te_us <= 120000000 THEN m_count END AS m_count,
+       CASE WHEN t - te_us <= 120000000 THEN m_val_sum END AS m_val_sum
+FROM j
 """
 
     # token-budget planning: basis-point rates by integer floor division

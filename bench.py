@@ -152,6 +152,7 @@ HEADLINE = [
     "value_heatmap",
     "token_budget",
     "asof_nearest",
+    "asof_tolerance",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

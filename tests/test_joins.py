@@ -305,3 +305,79 @@ class TestAsofDirections:
         with _pytest.raises(ValueError):
             asof_join(left, right, on="k", left_ts="t", right_ts="rt",
                       attrs=("lab",), direction="sideways")
+
+
+class TestAsofTolerance:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "e0"), (1, 100, "e1"), (1, 55, "e2"), (2, 5, "e3")],
+            "k long, t long, tag string").selectExpr("k", "t", "tag")
+        right = spark.createDataFrame(
+            [(1, 20, "r20"), (1, 90, "r90"), (2, 50, "r50")],
+            "k long, rt long, lab string")
+        return left, right
+
+    def test_backward_tolerance_bounds_match(self, spark):
+        from tsrollup.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = {r.tag: r.lab for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            attrs=("lab",), tolerance=10).collect()}
+        # e1(t=100): backward r90, delta 10 <= 10 -> kept (inclusive);
+        # e2(t=55): backward r20, delta 35 > 10 -> dropped under inner
+        assert out == {"e1": "r90"}
+
+    def test_nearest_tolerance_left_keeps_nulls(self, spark):
+        from tsrollup.joins import asof_join
+
+        left, right = self._frames(spark)
+        rows = {r.tag: r.lab for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            attrs=("lab",), direction="nearest", how="left",
+            tolerance=10).collect()}
+        # all four left rows survive; only within-10 matches carry attrs
+        assert rows == {"e0": "r20", "e1": "r90", "e2": None, "e3": None}
+
+    def test_tolerance_matches_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from tsrollup.joins import asof_join
+
+        rng = np.random.default_rng(17)
+        left = pd.DataFrame({
+            "key": rng.integers(0, 4, 300).astype(np.int64),
+            "lt": rng.integers(0, 500, 300).astype(np.int64),
+            "payload": np.arange(300, dtype=np.int64)})
+        right = pd.DataFrame({
+            "key": rng.integers(0, 4, 60).astype(np.int64),
+            "rt": rng.integers(0, 500, 60).astype(np.int64),
+            "attr": rng.integers(0, 10_000, 60).astype(np.int64),
+        }).drop_duplicates(["key", "rt"])
+        got = asof_join(spark.createDataFrame(left),
+                        spark.createDataFrame(right),
+                        on="key", left_ts="lt", right_ts="rt",
+                        attrs=("rt", "attr"), how="left",
+                        tolerance=25).toPandas()
+        want = pd.merge_asof(left.sort_values("lt"),
+                             right.sort_values("rt"),
+                             left_on="lt", right_on="rt", by="key",
+                             direction="backward", tolerance=25)
+        gk = got.sort_values("payload").reset_index(drop=True)
+        wk = want.sort_values("payload").reset_index(drop=True)
+        assert len(gk) == len(wk)
+        assert (gk["rt"].isna().values == wk["rt"].isna().values).all()
+        m = ~wk["rt"].isna().values
+        assert (gk["rt"].values[m] == wk["rt"].values[m]).all()
+        assert (gk["attr"].values[m] == wk["attr"].values[m]).all()
+
+    def test_negative_tolerance_rejected(self, spark):
+        import pytest as _pytest
+
+        from tsrollup.joins import asof_join
+
+        left, right = self._frames(spark)
+        with _pytest.raises(ValueError):
+            asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                      attrs=("lab",), tolerance=-1)

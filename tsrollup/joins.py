@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               attrs: tuple[str, ...], how: str = "inner",
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance: int | None = None) -> DataFrame:
     """For each ``left`` row, attach ``attrs`` from the matching ``right``
     row sharing the ``on`` key — ``direction`` picks the match (the kdb
     ``aj``-family semantics): ``backward`` (default) takes the greatest
@@ -37,6 +38,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``nearest`` adds a second sort on the SAME partitioning (no extra
     exchange), with the time delta compared on the exact integer-µs axis
     for timestamp columns.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics) bounds how far the
+    match may sit from the left timestamp: a match whose |delta| exceeds
+    it is treated as NO match (dropped under 'inner', null attrs under
+    'left'). Units are microseconds for timestamp axes, otherwise the
+    integer axis's own units; the compare is inclusive (delta ≤
+    tolerance) and exact-integer. Because the chosen match is always the
+    CLOSEST one in the direction, applying the bound after the choice
+    equals bounding the search — no second pass needed, same ONE-shuffle
+    plan.
 
     Ties at equal timestamps match (≤ / ≥ inclusive, DuckDB ASOF
     semantics): the sort places right rows BEFORE left rows at the same
@@ -65,6 +76,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError("asof_join needs at least one right attr")
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unsupported direction {direction!r}")
+    if tolerance is not None and int(tolerance) < 0:
+        raise ValueError("tolerance must be >= 0")
     if "_rt" in attrs:
         raise ValueError("attr name '_rt' is reserved (carried match ts)")
     lcols = [c for c in left.columns if c not in (on, left_ts)]
@@ -103,6 +116,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     wf = (Window.partitionBy(on)
           .orderBy(F.desc_nulls_first("_t"), F.col("_side").desc())
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ts_type = left.schema[left_ts].dataType.typeName()
+    if ts_type.startswith("timestamp"):
+        def _us(c):
+            return F.unix_micros(c.cast("timestamp"))
+    else:
+        def _us(c):
+            return c
     if direction == "backward":
         matched = F.last("_r", ignorenulls=True).over(wb)
     elif direction == "forward":
@@ -110,13 +130,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     else:
         b = F.last("_r", ignorenulls=True).over(wb)
         fwd = F.last("_r", ignorenulls=True).over(wf)
-        ts_type = left.schema[left_ts].dataType.typeName()
-        if ts_type.startswith("timestamp"):
-            def _us(c):
-                return F.unix_micros(c.cast("timestamp"))
-        else:
-            def _us(c):
-                return c
         db = _us(F.col("_t")) - _us(b["_rt"])
         df_ = _us(fwd["_rt"]) - _us(F.col("_t"))
         matched = (F.when(b.isNull(), fwd)
@@ -124,6 +137,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                    .when(db <= df_, b).otherwise(fwd))
     carried = u.select(
         on, "_t", "_side", "_l", matched.alias("_m"))
+    if tolerance is not None:
+        # applied AFTER the window materializes _m (one window expr, not
+        # two): the match is the closest row in the direction, so
+        # bounding it post-choice == bounding the search
+        delta = F.abs(_us(F.col("_t")) - _us(F.col("_m")["_rt"]))
+        carried = carried.withColumn(
+            "_m", F.when(delta <= F.lit(int(tolerance)), F.col("_m")))
     out = carried.filter(F.col("_side") == 0)
     if how == "inner":
         out = out.filter(F.col("_m").isNotNull())
