@@ -1363,6 +1363,38 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_tok_col="n_chars")
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covered-time / utilization over overlapping intervals
+    (tsrollup.segments.interval_coverage): each event opens a 5-minute
+    activity lease [ts, ts+300s); per user, the UNION length of those
+    leases (overlaps merged, touching merges — half-open), island
+    count, span, utilization. The standard distributed interval-union:
+    running max-end gaps-and-islands on ONE per-user exchange — no
+    self-join, no interval explosion. All integer-µs exact; utilization
+    is the single IEEE division."""
+    from tsrollup.segments import interval_coverage
+
+    ev = _fact(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select("user_id", us.alias("start_us"),
+                   (us + F.lit(300_000_000)).alias("end_us"))
+    return interval_coverage(iv)
+
+
+def q_pair_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between event types
+    (tsrollup.counters.pair_correlation): per type pair, correlation of
+    hourly cents-volume series over the UNION grid (inactive side = 0,
+    recovered algebraically from marginal moments + the co-active
+    bucket self-join — no grid completion, one raw exchange). All
+    cross-moments exact decimal; emitted doubles < 2^53 (measured ~7e14
+    at sf0.1), sqrt/divide single-rounded IEEE — bit-exact vs DuckDB
+    HUGEINT arithmetic."""
+    from tsrollup.counters import pair_correlation
+
+    return pair_correlation(_fact(spark, sf_dir, "events"))
+
+
 def q_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus alert-rule evaluation
     (tsrollup.counters.threshold_episodes): value > 150 runs per
@@ -2272,6 +2304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "asof_nearest": q_asof_nearest,
         "asof_tolerance": q_asof_tolerance,
+        "pair_corr": q_pair_corr,
+        "interval_coverage": q_interval_coverage,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4623,6 +4657,81 @@ SELECT event_id, user_id,
        CASE WHEN t - te_us <= 120000000 THEN m_count END AS m_count,
        CASE WHEN t - te_us <= 120000000 THEN m_val_sum END AS m_val_sum
 FROM j
+"""
+
+    # correlation matrix: union-grid moments recovered from marginals +
+    # co-active Σxy, HUGEINT-exact until the final double cast (< 2^53)
+    sqls["pair_corr"] = """
+WITH g AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS b,
+         SUM((value::DECIMAL(18,2)*100)::BIGINT)::HUGEINT AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), marg AS (
+  SELECT k, COUNT(*)::BIGINT AS n, SUM(y)::HUGEINT AS sx,
+         SUM(y*y)::HUGEINT AS sxx
+  FROM g GROUP BY k
+), co AS (
+  SELECT a.k AS ck1, b.k AS ck2, COUNT(*)::BIGINT AS n_co,
+         SUM(a.y*b.y)::HUGEINT AS sxy
+  FROM g a JOIN g b ON a.b = b.b AND a.k < b.k
+  GROUP BY 1, 2
+), p AS (
+  SELECT m1.k AS key1, m2.k AS key2,
+         (m1.n + m2.n - COALESCE(n_co, 0))::HUGEINT AS nu,
+         (m1.n + m2.n - COALESCE(n_co, 0))::BIGINT AS n_buckets,
+         COALESCE(n_co, 0)::BIGINT AS n_co,
+         COALESCE(sxy, 0::HUGEINT) AS sxy,
+         m1.sx AS sx1, m1.sxx AS sxx1, m2.sx AS sx2, m2.sxx AS sxx2
+  FROM marg m1 JOIN marg m2 ON m1.k < m2.k
+  LEFT JOIN co ON ck1 = m1.k AND ck2 = m2.k
+), f AS (
+  SELECT key1, key2, n_buckets, n_co,
+         (nu*sxy - sx1*sx2)::DOUBLE AS corr_num,
+         (nu*sxx1 - sx1*sx1)::DOUBLE AS corr_denx,
+         (nu*sxx2 - sx2*sx2)::DOUBLE AS corr_deny
+  FROM p
+)
+SELECT key1, key2, n_buckets, n_co, corr_num, corr_denx, corr_deny,
+       CASE WHEN corr_denx > 0 AND corr_deny > 0
+            THEN corr_num / (sqrt(corr_denx) * sqrt(corr_deny))
+       END AS corr
+FROM f
+"""
+
+    # interval union via running-max-end gaps-and-islands (the
+    # utilization statistic); 5-minute half-open leases per event
+    sqls["interval_coverage"] = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events WHERE ts IS NOT NULL
+), fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+              THEN 1 ELSE 0 END AS nw
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS g
+  FROM fl
+), ext AS (
+  SELECT user_id, g, COUNT(*)::BIGINT AS n,
+         MIN(s) AS i_s, MAX(e) AS i_e
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, SUM(n)::BIGINT AS n_intervals,
+       COUNT(*)::BIGINT AS n_islands,
+       SUM(i_e - i_s)::BIGINT AS covered,
+       (MAX(i_e) - MIN(i_s))::BIGINT AS span,
+       CASE WHEN MAX(i_e) - MIN(i_s) > 0
+            THEN SUM(i_e - i_s)::BIGINT::DOUBLE
+                 / (MAX(i_e) - MIN(i_s))::BIGINT::DOUBLE
+       END AS utilization
+FROM ext GROUP BY user_id
 """
 
     # token-budget planning: basis-point rates by integer floor division

@@ -153,6 +153,8 @@ HEADLINE = [
     "token_budget",
     "asof_nearest",
     "asof_tolerance",
+    "pair_corr",
+    "interval_coverage",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

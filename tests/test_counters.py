@@ -1266,3 +1266,74 @@ class TestValueHeatmap:
 
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         assert n_data_exchanges(formatted_plan(value_heatmap(df))) == 1
+
+
+class TestPairCorrelation:
+    def test_matches_numpy_on_union_grid(self, spark):
+        import numpy as np
+
+        from tsrollup.counters import pair_correlation
+
+        rng = np.random.default_rng(23)
+        rows, series = [], {}
+        eid = 0
+        for k in ("a", "b", "c"):
+            hours = sorted(rng.choice(48, size=30, replace=False))
+            vals = {}
+            for h in hours:
+                for _ in range(int(rng.integers(1, 4))):
+                    v = round(float(rng.uniform(0.01, 400)), 2)
+                    rows.append((1, k, eid, int(h) * 3600, v))
+                    vals[h] = vals.get(h, 0) + round(v * 100)
+                    eid += 1
+            series[k] = vals
+        df = _events(spark, [_row(*r) for r in rows])
+        got = {(r.key1, r.key2): r
+               for r in pair_correlation(df).collect()}
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+        for (k1, k2), r in got.items():
+            union = sorted(set(series[k1]) | set(series[k2]))
+            x = np.array([series[k1].get(h, 0) for h in union], dtype=float)
+            y = np.array([series[k2].get(h, 0) for h in union], dtype=float)
+            assert r.n_buckets == len(union)
+            assert r.n_co == len(set(series[k1]) & set(series[k2]))
+            want = np.corrcoef(x, y)[0, 1]
+            assert abs(r.corr - want) < 1e-12, (k1, k2, r.corr, want)
+
+    def test_perfect_and_anti_correlation(self, spark):
+        from tsrollup.counters import pair_correlation
+
+        rows = []
+        for i, h in enumerate(range(6)):
+            rows.append(_row(1, "up", 10 + i, h * 3600, 10.0 * (i + 1)))
+            rows.append(_row(1, "dbl", 20 + i, h * 3600, 20.0 * (i + 1)))
+            rows.append(_row(1, "dn", 30 + i, h * 3600, 10.0 * (6 - i)))
+        out = {(r.key1, r.key2): r.corr
+               for r in pair_correlation(_events(spark, rows)).collect()}
+        assert out[("dbl", "up")] == 1.0
+        assert out[("dn", "up")] == -1.0
+
+    def test_zero_variance_yields_null_not_nan(self, spark):
+        from tsrollup.counters import pair_correlation
+
+        rows = [_row(1, "flat", i, i * 3600, 5.0) for i in range(4)]
+        rows += [_row(1, "move", 10 + i, i * 3600, float(i + 1))
+                 for i in range(4)]
+        out = pair_correlation(_events(spark, rows)).collect()
+        assert len(out) == 1
+        assert out[0].corr is None
+        assert out[0].corr_denx == 0.0 or out[0].corr_deny == 0.0
+
+    def test_disjoint_buckets_still_pair(self, spark):
+        from tsrollup.counters import pair_correlation
+
+        # a active hours 0-2, b active hours 5-7: n_co = 0, union = 6,
+        # zeros on the inactive side drive a negative correlation
+        rows = [_row(1, "a", i, i * 3600, 10.0) for i in range(3)]
+        rows += [_row(1, "b", 10 + i, (5 + i) * 3600, 10.0)
+                 for i in range(3)]
+        out = pair_correlation(_events(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_buckets == 6 and r.n_co == 0
+        assert r.corr == -1.0  # exact complementary indicator series

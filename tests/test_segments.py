@@ -200,3 +200,66 @@ class TestFunnelCounts:
         # per-user sessionize exchange + the single-row global summary;
         # the k chained windows and the per-session regroup add NONE
         assert n_data_exchanges(plan) == 2, plan
+
+
+class TestIntervalCoverage:
+    def _cov(self, spark, rows):
+        from tsrollup.segments import interval_coverage
+
+        df = spark.createDataFrame(rows, "user_id long, start_us long, "
+                                         "end_us long")
+        return {r.user_id: r for r in interval_coverage(df).collect()}
+
+    def test_overlap_touch_and_gap(self, spark):
+        out = self._cov(spark, [
+            (1, 0, 10), (1, 5, 20),    # overlap -> one island [0,20)
+            (1, 20, 30),               # touching merges (half-open)
+            (1, 100, 110),             # gap -> second island
+            (2, 0, 50), (2, 60, 70),
+        ])
+        r1 = out[1]
+        assert r1.n_intervals == 4 and r1.n_islands == 2
+        assert r1.covered == 40 and r1.span == 110
+        assert r1.utilization == 40.0 / 110.0
+        r2 = out[2]
+        assert r2.n_islands == 2 and r2.covered == 60 and r2.span == 70
+
+    def test_contained_and_inverted_and_empty(self, spark):
+        out = self._cov(spark, [
+            (1, 0, 100), (1, 10, 20),   # contained: no extra coverage
+            (1, 200, 150),              # inverted: dropped
+            (1, 300, 300),              # empty [s,s): dropped
+        ])
+        r = out[1]
+        assert r.n_intervals == 2 and r.n_islands == 1
+        assert r.covered == 100 and r.span == 100 and r.utilization == 1.0
+
+    def test_matches_brute_force_random(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(31)
+        rows = []
+        truth = {}
+        for uid in range(6):
+            ivs = []
+            for _ in range(40):
+                s = int(rng.integers(0, 1000))
+                e = s + int(rng.integers(1, 80))
+                rows.append((uid, s, e))
+                ivs.append((s, e))
+            covered = np.zeros(1200, dtype=bool)
+            for s, e in ivs:
+                covered[s:e] = True
+            truth[uid] = int(covered.sum())
+        out = self._cov(spark, rows)
+        for uid, want in truth.items():
+            assert out[uid].covered == want, (uid, out[uid].covered, want)
+
+    def test_single_exchange_plan(self, spark):
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+        from tsrollup.segments import interval_coverage
+
+        df = spark.createDataFrame([(1, 0, 10)],
+                                   "user_id long, start_us long, end_us long")
+        plan = formatted_plan(interval_coverage(df))
+        assert n_data_exchanges(plan) == 1, plan

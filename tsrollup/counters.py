@@ -1466,3 +1466,101 @@ def value_heatmap(events: DataFrame, ts_col: str = "ts",
                     (F.col("_bin") * int(bin_cents)).cast("double")
                     .alias("bin_low_cents"),
                     "n"))
+
+
+def pair_correlation(events: DataFrame, key_col: str = "event_type",
+                     ts_col: str = "ts", value_col: str = "value",
+                     bucket: str = "hour") -> DataFrame:
+    """Pearson correlation MATRIX between per-key bucket volumes — "do
+    these two metrics move together" (TimescaleDB ``corr()``, kdb
+    ``cor``; the pairwise twin of :func:`trend_slope`'s single-series
+    regression). Per key, samples aggregate to a ``date_trunc(bucket)``
+    cents-sum series; per key pair (key1 < key2), the correlation runs
+    over the UNION of the two keys' active buckets with the inactive
+    side counted as 0 — an hour where one metric traded and the other
+    didn't is genuine anti-co-movement signal, not missing data.
+
+    Exactness (the trend_slope discipline): every cross-moment is an
+    exact 128-bit decimal sum of int64 cents products, and the union
+    grid needs NO grid completion — zeros contribute nothing to any
+    sum, so marginal moments (n, Σx, Σx² per key) plus the co-active
+    Σxy (inner self-join on the bucket) recover the union-grid moments
+    algebraically: n_union = n1 + n2 − n_co. The emitted doubles
+    (num = n·Σxy − Σx·Σy and the two variance terms) convert exactly
+    while |value| < 2^53 (measured ~7e14 at sf0.1 — 12× headroom);
+    corr is then one division of two single-rounded IEEE terms
+    (sqrt is correctly rounded by IEEE 754), bit-identical cross-engine.
+    A constant or empty side (zero variance) emits NULL corr, not NaN.
+
+    Shape: ONE raw-data pass — the grid aggregation is materialized
+    once (localCheckpoint, the dedup-clustering discipline) because the
+    marginal rollup and BOTH sides of the co-active self-join read it;
+    without the pin Spark recomputes the full raw scan+exchange for
+    each of the three references (measured: 4 raw scans → 1; the 4
+    remaining exchanges are all grid-grain). Everything after runs at
+    grid grain (K·B rows). The
+    co-active self-join is an equi-join on the bucket producing ≤ K²
+    rows per bucket — the inherent correlation-matrix cost; for large K
+    cap the key set (or block the matrix) upstream. The marginal pair
+    frame is K×K tiny (broadcast, known-benign cartesian).
+
+    Output: key1, key2, n_buckets (long, union grid), n_co (long),
+    corr_num, corr_denx, corr_deny (doubles, exact per the bound),
+    corr (double, NULL on zero variance).
+    """
+    if bucket not in _BUCKET_US and bucket != "day":
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    g = (events.filter(F.col(value_col).isNotNull()
+                       & F.col(key_col).isNotNull())
+         .groupBy(F.col(key_col).alias("_k"),
+                  F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+         .agg(F.sum(cents.cast("decimal(18,0)")).cast("decimal(18,0)")
+              .alias("_y")))
+    # three consumers (marginals + both self-join sides): pin the tiny
+    # grid once so the raw scan/exchange never recomputes
+    g = g.localCheckpoint(eager=True)
+    marg = (g.groupBy("_k")
+            .agg(F.count("*").cast("long").alias("_n"),
+                 F.sum("_y").cast("decimal(38,0)").alias("_sx"),
+                 F.sum(F.col("_y") * F.col("_y")).cast("decimal(38,0)")
+                 .alias("_sxx")))
+    a = g.select(F.col("_k").alias("_k1"), "_b", F.col("_y").alias("_ya"))
+    b = g.select(F.col("_k").alias("_k2"), "_b", F.col("_y").alias("_yb"))
+    co = (a.join(b, ["_b"])
+          .filter(F.col("_k1") < F.col("_k2"))
+          .groupBy("_k1", "_k2")
+          .agg(F.count("*").cast("long").alias("_nco"),
+               F.sum(F.col("_ya") * F.col("_yb")).cast("decimal(38,0)")
+               .alias("_sxy")))
+    m1 = marg.select(F.col("_k").alias("key1"), F.col("_n").alias("_n1"),
+                     F.col("_sx").alias("_sx1"),
+                     F.col("_sxx").alias("_sxx1"))
+    m2 = marg.select(F.col("_k").alias("key2"), F.col("_n").alias("_n2"),
+                     F.col("_sx").alias("_sx2"),
+                     F.col("_sxx").alias("_sxx2"))
+    z = F.lit(0).cast("decimal(38,0)")
+    p = (m1.join(m2, F.col("key1") < F.col("key2"))
+         .join(co, (F.col("key1") == F.col("_k1"))
+               & (F.col("key2") == F.col("_k2")), "left")
+         .select("key1", "key2",
+                 (F.col("_n1") + F.col("_n2")
+                  - F.coalesce(F.col("_nco"), F.lit(0))).alias("n_buckets"),
+                 F.coalesce(F.col("_nco"), F.lit(0)).alias("n_co"),
+                 F.coalesce(F.col("_sxy"), z).alias("_sxy"),
+                 "_sx1", "_sxx1", "_sx2", "_sxx2"))
+    nd = F.col("n_buckets").cast("decimal(10,0)")
+    num = nd * F.col("_sxy") - F.col("_sx1") * F.col("_sx2")
+    denx = nd * F.col("_sxx1") - F.col("_sx1") * F.col("_sx1")
+    deny = nd * F.col("_sxx2") - F.col("_sx2") * F.col("_sx2")
+    return (p.select(
+        "key1", "key2", "n_buckets", "n_co",
+        num.cast("double").alias("corr_num"),
+        denx.cast("double").alias("corr_denx"),
+        deny.cast("double").alias("corr_deny"))
+        .withColumn("corr",
+                    F.when((F.col("corr_denx") > 0.0)
+                           & (F.col("corr_deny") > 0.0),
+                           F.col("corr_num")
+                           / (F.sqrt(F.col("corr_denx"))
+                              * F.sqrt(F.col("corr_deny"))))))

@@ -178,3 +178,66 @@ def funnel_counts(events: DataFrame,
         for i, s in enumerate(steps)])
     return (totals.select(F.explode(rows).alias("r")).select("r.*")
             .filter(F.col("n_total") > 0))
+
+
+def interval_coverage(intervals: DataFrame,
+                      key_cols: tuple[str, ...] = ("user_id",),
+                      start_col: str = "start_us",
+                      end_col: str = "end_us") -> DataFrame:
+    """Covered-time aggregation over possibly-OVERLAPPING half-open
+    intervals ``[start, end)`` — "how much wall-clock was this key
+    actually active", the utilization/uptime statistic (SQL
+    gaps-and-islands with a running max-end; the overlap-tolerant twin
+    of :func:`sessionize`, whose sessions never overlap by
+    construction). Overlapping and TOUCHING intervals merge (half-open:
+    ``[0,10)`` + ``[10,20)`` is continuous coverage).
+
+    Exactness: starts/ends are exact integers (µs or any integer axis);
+    island detection is `start > running max of prior ends` (strict —
+    touching merges), island extents are min/max integers, and
+    ``utilization`` is the single IEEE division covered/span.
+
+    Shape: ONE exchange on the key — the ordered island window, the
+    (key, island) extent aggregation, and the per-key rollup all
+    cluster on a superset of the key, so EnsureRequirements reuses the
+    window's hash exchange end-to-end (plan-guarded in tests). This is
+    the standard distributed interval-union: no self-join, no
+    interval explosion, linear in the interval count.
+
+    Output: key_cols…, n_intervals (long), n_islands (long),
+    covered (long, Σ island extents), span (long, max end − min start),
+    utilization (double, NULL when span is 0).
+    """
+    kc = list(key_cols)
+    # empty [s,s) and inverted intervals cover nothing — dropped up
+    # front (NULL bounds likewise; an island seeded by one would
+    # corrupt the running max)
+    iv = (intervals
+          .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+          .select(*kc, F.col(start_col).cast("long").alias("_s"),
+                  F.col(end_col).cast("long").alias("_e"))
+          .filter(F.col("_e") > F.col("_s")))
+    w = Window.partitionBy(*kc).orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flag = F.when(prev_max_end.isNull()
+                  | (F.col("_s") > prev_max_end), 1).otherwise(0)
+    flagged = iv.withColumn("_new", flag)
+    island = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ext = (flagged.withColumn("_isl", island)
+           .groupBy(*kc, "_isl")
+           .agg(F.count("*").cast("long").alias("_n"),
+                F.min("_s").alias("_is"),
+                F.max("_e").alias("_ie")))
+    out = (ext.groupBy(*kc)
+           .agg(F.sum("_n").cast("long").alias("n_intervals"),
+                F.count("*").cast("long").alias("n_islands"),
+                F.sum(F.col("_ie") - F.col("_is")).cast("long")
+                .alias("covered"),
+                (F.max("_ie") - F.min("_is")).cast("long").alias("span")))
+    return out.withColumn(
+        "utilization",
+        F.when(F.col("span") > 0,
+               F.col("covered").cast("double")
+               / F.col("span").cast("double")))
