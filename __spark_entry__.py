@@ -1363,6 +1363,21 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_tok_col="n_chars")
 
 
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving LTTB downsampling, fixed-anchor parallel
+    variant (tsrollup.counters.lttb_downsample): per event_type series,
+    64 pixel buckets, keep the sample forming the largest triangle with
+    the neighbor buckets' centroids (endpoints pinned). The argmax is
+    decided on exact integers (µs offsets × cents inside decimal38 /
+    HUGEINT) and the emitted t/v are raw passthroughs, so the oracle
+    match is byte-for-byte. m4_downsample's single-series-exchange
+    pattern."""
+    from tsrollup.counters import lttb_downsample
+
+    return lttb_downsample(_fact(spark, sf_dir, "events"), n_buckets=64,
+                           series_col="event_type")
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covered-time / utilization over overlapping intervals
     (tsrollup.segments.interval_coverage): each event opens a 5-minute
@@ -2306,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "pair_corr": q_pair_corr,
         "interval_coverage": q_interval_coverage,
+        "lttb": q_lttb,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4732,6 +4748,54 @@ SELECT user_id, SUM(n)::BIGINT AS n_intervals,
                  / (MAX(i_e) - MIN(i_s))::BIGINT::DOUBLE
        END AS utilization
 FROM ext GROUP BY user_id
+"""
+
+    # fixed-anchor LTTB: integer triangle-area argmax (HUGEINT), raw
+    # t/v passthrough; unified sort key folds the first/last/interior
+    # bucket orderings into one ROW_NUMBER
+    sqls["lttb"] = """
+WITH pt AS (
+  SELECT event_type AS series, ts AS t, event_id AS id, value AS v,
+         (value::DECIMAL(18,2)*100)::BIGINT AS yc, epoch_us(ts) AS us
+  FROM events WHERE value IS NOT NULL
+), st AS (
+  SELECT series, t, id, v, yc,
+         us - MIN(us) OVER ws AS x,
+         ((us - MIN(us) OVER ws) * 64)
+           // (MAX(us) OVER ws - MIN(us) OVER ws + 1) AS bucket
+  FROM pt WINDOW ws AS (PARTITION BY series)
+), bk AS (
+  SELECT series, bucket, COUNT(*)::BIGINT AS n,
+         SUM(x)::HUGEINT AS sx, SUM(yc)::HUGEINT AS sy
+  FROM st GROUP BY 1, 2
+), an AS (
+  SELECT series, bucket, n,
+         LAG(n) OVER w AS np, LAG(sx) OVER w AS sxp,
+         LAG(sy) OVER w AS syp,
+         LEAD(n) OVER w AS nn, LEAD(sx) OVER w AS sxn,
+         LEAD(sy) OVER w AS syn
+  FROM bk WINDOW w AS (PARTITION BY series ORDER BY bucket)
+), sc AS (
+  SELECT st.series, st.bucket, an.n, st.t, st.id, st.v, st.x,
+         an.np, an.nn,
+         CASE WHEN an.np IS NOT NULL AND an.nn IS NOT NULL THEN
+           abs( (an.sxp*an.nn - an.sxn*an.np)
+                  * (st.yc*an.np - an.syp)
+              - (an.sxp - st.x*an.np)
+                  * (an.syn*an.np - an.syp*an.nn) )
+         END AS score
+  FROM st JOIN an USING (series, bucket)
+), rk AS (
+  SELECT series, bucket, n, t, v, ROW_NUMBER() OVER (
+    PARTITION BY series, bucket
+    ORDER BY CASE WHEN np IS NULL OR nn IS NULL THEN 0::HUGEINT
+                  ELSE -score END,
+             CASE WHEN nn IS NULL AND np IS NOT NULL THEN -x ELSE x END,
+             CASE WHEN nn IS NULL AND np IS NOT NULL THEN -id
+                  ELSE id END) AS rk
+  FROM sc
+)
+SELECT series, bucket, n, t, v FROM rk WHERE rk = 1
 """
 
     # token-budget planning: basis-point rates by integer floor division

@@ -1337,3 +1337,94 @@ class TestPairCorrelation:
         r = out[0]
         assert r.n_buckets == 6 and r.n_co == 0
         assert r.corr == -1.0  # exact complementary indicator series
+
+
+class TestLttbDownsample:
+    def _ref(self, xs, ys_cents, n_buckets):
+        """Python-int reference of the fixed-anchor LTTB selection."""
+        lo, hi = min(xs), max(xs)
+        span = hi - lo
+        buckets = {}
+        for i, (x, y) in enumerate(zip(xs, ys_cents)):
+            b = ((x - lo) * n_buckets) // (span + 1)
+            buckets.setdefault(b, []).append((x - lo, y, i))
+        order = sorted(buckets)
+        sel = {}
+        for pos, b in enumerate(order):
+            pts = buckets[b]
+            if pos == 0:
+                sel[b] = min(pts, key=lambda p: (p[0], p[2]))[2]
+                continue
+            if pos == len(order) - 1:
+                sel[b] = max(pts, key=lambda p: (p[0], p[2]))[2]
+                continue
+            pb, nb = buckets[order[pos - 1]], buckets[order[pos + 1]]
+            np_, nn = len(pb), len(nb)
+            sxp, syp = sum(p[0] for p in pb), sum(p[1] for p in pb)
+            sxn, syn = sum(p[0] for p in nb), sum(p[1] for p in nb)
+            best = None
+            for x, y, i in pts:
+                f1 = sxp * nn - sxn * np_
+                g1 = y * np_ - syp
+                f2 = sxp - x * np_
+                g2 = syn * np_ - syp * nn
+                score = abs(f1 * g1 - f2 * g2)
+                key = (-score, x, i)
+                if best is None or key < best[0]:
+                    best = (key, i)
+            sel[b] = best[1]
+        return sel  # bucket -> original index
+
+    def test_matches_python_int_reference(self, spark):
+        import numpy as np
+
+        from tsrollup.counters import lttb_downsample
+
+        rng = np.random.default_rng(41)
+        n = 500
+        xs = sorted(int(v) for v in
+                    rng.choice(10**9, size=n, replace=False))
+        vals = [round(float(rng.uniform(0.01, 400)), 2) for _ in range(n)]
+        cents = [round(v * 100) for v in vals]
+        rows = [(1, "a", i, T0 + dt.timedelta(microseconds=xs[i]), vals[i])
+                for i in range(n)]
+        out = lttb_downsample(_events(spark, rows), n_buckets=32).collect()
+        want = self._ref(xs, cents, 32)
+        assert len(out) == len(want)
+        got = {r.bucket: r for r in out}
+        for b, idx in want.items():
+            assert got[b].v == vals[idx], (b, got[b].v, vals[idx])
+
+    def test_endpoints_and_bucket_cardinality(self, spark):
+        import numpy as np
+
+        from tsrollup.counters import lttb_downsample
+
+        rng = np.random.default_rng(43)
+        rows = [(1, "a", i, T0 + dt.timedelta(seconds=int(s)),
+                 float(rng.uniform(1, 100)))
+                for i, s in enumerate(sorted(
+                    rng.choice(86400, size=300, replace=False)))]
+        df = _events(spark, rows)
+        out = sorted(lttb_downsample(df, n_buckets=16).collect(),
+                     key=lambda r: r.bucket)
+        assert len({r.bucket for r in out}) == len(out)  # one per bucket
+        assert out[0].t == rows[0][3] and out[0].v == rows[0][4]
+        assert out[-1].t == rows[-1][3] and out[-1].v == rows[-1][4]
+        assert sum(r.n for r in out) == len(rows)
+
+    def test_interior_spike_is_kept(self, spark):
+        from tsrollup.counters import lttb_downsample
+
+        rows = [(1, "a", i, T0 + dt.timedelta(seconds=i * 10), 50.0)
+                for i in range(100)]
+        rows[47] = (1, "a", 47, T0 + dt.timedelta(seconds=470), 400.0)
+        out = lttb_downsample(_events(spark, rows), n_buckets=10).collect()
+        assert any(r.v == 400.0 for r in out)
+
+    def test_too_few_buckets_rejected(self, spark):
+        from tsrollup.counters import lttb_downsample
+
+        with pytest.raises(ValueError):
+            lttb_downsample(_events(spark, [_row(1, "a", 0, 0, 1.0)]),
+                            n_buckets=2)

@@ -1564,3 +1564,99 @@ def pair_correlation(events: DataFrame, key_col: str = "event_type",
                            F.col("corr_num")
                            / (F.sqrt(F.col("corr_denx"))
                               * F.sqrt(F.col("corr_deny"))))))
+
+
+def lttb_downsample(events: DataFrame, n_buckets: int = 64,
+                    series_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    value_col: str = "value") -> DataFrame:
+    """LTTB-style shape-preserving downsampling (Steinarsson's
+    Largest-Triangle-Three-Buckets, the Grafana/PlotJuggler default),
+    in the FIXED-ANCHOR parallel variant: per pixel bucket keep the one
+    sample forming the largest triangle with the neighboring buckets'
+    centroids. Classic LTTB anchors the triangle on the previously
+    SELECTED point — a sequential chain unusable on a cluster; with
+    both anchors as bucket centroids the selection is embarrassingly
+    parallel per bucket, deterministic, and visually near-identical
+    (each centroid differs from the selected point by less than a
+    pixel column). First/last buckets keep the series' first/last
+    sample — the LTTB endpoint contract.
+
+    Exactness: the argmax is decided on EXACT integers only. With
+    centroids a = (Σxp/np, Σyp/np), c = (Σxn/nn, Σyn/nn) and candidate
+    b = (xb, yb), twice the triangle area is
+    |(xa−xc)(yb−ya) − (xa−xb)(yc−ya)|; multiplying through by the
+    bucket-constant positive denominator np²·nn gives the integer
+    score |f1·g1 − f2·g2| with f1 = Σxp·nn − Σxn·np, g1 = yb·np − Σyp,
+    f2 = Σxp − xb·np, g2 = Σyn·np − Σyp·nn (x in µs offsets, y in int64
+    cents, all products inside decimal(38,0) / DuckDB HUGEINT; the
+    cents quantization only affects WHICH sample is picked, never the
+    emitted value). Ties break by
+    (t, id). The emitted t/v are RAW passthroughs — zero float
+    arithmetic touches the output, so any engine agreeing on the
+    argmax agrees on every byte.
+
+    Shape: the m4_downsample single-series-exchange pattern — bucket
+    assignment by exact integer div, per-bucket centroid sums at
+    bucket grain, lag/lead anchors along the bucket axis, and the
+    join back to candidates all cluster on (a superset of) the series
+    key. Empty pixel columns simply don't appear; anchors come from
+    the nearest non-empty neighbor buckets (the practical LTTB-on-
+    gappy-data behavior).
+
+    Output: series, bucket (long), n (long), t (timestamp), v (double).
+    """
+    if n_buckets < 3:
+        raise ValueError("n_buckets must be >= 3 (endpoints + interior)")
+    named = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(series_col).alias("series"), F.col(ts_col).alias("t"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("v"),
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+        .alias("_yc"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"))
+    ws = Window.partitionBy("series")
+    lo = F.min("_us").over(ws)
+    span = F.max("_us").over(ws) - lo
+    staged = (named.select(
+        "series", "t", "_id", "v", "_yc",
+        (F.col("_us") - lo).alias("_x"),
+        ((F.col("_us") - lo) * n_buckets).alias("_num"),
+        (span + 1).alias("_den"))
+        .withColumn("bucket", F.expr("_num div _den"))
+        .drop("_num", "_den"))
+    xd = F.col("_x").cast("decimal(20,0)")
+    yd = F.col("_yc").cast("decimal(20,0)")
+    bkt = (staged.groupBy("series", "bucket")
+           .agg(F.count("*").cast("long").alias("_n"),
+                F.sum(xd).cast("decimal(28,0)").alias("_sx"),
+                F.sum(yd).cast("decimal(28,0)").alias("_sy")))
+    wb = Window.partitionBy("series").orderBy("bucket")
+    anch = bkt.select(
+        "series", "bucket", F.col("_n").alias("n"),
+        F.lag("_n").over(wb).alias("_np"),
+        F.lag("_sx").over(wb).alias("_sxp"),
+        F.lag("_sy").over(wb).alias("_syp"),
+        F.lead("_n").over(wb).alias("_nn"),
+        F.lead("_sx").over(wb).alias("_sxn"),
+        F.lead("_sy").over(wb).alias("_syn"))
+    j = staged.join(anch, ["series", "bucket"])
+    npd = F.col("_np").cast("decimal(10,0)")
+    nnd = F.col("_nn").cast("decimal(10,0)")
+    f1 = (F.col("_sxp") * nnd - F.col("_sxn") * npd).cast("decimal(38,0)")
+    g1 = (yd * npd - F.col("_syp")).cast("decimal(38,0)")
+    f2 = (F.col("_sxp") - xd * npd).cast("decimal(38,0)")
+    g2 = (F.col("_syn") * npd - F.col("_syp") * nnd).cast("decimal(38,0)")
+    scored = j.withColumn("_score", F.abs(f1 * g1 - f2 * g2))
+    wsel = Window.partitionBy("series", "bucket")
+    rank = F.when(
+        F.col("_np").isNull(),                      # first bucket: first pt
+        F.row_number().over(wsel.orderBy("_x", "_id"))
+    ).when(
+        F.col("_nn").isNull(),                      # last bucket: last pt
+        F.row_number().over(wsel.orderBy(F.desc("_x"), F.desc("_id")))
+    ).otherwise(                                    # interior: max area
+        F.row_number().over(wsel.orderBy(F.desc("_score"), "_x", "_id")))
+    return (scored.withColumn("_rk", rank)
+            .filter(F.col("_rk") == 1)
+            .select("series", "bucket", "n", "t", "v"))
