@@ -1363,9 +1363,13 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_tok_col="n_chars")
 
 
-def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shape-preserving LTTB downsampling, fixed-anchor parallel
-    variant (tsrollup.counters.lttb_downsample): per event_type series,
+def q_lttb_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving LTTB downsampling of LONG-format event series,
+    fixed-anchor parallel variant (tsrollup.counters.lttb_downsample;
+    the distributed, oracle-checked sibling of the per-doc classic-LTTB
+    `lttb` query — features.lttb chains on the previously selected
+    point inside one doc row, this one serves the Grafana long-table
+    case): per event_type series,
     64 pixel buckets, keep the sample forming the largest triangle with
     the neighbor buckets' centroids (endpoints pinned). The argmax is
     decided on exact integers (µs offsets × cents inside decimal38 /
@@ -2321,7 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "pair_corr": q_pair_corr,
         "interval_coverage": q_interval_coverage,
-        "lttb": q_lttb,
+        "lttb_series": q_lttb_series,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4753,7 +4757,7 @@ FROM ext GROUP BY user_id
     # fixed-anchor LTTB: integer triangle-area argmax (HUGEINT), raw
     # t/v passthrough; unified sort key folds the first/last/interior
     # bucket orderings into one ROW_NUMBER
-    sqls["lttb"] = """
+    sqls["lttb_series"] = """
 WITH pt AS (
   SELECT event_type AS series, ts AS t, event_id AS id, value AS v,
          (value::DECIMAL(18,2)*100)::BIGINT AS yc, epoch_us(ts) AS us

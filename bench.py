@@ -155,7 +155,7 @@ HEADLINE = [
     "asof_tolerance",
     "pair_corr",
     "interval_coverage",
-    "lttb",
+    "lttb_series",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -1574,7 +1574,10 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 64,
     Largest-Triangle-Three-Buckets, the Grafana/PlotJuggler default),
     in the FIXED-ANCHOR parallel variant: per pixel bucket keep the one
     sample forming the largest triangle with the neighboring buckets'
-    centroids. Classic LTTB anchors the triangle on the previously
+    centroids. This is the LONG-format distributed sibling of
+    :func:`tsrollup.features.lttb` (which runs the CLASSIC sequential
+    chain per doc row, where the series already sits in one task).
+    Classic LTTB anchors the triangle on the previously
     SELECTED point — a sequential chain unusable on a cluster; with
     both anchors as bucket centroids the selection is embarrassingly
     parallel per bucket, deterministic, and visually near-identical
