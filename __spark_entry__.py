@@ -1382,6 +1382,57 @@ def q_lttb_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                            series_col="event_type")
 
 
+def q_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness / watermark-sizing profile
+    (tsrollup.counters.disorder_stats): replay events in arrival
+    (event_id) order per user and measure how far each timestamp lags
+    the running max — max_lateness_us IS the minimal withWatermark
+    delay that would drop nothing. Integer-µs exact, one per-series
+    exchange."""
+    from tsrollup.counters import disorder_stats
+
+    return disorder_stats(_fact(spark, sf_dir, "events"))
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion deterministic 8/1/1 split per source
+    (tsrollup.text.stratified_split): md5-rank shuffle, rank→slot by
+    exact integer div — per-stratum counts within 1 doc of ideal,
+    unlike hash_split's in-expectation buckets. Reports per
+    (source, split) doc and char totals."""
+    from tsrollup.text import stratified_split
+
+    d = stratified_split(_docs(spark, sf_dir))
+    return (d.groupBy("source", "split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).cast("long")
+                 .alias("n_chars")))
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: parse the events table's JSON
+    ``props`` string with Spark's NATIVE from_json (typed schema, JVM
+    JSON parser — the production path for web-scale event payloads;
+    malformed/missing keys yield NULL, never an error) and aggregate
+    the extracted integer per event_type. Exact int64 sums/extremes;
+    the mean is one IEEE division. Oracle: DuckDB's JSON extension
+    (props->>'k')."""
+    ev = _fact(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    return (ev.select("event_type", k.alias("_k"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.count("_k").cast("long").alias("n_with_k"),
+                 F.sum("_k").cast("long").alias("sum_k"),
+                 F.min("_k").cast("long").alias("min_k"),
+                 F.max("_k").cast("long").alias("max_k"),
+                 F.countDistinct("_k").cast("long").alias("n_distinct_k"))
+            .withColumn("mean_k",
+                        F.when(F.col("n_with_k") > 0,
+                               F.col("sum_k").cast("double")
+                               / F.col("n_with_k").cast("double"))))
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covered-time / utilization over overlapping intervals
     (tsrollup.segments.interval_coverage): each event opens a 5-minute
@@ -2326,6 +2377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_corr": q_pair_corr,
         "interval_coverage": q_interval_coverage,
         "lttb_series": q_lttb_series,
+        "disorder": q_disorder,
+        "stratified_split": q_stratified_split,
+        "json_props": q_json_props,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4800,6 +4854,71 @@ WITH pt AS (
   FROM sc
 )
 SELECT series, bucket, n, t, v FROM rk WHERE rk = 1
+"""
+
+    # watermark sizing: lateness vs the running max ts in arrival order
+    sqls["disorder"] = """
+WITH st AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+), lagd AS (
+  SELECT user_id, us,
+         MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pm
+  FROM st
+), sc AS (
+  SELECT user_id,
+         CASE WHEN pm IS NOT NULL AND us < pm THEN 1 ELSE 0 END AS late,
+         CASE WHEN pm IS NOT NULL AND us < pm THEN pm - us
+              ELSE 0 END AS lat
+  FROM lagd
+)
+SELECT user_id, COUNT(*)::BIGINT AS n, SUM(late)::BIGINT AS n_late,
+       SUM(late)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS late_frac,
+       MAX(lat)::BIGINT AS max_lateness_us,
+       SUM(lat)::BIGINT AS sum_lateness_us,
+       CASE WHEN SUM(late) > 0
+            THEN SUM(lat)::BIGINT::DOUBLE / SUM(late)::BIGINT::DOUBLE
+       END AS avg_lateness_us
+FROM sc GROUP BY user_id
+"""
+
+    # exact-proportion md5-rank split: rank r of n -> slot (r*10) // n,
+    # slots [0,8) train / [8,9) val / [9,10) test
+    sqls["stratified_split"] = """
+WITH rk AS (
+  SELECT source, n_chars,
+         (ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY md5(doc_id::VARCHAR), doc_id)
+          - 1)::BIGINT AS r0,
+         COUNT(*) OVER (PARTITION BY source)::BIGINT AS n
+  FROM documents
+), asg AS (
+  SELECT source, n_chars, (r0 * 10) // n AS v FROM rk
+)
+SELECT source,
+       CASE WHEN v < 8 THEN 'train' WHEN v < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars::BIGINT)::BIGINT AS n_chars
+FROM asg GROUP BY 1, 2
+"""
+
+    # semi-structured surface: typed JSON extraction, NULL on absence
+    sqls["json_props"] = """
+WITH x AS (
+  SELECT event_type, (props->>'k')::BIGINT AS k FROM events
+)
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       COUNT(k)::BIGINT AS n_with_k,
+       SUM(k)::BIGINT AS sum_k, MIN(k)::BIGINT AS min_k,
+       MAX(k)::BIGINT AS max_k,
+       COUNT(DISTINCT k)::BIGINT AS n_distinct_k,
+       CASE WHEN COUNT(k) > 0
+            THEN SUM(k)::BIGINT::DOUBLE / COUNT(k)::BIGINT::DOUBLE
+       END AS mean_k
+FROM x GROUP BY event_type
 """
 
     # token-budget planning: basis-point rates by integer floor division

@@ -156,6 +156,9 @@ HEADLINE = [
     "pair_corr",
     "interval_coverage",
     "lttb_series",
+    "disorder",
+    "stratified_split",
+    "json_props",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -1428,3 +1428,35 @@ class TestLttbDownsample:
         with pytest.raises(ValueError):
             lttb_downsample(_events(spark, [_row(1, "a", 0, 0, 1.0)]),
                             n_buckets=2)
+
+
+class TestDisorderStats:
+    def test_hand_built_lateness(self, spark):
+        from tsrollup.counters import disorder_stats
+
+        rows = [_row(1, "a", i, s, 1.0)
+                for i, s in enumerate([10, 20, 15, 30, 5])]
+        out = disorder_stats(_events(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        # arrival (id) order: ts 15 lags max 20 by 5s; ts 5 lags 30 by 25s
+        assert r.n == 5 and r.n_late == 2
+        assert r.max_lateness_us == 25_000_000
+        assert r.sum_lateness_us == 30_000_000
+        assert r.late_frac == 2.0 / 5.0
+        assert r.avg_lateness_us == 15_000_000.0
+
+    def test_in_order_series_null_avg(self, spark):
+        from tsrollup.counters import disorder_stats
+
+        rows = [_row(2, "a", i, i * 10, 1.0) for i in range(4)]
+        r = disorder_stats(_events(spark, rows)).collect()[0]
+        assert r.n_late == 0 and r.max_lateness_us == 0
+        assert r.late_frac == 0.0 and r.avg_lateness_us is None
+
+    def test_single_exchange(self, spark):
+        from tsrollup.counters import disorder_stats
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        assert n_data_exchanges(formatted_plan(disorder_stats(df))) == 1

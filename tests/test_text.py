@@ -493,3 +493,48 @@ class TestTokenBudget:
 
         with _pytest.raises(ValueError):
             token_budget(self._docs(spark), budgets={"a": -1})
+
+
+class TestStratifiedSplit:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_exact_proportions_per_stratum(self, spark):
+        from tsrollup.text import stratified_split
+
+        rows = [(i, "a") for i in range(100)] + \
+               [(1000 + i, "b") for i in range(7)]
+        out = stratified_split(self._docs(spark, rows),
+                               weights=(("train", 8), ("val", 1),
+                                        ("test", 1))).collect()
+        counts = {}
+        for r in out:
+            counts[(r.source, r.split)] = counts.get((r.source, r.split),
+                                                     0) + 1
+        assert counts[("a", "train")] == 80
+        assert counts[("a", "val")] == 10 and counts[("a", "test")] == 10
+        # n=7, W=10: every split count within 1 of ideal 5.6/0.7/0.7
+        assert counts[("b", "train")] == 6
+        assert counts.get(("b", "val"), 0) == 1
+        assert counts.get(("b", "test"), 0) == 0 or \
+            counts.get(("b", "test"), 0) == 1
+
+    def test_deterministic_and_order_invariant(self, spark):
+        from tsrollup.text import stratified_split
+
+        rows = [(i, "s") for i in range(50)]
+        a = {r.doc_id: r.split for r in stratified_split(
+            self._docs(spark, rows)).collect()}
+        b = {r.doc_id: r.split for r in stratified_split(
+            self._docs(spark, list(reversed(rows))).repartition(7)
+        ).collect()}
+        assert a == b
+
+    def test_bad_weights_rejected(self, spark):
+        from tsrollup.text import stratified_split
+
+        df = self._docs(spark, [(1, "s")])
+        with pytest.raises(ValueError):
+            stratified_split(df, weights=(("a", 1),))
+        with pytest.raises(ValueError):
+            stratified_split(df, weights=(("a", 1), ("b", 0)))

@@ -1663,3 +1663,54 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 64,
     return (scored.withColumn("_rk", rank)
             .filter(F.col("_rk") == 1)
             .select("series", "bucket", "n", "t", "v"))
+
+
+def disorder_stats(events: DataFrame,
+                   series_cols: Sequence[str] = ("user_id",),
+                   ts_col: str = "ts",
+                   id_col: str = "event_id") -> DataFrame:
+    """Out-of-orderness profile per series — the measurement that SIZES a
+    streaming watermark (`withWatermark` delay) before deploying the
+    stream: replay the batch in arrival order (``id_col`` ascending, the
+    ingestion sequence) and ask how far each event's timestamp lags the
+    maximum timestamp already seen. ``max_lateness_us`` IS the minimal
+    watermark delay that would have dropped nothing; ``late_frac`` and
+    the lateness mass say how much a tighter delay loses.
+
+    Exactness: running max over exact integer µs; lateness sums/maxima
+    int64; ``late_frac`` and ``avg_lateness_us`` are single IEEE
+    divisions of exactly-converted int64 (NULL, not NaN, on empty
+    denominators). NULL timestamps are no observations.
+
+    Shape: ONE exchange — the per-series arrival-order window and the
+    per-series rollup cluster on the same key.
+
+    Output: series_cols…, n (long), n_late (long), late_frac (double),
+    max_lateness_us (long), sum_lateness_us (long),
+    avg_lateness_us (double, NULL when n_late = 0).
+    """
+    scols = list(series_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    staged = (events.filter(F.col(ts_col).isNotNull())
+              .select(*scols, F.col(id_col).alias("_id"), us.alias("_us")))
+    w = (Window.partitionBy(*scols).orderBy("_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max = F.max("_us").over(w)
+    late = prev_max.isNotNull() & (F.col("_us") < prev_max)
+    lateness = F.when(late, prev_max - F.col("_us")).otherwise(F.lit(0))
+    return (staged
+            .select(*scols, late.cast("long").alias("_late"),
+                    lateness.alias("_lat"))
+            .groupBy(*scols)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("_late").cast("long").alias("n_late"),
+                 F.max("_lat").cast("long").alias("max_lateness_us"),
+                 F.sum("_lat").cast("long").alias("sum_lateness_us"))
+            .select(*scols, "n", "n_late",
+                    (F.col("n_late").cast("double")
+                     / F.col("n").cast("double")).alias("late_frac"),
+                    "max_lateness_us", "sum_lateness_us",
+                    F.when(F.col("n_late") > 0,
+                           F.col("sum_lateness_us").cast("double")
+                           / F.col("n_late").cast("double"))
+                    .alias("avg_lateness_us")))

@@ -536,3 +536,52 @@ def token_budget(df: DataFrame, budgets: dict[str, int],
             .withColumn("rate_bp", rate_bp)
             .withColumn("expected_tokens",
                         F.expr("(total_tokens * rate_bp) div 10000")))
+
+
+def stratified_split(df: DataFrame,
+                     weights: tuple[tuple[str, int], ...] = (
+                         ("train", 8), ("val", 1), ("test", 1)),
+                     strata_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """EXACT-proportion deterministic train/val/test assignment per
+    stratum — the splitter a data pipeline wants when "80/10/10 per
+    source" must hold to the document, not in expectation
+    (:func:`~__spark_entry__.q_hash_split`'s md5-bucket split is
+    proportional only in expectation; small or skewed strata drift).
+
+    Each stratum's docs are ranked by (md5(id), id) — a deterministic
+    shuffle both engines agree on byte-for-byte — and rank r of n maps
+    to the virtual slot ``v = r·W div n`` (W = Σweights, exact int64:
+    r·W < n·W stays far under 2^63), so split i receives EXACTLY the
+    slots in its cumulative-weight range: counts per stratum differ
+    from the ideal n·wᵢ/W by less than 1, deterministically.
+
+    Shape: ONE exchange on the stratum — the count window, the rank
+    window, and any downstream per-(stratum, split) aggregation all
+    cluster on (a superset of) the stratum key. Adds a ``split``
+    column; all input columns pass through.
+    """
+    labels = [str(s) for s, _ in weights]
+    ws = [int(w) for _, w in weights]
+    if len(labels) < 2 or len(set(labels)) != len(labels):
+        raise ValueError("need >= 2 distinct split labels")
+    if any(w <= 0 for w in ws):
+        raise ValueError("weights must be positive integers")
+    total = sum(ws)
+    wstr = Window.partitionBy(strata_col)
+    wrank = wstr.orderBy(F.md5(F.col(id_col).cast("string")),
+                         F.col(id_col))
+    staged = (df
+              .withColumn("_r0",
+                          (F.row_number().over(wrank) - 1).cast("long"))
+              .withColumn("_n", F.count("*").over(wstr))
+              # `div` — exact int64 floor division, the repo rule
+              .withColumn("_v", F.expr(f"(_r0 * {total}) div _n")))
+    cum = 0
+    expr = None
+    for lab, w in zip(labels, ws):
+        cum += w
+        cond = F.col("_v") < F.lit(cum)
+        expr = F.when(cond, F.lit(lab)) if expr is None \
+            else expr.when(cond, F.lit(lab))
+    return staged.withColumn("split", expr).drop("_r0", "_n", "_v")
