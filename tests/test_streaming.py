@@ -841,3 +841,85 @@ def test_stream_ohlc_matches_batch_and_states(spark, tmp_path):
                   .toPandas()
                   .sort_values(key).reset_index(drop=True)[want.columns])
     pd.testing.assert_frame_equal(via_states, want)
+
+
+def test_disorder_profile_sizes_the_watermark(spark, tmp_path):
+    """End-to-end watermark-sizing workflow: disorder_stats measures the
+    batch's max lateness; a stream configured with exactly that delay
+    drops NOTHING (bit-equal to the batch rollup), while a much tighter
+    delay provably loses the late rows. Arrival order = file order
+    (mtime-ordered, maxFilesPerTrigger=1) = event_id order — the same
+    order disorder_stats replays.
+
+    The fmid spacer file matters: since SPARK-24699, the late-record
+    filter uses the PREVIOUS batch's watermark (watermarkForLateEvents)
+    while state eviction uses the current one — a watermark observed in
+    batch N only rejects late input from batch N+2 on. fmid burns that
+    one-batch lag so f1's late rows face an already-armed watermark."""
+    import os
+
+    from tsrollup.counters import disorder_stats
+    from tsrollup.streaming import stream_minute_rollup
+
+    t0 = pd.Timestamp("2026-02-01")
+    f0 = pd.DataFrame({
+        "event_id": np.arange(0, 60, dtype=np.int64),
+        "user_id": np.int64(1),
+        "ts": t0 + pd.to_timedelta(np.arange(60) * 10, unit="s"),
+        "value": 1.0})                         # on-time: up to t0+590s
+    fmid = pd.DataFrame({
+        # on-time spacer (ties f0's max, so the profile is unchanged):
+        # arms the previous-batch watermark before the late rows land
+        "event_id": np.array([90], dtype=np.int64),
+        "user_id": np.int64(2),
+        "ts": [t0 + pd.Timedelta(seconds=590)], "value": 0.0})
+    f1 = pd.DataFrame({
+        "event_id": np.arange(100, 104, dtype=np.int64),
+        "user_id": np.int64(1),
+        # 400 s late vs f0's running max (t0+590s)
+        "ts": t0 + pd.to_timedelta([190, 200, 210, 220], unit="s"),
+        "value": 100.0})
+    flush = pd.DataFrame({
+        "event_id": np.array([999], dtype=np.int64),
+        "user_id": np.int64(9999),
+        "ts": [t0 + pd.Timedelta(days=2)], "value": 0.0})
+    src = tmp_path / "events"
+    src.mkdir()
+    for i, frame in enumerate((f0, fmid, f1, flush)):
+        p = src / f"p{i}.parquet"
+        frame.to_parquet(p, coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    batch = spark.read.parquet(str(src))
+    prof = disorder_stats(batch).filter("user_id = 1").collect()[0]
+    assert prof.max_lateness_us == 400_000_000
+
+    def run(watermark: str, tag: str) -> pd.DataFrame:
+        sink = str(tmp_path / f"sink_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        stream = (spark.readStream
+                  .schema("event_id long, user_id long, ts timestamp, "
+                          "value double")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (stream_minute_rollup(stream, watermark=watermark)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await_done(q)
+        return (spark.read.parquet(sink).filter("user_id = 1")
+                .toPandas().sort_values("window_start")
+                .reset_index(drop=True))
+
+    # profiled delay (400 s) → nothing drops: bit-equal to the batch twin
+    got = run("400 seconds", "sized")
+    want = (stream_minute_rollup(batch.filter("user_id = 1"))
+            .toPandas().sort_values("window_start").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    for c in ("count", "sum", "min", "max"):
+        assert (got[c].values == want[c].values).all(), c
+
+    # a 10x tighter delay loses exactly the late rows' mass
+    tight = run("40 seconds", "tight")
+    assert tight["count"].sum() == want["count"].sum() - len(f1)
+    assert tight["sum"].sum() == want["sum"].sum() - 400.0
