@@ -1433,6 +1433,35 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / F.col("n_with_k").cast("double"))))
 
 
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct actives — the DAU/WAU panel: distinct users per
+    trailing 24 hourly buckets (tsrollup.counters.rolling_actives).
+    Sliding COUNT(DISTINCT) is non-decomposable, so the engine uses the
+    classical linear rewrite: distinct (user, hour) → per-user
+    interval-union of [h, h+24) reaches → ±1 deltas → one grid-grain
+    running sum (the global window runs AFTER reduction to span/bucket
+    rows — 720 here, 8.8k for a year of hours). Exact int64 counts;
+    oracle is the brute-force window join DuckDB can afford at sf0.01."""
+    from tsrollup.counters import rolling_actives
+
+    return rolling_actives(_fact(spark, sf_dir, "events"),
+                           window_buckets=24, bucket_seconds=3600)
+
+
+def q_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global first-occurrence span dedup WITH document reconstruction
+    (tsrollup.dedup.tile_dedup) — the C4 repeated-three-sentence-span /
+    Dolma paragraph rule on this newline-free corpus's 8-word tiles:
+    every tile keeps only its (doc_id, idx)-first occurrence and docs
+    are reassembled from surviving tiles. Unlike dup_spans (a per-doc
+    duplication SCORE) this op EDITS the corpus — the cleaned text is
+    the output. Exact string-keyed window (no hash collisions), text
+    crosses one content-keyed exchange and one doc_id join."""
+    from tsrollup.dedup import tile_dedup
+
+    return tile_dedup(_docs(spark, sf_dir), n=8)
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covered-time / utilization over overlapping intervals
     (tsrollup.segments.interval_coverage): each event opens a 5-minute
@@ -2380,6 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disorder": q_disorder,
         "stratified_split": q_stratified_split,
         "json_props": q_json_props,
+        "rolling_actives": q_rolling_actives,
+        "tile_dedup": q_tile_dedup,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4919,6 +4950,43 @@ SELECT event_type, COUNT(*)::BIGINT AS n,
             THEN SUM(k)::BIGINT::DOUBLE / COUNT(k)::BIGINT::DOUBLE
        END AS mean_k
 FROM x GROUP BY event_type
+"""
+
+    # rolling distinct actives: the oracle affords the brute-force window
+    # join at sf0.01; the engine's interval-union rewrite must match it
+    sqls["rolling_actives"] = """
+WITH hb AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS b
+  FROM events WHERE user_id IS NOT NULL AND epoch_us(ts) >= 0
+), bounds AS (SELECT min(b) lo, max(b) hi FROM hb),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS g FROM bounds)
+SELECT make_timestamp(g * 3600000000) AS bucket_ts,
+       (SELECT count(DISTINCT user_id) FROM hb
+         WHERE hb.b BETWEEN g - 23 AND g)::BIGINT AS active_users
+FROM grid
+"""
+
+    # C4/Dolma span dedup: first occurrence by (doc_id, idx) over exact
+    # tile strings; docs reassembled from surviving tiles
+    sqls["tile_dedup"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), t AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ') AS tile
+  FROM w, unnest(range(0, (len(ws) + 7) // 8)) AS u(i)
+), k AS (
+  SELECT doc_id, idx, tile,
+         row_number() OVER (PARTITION BY tile ORDER BY doc_id, idx) AS rn
+  FROM t
+)
+SELECT w.doc_id,
+       coalesce((SELECT string_agg(tile, ' ' ORDER BY idx) FROM k
+                  WHERE k.doc_id = w.doc_id AND rn = 1), '') AS clean_text,
+       ((len(ws) + 7) // 8)::BIGINT AS n_tiles,
+       (SELECT count(*) FROM k
+         WHERE k.doc_id = w.doc_id AND rn = 1)::BIGINT AS n_kept
+FROM w
 """
 
     # token-budget planning: basis-point rates by integer floor division

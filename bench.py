@@ -159,6 +159,8 @@ HEADLINE = [
     "disorder",
     "stratified_split",
     "json_props",
+    "rolling_actives",
+    "tile_dedup",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

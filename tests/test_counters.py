@@ -1460,3 +1460,70 @@ class TestDisorderStats:
 
         df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
         assert n_data_exchanges(formatted_plan(disorder_stats(df))) == 1
+
+
+class TestRollingActives:
+    def test_hand_built_census(self, spark):
+        from tsrollup.counters import rolling_actives
+
+        # W=3 hourly buckets. user 1 active hours {0, 5}; user 2 at {1};
+        # user 3 at {0, 1, 2} (one merged run)
+        rows = ([_row(1, "a", 0, 0, 1.0), _row(1, "a", 1, 5 * 3600, 1.0),
+                 _row(2, "a", 2, 3600, 1.0)]
+                + [_row(3, "a", 3 + h, h * 3600 + 60, 1.0)
+                   for h in range(3)])
+        out = {r.bucket_ts: r.active_users
+               for r in rolling_actives(_events(spark, rows),
+                                        window_buckets=3,
+                                        bucket_seconds=3600).collect()}
+        got = [out[T0 + dt.timedelta(hours=h)] for h in range(6)]
+        # hour:        0  1  2  3  4  5
+        # user1:       x  .  .        x    (reach [0,3) and [5,8))
+        # user2:          x  .  .          (reach [1,4))
+        # user3:       x  x  x  .  .       (reach [0,5) merged)
+        assert got == [2, 3, 3, 2, 1, 1]
+
+    def test_gap_buckets_emitted_as_zero(self, spark):
+        from tsrollup.counters import rolling_actives
+
+        rows = [_row(1, "a", 0, 0, 1.0),
+                _row(1, "a", 1, 9 * 3600, 1.0)]
+        out = {r.bucket_ts: r.active_users
+               for r in rolling_actives(_events(spark, rows),
+                                        window_buckets=2,
+                                        bucket_seconds=3600).collect()}
+        got = [out[T0 + dt.timedelta(hours=h)] for h in range(10)]
+        assert got == [1, 1, 0, 0, 0, 0, 0, 0, 0, 1]
+        assert len(out) == 10  # dense grid over the observed range
+
+    def test_matches_brute_force_distinct(self, spark):
+        """240 random events vs per-bucket brute-force distinct count."""
+        import numpy as np
+
+        from tsrollup.counters import rolling_actives
+
+        rng = np.random.default_rng(7)
+        secs = rng.integers(0, 48 * 3600, size=240)
+        uids = rng.integers(1, 13, size=240)
+        rows = [_row(int(u), "a", i, int(s), 1.0)
+                for i, (u, s) in enumerate(zip(uids, secs))]
+        W = 6
+        out = rolling_actives(_events(spark, rows), window_buckets=W,
+                              bucket_seconds=3600).collect()
+        hb = {(int(u), int(s) // 3600) for u, s in zip(uids, secs)}
+        lo, hi = (min(b for _, b in hb), max(b for _, b in hb))
+        for r in out:
+            g = int((r.bucket_ts - T0).total_seconds()) // 3600
+            want = len({u for (u, b) in hb if g - W + 1 <= b <= g})
+            assert r.active_users == want, g
+        assert {int((r.bucket_ts - T0).total_seconds()) // 3600
+                for r in out} == set(range(lo, hi + 1))
+
+    def test_rejects_bad_params(self, spark):
+        from tsrollup.counters import rolling_actives
+
+        df = _events(spark, [_row(1, "a", 0, 0, 1.0)])
+        with pytest.raises(ValueError):
+            rolling_actives(df, window_buckets=0)
+        with pytest.raises(ValueError):
+            rolling_actives(df, bucket_seconds=0)

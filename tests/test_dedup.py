@@ -375,3 +375,54 @@ class TestNoveltyStats:
         df = self._docs(spark, [(1, "a b c d"), (2, "b c d e")])
         plan = formatted_plan(novelty_stats(df))
         assert n_data_exchanges(plan) == 2, plan
+
+
+class TestTileDedup:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_first_occurrence_survives_and_docs_rebuild(self, spark):
+        from tsrollup.dedup import tile_dedup
+
+        # n=2 tiles: doc 1 = [a b][c d], doc 2 = [c d][e f], doc 3 = [a b]
+        df = self._docs(spark, [(1, "a b c d"), (2, "c d e f"), (3, "a b")])
+        out = {r.doc_id: r for r in tile_dedup(df, n=2).collect()}
+        assert out[1].clean_text == "a b c d"            # all first
+        assert out[1].n_tiles == 2 and out[1].n_kept == 2
+        assert out[2].clean_text == "e f"                # "c d" re-occurs
+        assert out[2].n_tiles == 2 and out[2].n_kept == 1
+        assert out[3].clean_text == ""                   # fully deduped
+        assert out[3].n_tiles == 1 and out[3].n_kept == 0
+
+    def test_within_doc_repeat_keeps_earliest(self, spark):
+        from tsrollup.dedup import tile_dedup
+
+        df = self._docs(spark, [(1, "a b a b c")])
+        r = tile_dedup(df, n=2).collect()[0]
+        # tiles [a b][a b][c]: the idx-0 copy survives, idx-1 drops
+        assert r.clean_text == "a b c"
+        assert r.n_tiles == 3 and r.n_kept == 2
+
+    def test_ragged_tail_tile_participates(self, spark):
+        from tsrollup.dedup import tile_dedup
+
+        # doc 1's ragged tail "z" == doc 2's ragged tail "z" → doc 2 drops
+        # it; a tail is NOT equal to a full tile starting with the same word
+        df = self._docs(spark, [(1, "a b z"), (2, "c d z"), (3, "z q")])
+        out = {r.doc_id: r for r in tile_dedup(df, n=2).collect()}
+        assert out[1].clean_text == "a b z"
+        assert out[2].clean_text == "c d"
+        assert out[3].clean_text == "z q"  # "z q" ≠ tail "z"
+
+    def test_order_is_tile_order_not_alphabetical(self, spark):
+        from tsrollup.dedup import tile_dedup
+
+        df = self._docs(spark, [(1, "z z a a m m")])
+        r = tile_dedup(df, n=2).collect()[0]
+        assert r.clean_text == "z z a a m m"
+
+    def test_rejects_bad_n(self, spark):
+        from tsrollup.dedup import tile_dedup
+
+        with pytest.raises(ValueError):
+            tile_dedup(self._docs(spark, [(1, "a")]), n=0)

@@ -36,6 +36,8 @@ output bit:
   ``time_weighted_avg``).
 - ``topn_others`` — per-bucket top-N labels with the tail collapsed into
   one ``__other__`` row (fixed panel cardinality at any label count).
+- ``rolling_actives`` — trailing-W-bucket distinct-user census (DAU/WAU)
+  via per-user interval-union + boundary deltas, never a ×W explode.
 
 The per-series operators pay ONE exchange: the window partitioning is a
 subset of every later grouping key, so Spark's EnsureRequirements reuses it.
@@ -1714,3 +1716,88 @@ def disorder_stats(events: DataFrame,
                            F.col("sum_lateness_us").cast("double")
                            / F.col("n_late").cast("double"))
                     .alias("avg_lateness_us")))
+
+
+def rolling_actives(events: DataFrame, window_buckets: int = 24,
+                    bucket_seconds: int = 3600,
+                    user_col: str = "user_id",
+                    ts_col: str = "ts") -> DataFrame:
+    """Rolling distinct actives — "how many distinct users were active in
+    the trailing W buckets", the DAU/WAU/MAU panel — WITHOUT the naive
+    ×W row blowup or a sliding COUNT(DISTINCT) (which Spark cannot
+    decompose at all: distinct-over-RANGE-frame isn't mergeable).
+
+    The classical distributed rewrite, linear in the event count:
+
+    1. distinct (user, bucket) — one exchange, map-side partial;
+    2. per user, each active bucket b contributes membership over
+       ``[b, b+W)``; consecutive/overlapping contribution intervals merge
+       by the interval-union island rule (running max-end; same shape as
+       segments.interval_coverage), leaving disjoint [start, end) runs —
+       a second narrow exchange on user over (user, bucket) pairs only;
+    3. each run becomes two deltas (+1 at start, −1 at end), aggregated
+       to BUCKET grain — from here the data is one row per grid bucket,
+       thousands of rows where the input had billions;
+    4. a dense bucket grid (sequence over the observed range) left-joins
+       the deltas and a single running sum yields the census. The global
+       cumsum window runs on one partition BY DESIGN: it operates at grid
+       grain (span/bucket rows — a year of hours is 8.8k rows), after
+       both data-sized exchanges have already reduced.
+
+    Exactness: buckets are integer µs div arithmetic (negative epochs
+    excluded — div truncates, // floors); counts are exact int64. Every
+    bucket in [min, max] of the OBSERVED event-bucket range is emitted,
+    including zero-active interior buckets.
+
+    Output: bucket_ts (timestamp, bucket start), active_users (long) —
+    distinct users with ≥1 event in the W buckets ending at this one,
+    i.e. with event time in [bucket_ts − (W−1)·width, bucket_ts + width).
+    """
+    if window_buckets < 1 or bucket_seconds < 1:
+        raise ValueError("need window_buckets >= 1 and bucket_seconds >= 1")
+    w_us = int(bucket_seconds) * 1_000_000
+    staged = (events
+              .select(F.col(user_col).alias("_u"),
+                      F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                      .alias("_us"))
+              .filter(F.col("_u").isNotNull() & (F.col("_us") >= 0))
+              .select("_u", (F.col("_us") / F.lit(w_us)).cast("long")
+                      .alias("_b")))
+    hb = staged.distinct()
+    # contribution interval of bucket b is [b, b+W) on the bucket axis;
+    # sorted by start and all W wide, runs merge exactly when the next
+    # start is within the previous reach (touching merges: half-open)
+    w = Window.partitionBy("_u").orderBy("_b")
+    prev_end = (F.lag("_b").over(w) + F.lit(window_buckets))
+    new_run = F.when(prev_end.isNull()
+                     | (F.col("_b") > prev_end), 1).otherwise(0)
+    run = (hb.withColumn("_new", new_run)
+           .withColumn("_run", F.sum("_new").over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+           .groupBy("_u", "_run")
+           .agg(F.min("_b").alias("_rs"),
+                (F.max("_b") + F.lit(window_buckets)).alias("_re")))
+    # one explode, not a self-union: a union would reference `run` twice
+    # and (absent caching) re-run the whole events-sized upstream per
+    # branch (plan-audit finding, round 5)
+    deltas = (run
+              .select(F.explode(F.array(
+                  F.struct(F.col("_rs").alias("_g"), F.lit(1).alias("_d")),
+                  F.struct(F.col("_re").alias("_g"),
+                           F.lit(-1).alias("_d")))).alias("_x"))
+              .select("_x._g", "_x._d")
+              .groupBy("_g").agg(F.sum("_d").cast("long").alias("_delta")))
+    # bounds come from the RAW bucket column (same extremes as the
+    # distinct's — min/max don't care about multiplicity): a column-pruned
+    # scan-level partial agg, not a second distinct pass
+    bounds = staged.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("_g"))
+    gw = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (grid.join(deltas, "_g", "left")
+            .select("_g", F.coalesce("_delta", F.lit(0)).alias("_delta"))
+            .withColumn("active_users", F.sum("_delta").over(gw))
+            .select(F.timestamp_micros(F.col("_g") * F.lit(w_us))
+                    .alias("bucket_ts"),
+                    F.col("active_users").cast("long")))

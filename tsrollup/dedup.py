@@ -514,3 +514,61 @@ def duplicated_span_stats(df: DataFrame, n: int = 8,
                  F.sum("_cov").cast("long").alias("covered_words"),
                  (F.sum("_cov").cast("double")
                   / F.max("n_words").cast("double")).alias("dup_frac")))
+
+
+def tile_dedup(df: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+    """Global first-occurrence SPAN dedup with document reconstruction —
+    the C4 "repeated three-sentence span" / Dolma paragraph-dedup rule
+    (Raffel et al. 2020 §2.2; reference analog: none — the reference
+    consumes pre-cleaned corpora). Prose pipelines split on newlines;
+    this corpus is newline-free, so the span grain is the non-overlapping
+    n-word TILE (tile i = words[i·n : i·n+n], ragged tail included).
+    Every tile keeps only its globally FIRST occurrence — ordered by
+    (doc_id, tile index), the same total order a sequential pass would
+    visit — and each doc is reassembled from its surviving tiles.
+
+    Scale shape (the text never rides a wide shuffle twice):
+    1. tiles project to (doc_id, idx, tile) and the first-occurrence
+       window partitions BY THE TILE STRING itself — exact equality, no
+       hash-collision false merges; one content-keyed exchange, the same
+       key a 100 TB run would hash-partition on;
+    2. survivors reduce to (doc_id, sorted idx array) — a narrow
+       int-only regroup;
+    3. reconstruction re-slices each doc's own word array under the
+       surviving-index filter via ONE equi-join on doc_id (docs whose
+       every tile is a re-occurrence get keep=NULL → empty clean_text).
+
+    Output: doc_id, clean_text (surviving tiles joined in order; '' when
+    nothing survives), n_tiles, n_kept (long).
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("need n >= 1")
+    words = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+    n_tiles = ((F.size("_w") + n - 1) / n).cast("long")
+    tiles = (words
+             .select("doc_id", n_tiles.alias("_nt"),
+                     F.posexplode(F.transform(
+                         F.sequence(F.lit(0), n_tiles - 1),
+                         lambda i: F.array_join(
+                             F.slice("_w", i * n + 1, n), " ")))
+                     .alias("_idx", "_tile")))
+    first = Window.partitionBy("_tile").orderBy("doc_id", "_idx")
+    kept = (tiles
+            .withColumn("_rn", F.row_number().over(first))
+            .filter(F.col("_rn") == 1)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("_idx")).alias("_keep"),
+                 F.count("*").cast("long").alias("n_kept")))
+    return (words
+            .join(kept, "doc_id", "left")
+            .select("doc_id",
+                    F.array_join(F.transform(
+                        F.coalesce("_keep", F.array()),
+                        lambda i: F.array_join(
+                            F.slice("_w", i * n + 1, n), " ")), " ")
+                    .alias("clean_text"),
+                    n_tiles.alias("n_tiles"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))
