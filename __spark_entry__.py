@@ -124,6 +124,23 @@ def q_rollup_tier_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_cols(reaggregate_tier(base, "w4", 4, window=W0))
 
 
+def q_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid range read (tsrollup.rollup.read_range): the exact
+    aggregate of positions [0, 96) per doc served from a two-tier store —
+    the greedy tiling covers [0, 64) with ONE w4 row and [64, 96) with
+    two w1 rows, so the scan touches 3 rows/doc instead of 6 (a year-wide
+    range at 100 TB touches days, not minutes; the OR-of-range predicate
+    pushes to the parquet scan — plan-pinned in tests). Integer partials
+    re-aggregate tiling-independently, so the oracle is the flat
+    position-filtered aggregation."""
+    from tsrollup.rollup import read_range, rollup_sequences
+
+    rolled = rollup_sequences(_tokenized(spark, sf_dir), window=W0,
+                              tiers={"w1": 1, "w4": 4})
+    return read_range(rolled, 0, W0 * 6, window=W0,
+                      factors={"w1": 1, "w4": 4})
+
+
 def q_rollup_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla/delta-of-delta at-rest codecs: compress → decompress must
     reproduce the base rollup exactly — checked against the SAME SQL oracle."""
@@ -2411,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "rolling_actives": q_rolling_actives,
         "tile_dedup": q_tile_dedup,
+        "range_read": q_range_read,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -4987,6 +5005,31 @@ SELECT w.doc_id,
        (SELECT count(*) FROM k
          WHERE k.doc_id = w.doc_id AND rn = 1)::BIGINT AS n_kept
 FROM w
+"""
+
+    # pyramid range read: integer partials are tiling-independent, so the
+    # oracle is the flat position-filtered aggregation
+    sqls["range_read"] = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS "count",
+       SUM(tk)::BIGINT AS "sum",
+       SUM(tk * tk)::BIGINT AS "sumsq",
+       MIN(tk)::BIGINT AS "min",
+       MAX(tk)::BIGINT AS "max",
+       SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS "mean",
+       SUM(tk * tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE
+         - (SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE)
+           * (SUM(tk)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE) AS "var"
+FROM pos WHERE p >= 0 AND p < {W0 * 6}
+GROUP BY doc_id
 """
 
     # token-budget planning: basis-point rates by integer floor division

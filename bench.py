@@ -161,6 +161,7 @@ HEADLINE = [
     "json_props",
     "rolling_actives",
     "tile_dedup",
+    "range_read",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -232,3 +232,93 @@ class TestTierRouting:
         want = rolled.filter("tier = '1h' and window_start >= 0 "
                              "and window_start < 6400").count()
         assert len(out) == want > 0
+
+
+class TestPyramidRangeRead:
+    FACTORS = {"f1": 1, "f4": 4, "f16": 16}
+
+    def test_tiles_partition_the_range_exactly(self):
+        from tsrollup.rollup import pyramid_tiles
+
+        rng = np.random.default_rng(11)
+        for _ in range(200):
+            a = int(rng.integers(0, 200))
+            b = a + 1 + int(rng.integers(0, 200))
+            tiles = pyramid_tiles(a, b, self.FACTORS)
+            units: list[int] = []
+            for name, ranges in tiles.items():
+                f = self.FACTORS[name]
+                for lo, hi in ranges:
+                    assert lo % f == 0 and hi % f == 0 and lo < hi
+                    units.extend(range(lo, hi))
+            assert sorted(units) == list(range(a, b)), (a, b, tiles)
+
+    def test_coarse_interior_fine_edges(self):
+        from tsrollup.rollup import pyramid_tiles
+
+        tiles = pyramid_tiles(3, 29, self.FACTORS)
+        assert tiles == {"f4": [(4, 28)], "f1": [(3, 4), (28, 29)]}
+        tiles = pyramid_tiles(0, 48, self.FACTORS)
+        assert tiles == {"f16": [(0, 48)]}
+
+    def test_validation(self):
+        from tsrollup.rollup import pyramid_tiles, read_range
+
+        with pytest.raises(ValueError):
+            pyramid_tiles(0, 8, {"a": 4, "b": 2})     # no factor-1 tier
+        with pytest.raises(ValueError):
+            pyramid_tiles(0, 8, {"a": 6, "b": 4, "c": 1})  # 4 !| 6
+        df = None
+        with pytest.raises(ValueError):
+            read_range(df, 3, 64)                     # a not aligned
+        with pytest.raises(ValueError):
+            read_range(df, 64, 64)                    # empty range
+
+    def test_matches_flat_finest_aggregation(self, spark, seq_df):
+        from tsrollup.rollup import read_range, rollup_sequences
+
+        rolled = rollup_sequences(seq_df, tiers=self.FACTORS)
+        a, b = 64 * 3, 64 * 29          # stitches f4 interior + f1 edges
+        got = (read_range(rolled, a, b, factors=self.FACTORS).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        flat = (rollup_sequences(seq_df, tiers={"f1": 1}).toPandas())
+        flat = flat[(flat.window_start >= a) & (flat.window_start < b)]
+        want = (flat.groupby("doc_id", as_index=False)
+                .agg(count=("count", "sum"), sum=("sum", "sum"),
+                     sumsq=("sumsq", "sum"), min=("min", "min"),
+                     max=("max", "max"))
+                .sort_values("doc_id").reset_index(drop=True))
+        assert len(got) == len(want) > 0
+        for c in ("count", "sum", "sumsq", "min", "max"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        # derived moments: the same exact-int division both engines do
+        np.testing.assert_array_equal(
+            got["mean"].to_numpy(),
+            want["sum"].to_numpy(np.float64) / want["count"].to_numpy(np.float64))
+
+    def test_short_docs_contribute_their_prefix_only(self, spark):
+        from tsrollup.rollup import read_range, rollup_sequences
+
+        df = spark.createDataFrame(
+            [("short", list(range(10)), "s"),
+             ("longer", list(range(200)), "s")],
+            "doc_id string, tokens array<int>, source string")
+        rolled = rollup_sequences(df, window=4, tiers=self.FACTORS)
+        out = {r.doc_id: r for r in
+               read_range(rolled, 0, 4 * 40, window=4,
+                          factors=self.FACTORS).collect()}
+        assert out["short"]["count"] == 10       # covered prefix only
+        assert out["longer"]["count"] == 160     # 40 windows of 4
+        assert out["longer"]["sum"] == sum(range(160))
+
+    def test_range_predicate_pushes_to_parquet_scan(self, spark, seq_df,
+                                                    tmp_path):
+        from tsrollup.rollup import read_range, rollup_sequences
+
+        path = str(tmp_path / "store")
+        rollup_sequences(seq_df, tiers=self.FACTORS).write.parquet(path)
+        plan = (read_range(spark.read.parquet(path), 64 * 3, 64 * 29,
+                           factors=self.FACTORS)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PushedFilters" in plan
+        assert "window_start" in plan.split("PushedFilters")[1][:400]

@@ -621,3 +621,113 @@ def apply_retention(rolled: DataFrame,
     for tier, n in keep_windows.items():
         cond = cond | ((F.col("tier") == tier) & (F.col("_rk") <= n))
     return out.filter(cond).drop("_rk")
+
+
+def pyramid_tiles(a_units: int, b_units: int,
+                  factors: dict[str, int]) -> dict[str, list[tuple[int, int]]]:
+    """Greedy pyramid decomposition of ``[a_units, b_units)`` (base-window
+    units) into aligned tier tiles — the continuous-aggregate READ planner:
+    the largest tier whose aligned tiles fit covers the interior, finer
+    tiers fill the edges, the factor-1 tier completes the remainder.
+    Purely arithmetic (no data): the driver plans the tiling, executors
+    only ever see the resulting range predicates.
+
+    ``factors`` maps tier name → factor (MUST contain a factor-1 tier;
+    each factor must divide every coarser one, the ``tier_chain``
+    alignment contract — it guarantees an edge left by a coarse tier is
+    itself aligned for the next finer one's greedy pass).
+
+    Returns tier → list of half-open unit ranges [lo, hi) (hi − lo a
+    multiple of the factor; empty tiers omitted). The ranges of all tiers
+    together partition [a_units, b_units) exactly (property-tested).
+    """
+    ordered = sorted(factors.items(), key=lambda kv: -kv[1])
+    if not ordered or ordered[-1][1] != 1:
+        raise ValueError("factors must include a factor-1 (base) tier")
+    for (_, coarse), (_, fine) in zip(ordered, ordered[1:]):
+        if coarse % fine != 0:
+            raise ValueError(f"factor {fine} does not divide {coarse}")
+    out: dict[str, list[tuple[int, int]]] = {}
+    pending = [(a_units, b_units)]
+    for name, f in ordered:
+        rest: list[tuple[int, int]] = []
+        for lo, hi in pending:
+            t0 = -(-lo // f) * f       # ceil to alignment
+            t1 = (hi // f) * f         # floor to alignment
+            if t0 < t1:
+                out.setdefault(name, []).append((t0, t1))
+                if lo < t0:
+                    rest.append((lo, t0))
+                if t1 < hi:
+                    rest.append((t1, hi))
+            else:
+                rest.append((lo, hi))
+        pending = [r for r in rest if r[0] < r[1]]
+    assert not pending, "factor-1 tier must consume every remainder"
+    return out
+
+
+def read_range(rolled: DataFrame, a: int, b: int,
+               window: int = BASE_WINDOW,
+               factors: dict[str, int] | None = None) -> DataFrame:
+    """Aggregate an arbitrary position range ``[a, b)`` from a stored tier
+    pyramid — the hypertable/continuous-aggregate range-read path: a
+    year-wide query touches a handful of coarse rows plus fine edges
+    instead of re-scanning the finest tier end to end. Complements
+    :func:`read_routed` (which picks ONE tier to fit a point budget and
+    returns per-window rows): this op returns the EXACT aggregate of the
+    range, stitched across tiers.
+
+    ``rolled`` is a tier store in the ``rollup_sequences`` output shape
+    (doc_id, tier, window_start, count/sum/sumsq/min/max partials);
+    ``factors`` maps the store's tier names to their factors (defaults to
+    the engine's TIER_FACTOR). ``a``/``b`` must be multiples of
+    ``window`` — the finest stored grain IS the addressable resolution.
+
+    Shape: ONE scan of the store under one OR-of-range predicate
+    ((tier = t AND lo ≤ window_start < hi) …) — static, pushdown-eligible
+    all the way to the parquet/Iceberg scan (range predicates over the
+    (tier, window_start) layout prune row groups), then one doc-grain
+    aggregation. No joins, no window functions.
+
+    Exactness: count/sum/sumsq/min/max are INTEGER partials, so their
+    re-aggregation is tiling-independent and bit-equal to a flat
+    finest-tier aggregation; mean/var derive from the exact integers.
+    The float spectral partials are deliberately NOT served here — their
+    sequential fold is grouping-sensitive, so cross-tier mixes are the
+    fixed-tier reaggregate_tier path's job (same rule the codec family
+    follows: exact-or-absent).
+
+    Docs shorter than ``b`` contribute their covered prefix (count says
+    how much); docs with no window in range emit no row.
+    """
+    if factors is None:
+        factors = dict(TIER_FACTOR)
+    if a % window or b % window:
+        raise ValueError(f"range bounds must be multiples of window={window}")
+    if a >= b or a < 0:
+        raise ValueError("need 0 <= a < b")
+    tiles = pyramid_tiles(a // window, b // window, factors)
+    pred = None
+    for name, ranges in tiles.items():
+        for lo, hi in ranges:
+            p = ((F.col("tier") == name)
+                 & (F.col("window_start") >= lo * window)
+                 & (F.col("window_start") < hi * window))
+            pred = p if pred is None else (pred | p)
+    return (rolled
+            .filter(pred)
+            .groupBy("doc_id")
+            .agg(F.sum("count").cast("long").alias("count"),
+                 F.sum("sum").cast("long").alias("sum"),
+                 F.sum("sumsq").cast("long").alias("sumsq"),
+                 F.min("min").cast("long").alias("min"),
+                 F.max("max").cast("long").alias("max"))
+            .withColumn("mean", F.col("sum").cast("double")
+                        / F.col("count").cast("double"))
+            .withColumn("var", F.col("sumsq").cast("double")
+                        / F.col("count").cast("double")
+                        - (F.col("sum").cast("double")
+                           / F.col("count").cast("double"))
+                        * (F.col("sum").cast("double")
+                           / F.col("count").cast("double"))))
