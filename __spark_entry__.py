@@ -641,6 +641,29 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "itype", "i_start", "i_end"))
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join (tsrollup.joins.interval_join) — range_join's
+    two-sided sibling: click activity leases [ts, ts+5m) × error
+    episodes [ts, ts+10m), one row per overlapping pair with the exact
+    overlap extent. Bucketized equi-join; a pair sharing many buckets is
+    kept only in its overlap-START bucket (one integer compare — never a
+    .distinct() reshuffle of the pair stream). Oracle: DuckDB's plain
+    inequality join."""
+    from tsrollup.joins import interval_join
+
+    ev = _fact(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = (ev.filter(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("left_id"),
+                    us.alias("start_us"),
+                    (us + 300_000_000).alias("end_us")))
+    right = (ev.filter(F.col("event_type") == "error")
+             .select(F.col("event_id").alias("right_id"),
+                     us.alias("start_us"),
+                     (us + 600_000_000).alias("end_us")))
+    return interval_join(left, right, bucket_width=600_000_000)
+
+
 def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by score ≙ reference anomaly argsort top-k (keras_experiment.py:590-593)."""
     ev = _fact(spark, sf_dir, "events")
@@ -2429,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_actives": q_rolling_actives,
         "tile_dedup": q_tile_dedup,
         "range_read": q_range_read,
+        "interval_join": q_interval_join,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
     }
@@ -5005,6 +5029,23 @@ SELECT w.doc_id,
        (SELECT count(*) FROM k
          WHERE k.doc_id = w.doc_id AND rn = 1)::BIGINT AS n_kept
 FROM w
+"""
+
+    # interval overlap join: the engine's bucketize-and-keep-once must
+    # reproduce the plain inequality join exactly
+    sqls["interval_join"] = """
+WITH l AS (
+  SELECT event_id AS lid, epoch_us(ts) AS ls, epoch_us(ts) + 300000000 AS le
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS rid, epoch_us(ts) AS rs, epoch_us(ts) + 600000000 AS re
+  FROM events WHERE event_type = 'error'
+)
+SELECT lid AS left_id, rid AS right_id,
+       greatest(ls, rs)::BIGINT AS overlap_start_us,
+       least(le, re)::BIGINT AS overlap_end_us,
+       (least(le, re) - greatest(ls, rs))::BIGINT AS overlap_us
+FROM l, r WHERE ls < re AND rs < le
 """
 
     # pyramid range read: integer partials are tiling-independent, so the

@@ -162,6 +162,7 @@ HEADLINE = [
     "rolling_actives",
     "tile_dedup",
     "range_read",
+    "interval_join",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -381,3 +381,83 @@ class TestAsofTolerance:
         with _pytest.raises(ValueError):
             asof_join(left, right, on="k", left_ts="t", right_ts="rt",
                       attrs=("lab",), tolerance=-1)
+
+
+class TestIntervalJoin:
+    def _iv(self, spark, rows, id_name):
+        return spark.createDataFrame(
+            rows, f"{id_name} long, start_us long, end_us long")
+
+    def test_hand_built_overlaps(self, spark):
+        from tsrollup.joins import interval_join
+
+        left = self._iv(spark, [(1, 0, 100), (2, 200, 300)], "left_id")
+        right = self._iv(
+            spark,
+            [(10, 50, 150),     # overlaps 1 on [50, 100)
+             (11, 100, 200),    # touches 1 at 100 (half-open: no match)
+             (12, 250, 260),    # inside 2
+             (13, 400, 500)],   # disjoint
+            "right_id")
+        got = {(r.left_id, r.right_id):
+               (r.overlap_start_us, r.overlap_end_us, r.overlap_us)
+               for r in interval_join(left, right, bucket_width=64).collect()}
+        assert got == {(1, 10): (50, 100, 50), (2, 12): (250, 260, 10)}
+
+    def test_exactly_once_across_many_shared_buckets(self, spark):
+        from tsrollup.joins import interval_join
+
+        # both intervals span 40 tiny buckets; the pair must emit ONCE
+        left = self._iv(spark, [(1, 0, 400)], "left_id")
+        right = self._iv(spark, [(9, 10, 390)], "right_id")
+        out = interval_join(left, right, bucket_width=10).collect()
+        assert len(out) == 1
+        assert (out[0].overlap_start_us, out[0].overlap_end_us) == (10, 390)
+
+    def test_empty_and_inverted_intervals_match_nothing(self, spark):
+        from tsrollup.joins import interval_join
+
+        left = self._iv(spark, [(1, 100, 100), (2, 300, 200)], "left_id")
+        right = self._iv(spark, [(9, 0, 1000)], "right_id")
+        assert interval_join(left, right, bucket_width=50).count() == 0
+
+    def test_matches_brute_force(self, spark):
+        import numpy as np
+
+        from tsrollup.joins import interval_join
+
+        rng = np.random.default_rng(13)
+        ls = rng.integers(0, 5000, size=120)
+        rs = rng.integers(0, 5000, size=150)
+        left = self._iv(spark, [(i, int(s), int(s + rng.integers(1, 400)))
+                                for i, s in enumerate(ls)], "left_id")
+        lrows = {r.left_id: (r.start_us, r.end_us) for r in left.collect()}
+        right = self._iv(spark, [(i, int(s), int(s + rng.integers(1, 400)))
+                                 for i, s in enumerate(rs)], "right_id")
+        rrows = {r.right_id: (r.start_us, r.end_us) for r in right.collect()}
+        got = {(r.left_id, r.right_id): r.overlap_us
+               for r in interval_join(left, right, bucket_width=128).collect()}
+        want = {}
+        for li, (a, b) in lrows.items():
+            for ri, (c, d) in rrows.items():
+                if a < d and c < b:
+                    want[(li, ri)] = min(b, d) - max(a, c)
+        assert got == want and len(want) > 100
+
+    def test_equi_join_plan_no_nested_loop(self, spark):
+        from tsrollup.joins import interval_join
+        from tsrollup.planaudit import formatted_plan
+
+        left = self._iv(spark, [(1, 0, 100)], "left_id")
+        right = self._iv(spark, [(9, 50, 150)], "right_id")
+        plan = formatted_plan(interval_join(left, right, bucket_width=64))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_rejects_bad_bucket_width(self, spark):
+        import pytest
+
+        from tsrollup.joins import interval_join
+
+        df = self._iv(spark, [(1, 0, 1)], "left_id")
+        with pytest.raises(ValueError):
+            interval_join(df, df, bucket_width=0)

@@ -219,3 +219,69 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
             .filter((F.col(point_ts) >= F.col("_is"))
                     & (F.col(point_ts) < F.col("_ie")))
             .drop("_bk", "_is", "_ie"))
+
+
+def interval_join(left: DataFrame, right: DataFrame, bucket_width: int,
+                  left_id: str = "left_id", right_id: str = "right_id",
+                  start_col: str = "start_us",
+                  end_col: str = "end_us") -> DataFrame:
+    """Interval OVERLAP join: every (left, right) pair whose half-open
+    spans ``[start, end)`` intersect — the maintenance-window ×
+    incident / session × outage attribution join (``range_join``'s
+    two-sided sibling: there one side is points, here both carry
+    extent).
+
+    Scale shape — bucketized like :func:`range_join`, but a pair of
+    overlapping intervals now meets in EVERY bucket both cover, so the
+    naive fix is ``.distinct()`` — a second full shuffle of the pair
+    stream. Instead each surviving pair is kept only in the bucket
+    containing its overlap's START (``greatest(ls, rs)``): that bucket
+    is always among the shared ones (the overlap start lies in both
+    intervals), and it is unique — the exactly-once rule costs one
+    integer comparison, not a shuffle.
+
+    Exactness: starts/ends are exact integers (µs or any integer axis);
+    bucket assignment is the same pmod/div exact floor as range_join
+    (never a double division). Empty/inverted intervals match nothing.
+
+    Inputs: each side carries (id, ``start_col``, ``end_col``); ids are
+    surfaced as ``left_id``/``right_id``. Pick ``bucket_width`` ≈ the
+    typical interval length (an interval emits ⌈span/width⌉+1 bucket
+    rows — bounded, linear in its length).
+
+    Output: left_id, right_id, overlap_start_us, overlap_end_us,
+    overlap_us (all long; one row per overlapping pair).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    bw = int(bucket_width)
+
+    def _bucket(c):
+        c = c.cast("long")
+        return F.call_function(
+            "div", c - F.pmod(c, F.lit(bw)), F.lit(bw))
+
+    def _side(df, id_col, id_alias, s_alias, e_alias):
+        return (df
+                .filter(F.col(end_col) > F.col(start_col))
+                .select(F.col(id_col).alias(id_alias),
+                        F.col(start_col).cast("long").alias(s_alias),
+                        F.col(end_col).cast("long").alias(e_alias),
+                        F.explode(F.sequence(
+                            _bucket(F.col(start_col)),
+                            _bucket(F.col(end_col).cast("long") - 1)))
+                        .alias("_bk")))
+
+    l = _side(left, left_id, "_lid", "_ls", "_le")
+    r = _side(right, right_id, "_rid", "_rs", "_re")
+    ov_s = F.greatest(F.col("_ls"), F.col("_rs"))
+    ov_e = F.least(F.col("_le"), F.col("_re"))
+    return (l.join(r, "_bk")
+            .filter((F.col("_ls") < F.col("_re"))
+                    & (F.col("_rs") < F.col("_le"))
+                    & (F.col("_bk") == _bucket(ov_s)))
+            .select(F.col("_lid").alias(left_id),
+                    F.col("_rid").alias(right_id),
+                    ov_s.alias("overlap_start_us"),
+                    ov_e.alias("overlap_end_us"),
+                    (ov_e - ov_s).alias("overlap_us")))
