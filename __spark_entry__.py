@@ -1761,6 +1761,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_MEMO: dict[str, dict] = {}
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score with the LM reduced to the corpus's
+    own unigram distribution (tsrollup.text.unigram_surprisal): per doc,
+    −(1/n) Σ ln(c_w/N) — both tails (too common, too rare) are filter
+    candidates. Two corpus scans (the self-scoring floor: build counts,
+    join back); N rides a vocab-grain window, never a scalar collect.
+    Rows-only: ln is libm-grade cross-engine; NumPy parity is
+    pytest-pinned (test_text.TestUnigramSurprisal)."""
+    from tsrollup.text import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir))
+
+
 def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-whitening of the embedding corpus
     (tsrollup.similarity.pca_fit/pca_project): exact distributed moments
@@ -2455,6 +2468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
+        # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
+        "unigram_surprisal": q_unigram_surprisal,
     }
 
 

@@ -163,6 +163,7 @@ HEADLINE = [
     "tile_dedup",
     "range_read",
     "interval_join",
+    "unigram_surprisal",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -538,3 +538,49 @@ class TestStratifiedSplit:
             stratified_split(df, weights=(("a", 1),))
         with pytest.raises(ValueError):
             stratified_split(df, weights=(("a", 1), ("b", 0)))
+
+
+class TestUnigramSurprisal:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_numpy_parity_hand_built(self, spark):
+        import numpy as np
+
+        from tsrollup.text import unigram_surprisal
+
+        rows = [(1, "a a b"), (2, "b c"), (3, "a")]
+        # corpus counts: a=3, b=2, c=1, N=6
+        out = {r.doc_id: r for r in
+               unigram_surprisal(self._docs(spark, rows)).collect()}
+        ln = np.log
+        want1 = -(2 * ln(3 / 6) + ln(2 / 6)) / 3
+        want2 = -(ln(2 / 6) + ln(1 / 6)) / 2
+        want3 = -ln(3 / 6)
+        assert out[1].n_tok == 3 and out[2].n_tok == 2 and out[3].n_tok == 1
+        np.testing.assert_allclose(
+            [out[1].surprisal_nats, out[2].surprisal_nats,
+             out[3].surprisal_nats], [want1, want2, want3], rtol=1e-14)
+        np.testing.assert_allclose(
+            out[2].bits_per_token, want2 / ln(2.0), rtol=1e-14)
+
+    def test_common_word_docs_score_lower(self, spark):
+        from tsrollup.text import unigram_surprisal
+
+        rows = ([(i, "the the the the") for i in range(10)]
+                + [(99, "zyx wvu tsr qpo")])
+        out = {r.doc_id: r.surprisal_nats for r in
+               unigram_surprisal(self._docs(spark, rows)).collect()}
+        assert out[0] < out[99]          # common words are cheap
+        assert out[0] == out[1]          # identical docs score identically
+
+    def test_partitioning_invariance(self, spark):
+        from tsrollup.text import unigram_surprisal
+
+        rows = [(i, f"w{i % 7} w{i % 3} shared") for i in range(40)]
+        a = (unigram_surprisal(self._docs(spark, rows)).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (unigram_surprisal(self._docs(spark, list(reversed(rows)))
+                               .repartition(11)).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)

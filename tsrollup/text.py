@@ -585,3 +585,48 @@ def stratified_split(df: DataFrame,
         expr = F.when(cond, F.lit(lab)) if expr is None \
             else expr.when(cond, F.lit(lab))
     return staged.withColumn("split", expr).drop("_r0", "_n", "_v")
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram LM score — the CCNet/Wenzek-et-al. perplexity
+    quality filter with the LM reduced to the corpus's own unigram
+    distribution: ``surprisal = −(1/n) Σ_w ln(c_w / N)`` (nats/token; low
+    = stuffed with common words, high = rare-word soup — both tails are
+    filter candidates). Self-scored, so every word has a count ≥ 1 and
+    no smoothing constant is needed.
+
+    Scale shape: TWO corpus scans — the floor for self-scoring (pass 1
+    builds the count table, pass 2 joins it back). The corpus total N
+    rides a vocab-grain running sum over the count table (single
+    partition AT VOCAB GRAIN — never corpus rows), so no third scan and
+    no scalar collect. The score join hashes on the word — at 100 TB the
+    count table is vocab-sized and usually broadcastable, but the hash
+    join is the safe default (AQE converts it when small).
+
+    ``ln`` is libm-grade (JVM StrictMath vs DuckDB's libm may differ in
+    the last ulp), so this op is ROWS-ONLY for cross-engine hashing —
+    NumPy parity is pytest-pinned instead (the pca_whiten rule).
+
+    Output: doc_id, n_tok (long), surprisal_nats, bits_per_token
+    (doubles).
+    """
+    import math
+
+    w = df.select("doc_id", F.explode(words(text_col)).alias("word"))
+    counts = (w.groupBy("word")
+              .agg(F.count("*").cast("long").alias("_c")))
+    counts = counts.withColumn(
+        "_n", F.sum("_c").over(
+            Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)))
+    scored = (w.join(counts, "word")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_tok"),
+                   F.sum(F.log(F.col("_c").cast("double")
+                               / F.col("_n").cast("double")))
+                   .alias("_sum_ln")))
+    nats = -F.col("_sum_ln") / F.col("n_tok").cast("double")
+    return scored.select(
+        "doc_id", "n_tok", nats.alias("surprisal_nats"),
+        (nats / math.log(2.0)).alias("bits_per_token"))
