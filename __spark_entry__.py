@@ -1534,6 +1534,19 @@ def q_pair_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_correlation(_fact(spark, sf_dir, "events"))
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix between event types
+    (tsrollup.counters.spearman_matrix) — pair_corr's robust/monotone
+    twin over the pairs' CO-ACTIVE hourly buckets (the two-sample
+    semantics every stats library uses): average-tie ranks on the ×2
+    integer scale (2·rank + m − 1, exact int64 cross-engine),
+    Pearson-on-ranks moments in exact decimals, rho one IEEE division.
+    One pair-grain exchange after the bucket self-join."""
+    from tsrollup.counters import spearman_matrix
+
+    return spearman_matrix(_fact(spark, sf_dir, "events"))
+
+
 def q_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus alert-rule evaluation
     (tsrollup.counters.threshold_episodes): value > 150 runs per
@@ -2466,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dedup": q_tile_dedup,
         "range_read": q_range_read,
         "interval_join": q_interval_join,
+        "spearman": q_spearman,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -4858,6 +4872,44 @@ SELECT key1, key2, n_buckets, n_co, corr_num, corr_denx, corr_deny,
        CASE WHEN corr_denx > 0 AND corr_deny > 0
             THEN corr_num / (sqrt(corr_denx) * sqrt(corr_deny))
        END AS corr
+FROM f
+"""
+
+    # Spearman on co-active buckets: average-tie ranks on the ×2 integer
+    # scale (2·rank + m − 1), Pearson-on-ranks in HUGEINT
+    sqls["spearman"] = """
+WITH g AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS b,
+         SUM((value::DECIMAL(18,2)*100)::BIGINT)::HUGEINT AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), co AS (
+  SELECT a.k AS k1, b2.k AS k2, a.y AS ya, b2.y AS yb
+  FROM g a JOIN g b2 ON a.b = b2.b AND a.k < b2.k
+), r AS (
+  SELECT k1, k2,
+         (2 * rank() OVER (PARTITION BY k1, k2 ORDER BY ya)
+            + COUNT(*) OVER (PARTITION BY k1, k2, ya) - 1)::HUGEINT AS rx,
+         (2 * rank() OVER (PARTITION BY k1, k2 ORDER BY yb)
+            + COUNT(*) OVER (PARTITION BY k1, k2, yb) - 1)::HUGEINT AS ry
+  FROM co
+), m AS (
+  SELECT k1 AS key1, k2 AS key2, COUNT(*)::BIGINT AS n_co,
+         SUM(rx)::HUGEINT AS sx, SUM(ry)::HUGEINT AS sy,
+         SUM(rx*rx)::HUGEINT AS sxx, SUM(ry*ry)::HUGEINT AS syy,
+         SUM(rx*ry)::HUGEINT AS sxy
+  FROM r GROUP BY 1, 2
+), f AS (
+  SELECT key1, key2, n_co,
+         (n_co*sxy - sx*sy)::DOUBLE AS rho_num,
+         (n_co*sxx - sx*sx)::DOUBLE AS rho_denx,
+         (n_co*syy - sy*sy)::DOUBLE AS rho_deny
+  FROM m
+)
+SELECT key1, key2, n_co, rho_num, rho_denx, rho_deny,
+       CASE WHEN rho_denx > 0 AND rho_deny > 0
+            THEN rho_num / (sqrt(rho_denx) * sqrt(rho_deny))
+       END AS rho
 FROM f
 """
 

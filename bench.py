@@ -164,6 +164,7 @@ HEADLINE = [
     "range_read",
     "interval_join",
     "unigram_surprisal",
+    "spearman",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

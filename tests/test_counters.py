@@ -1527,3 +1527,74 @@ class TestRollingActives:
             rolling_actives(df, window_buckets=0)
         with pytest.raises(ValueError):
             rolling_actives(df, bucket_seconds=0)
+
+
+class TestSpearmanMatrix:
+    def test_perfect_monotone_not_linear(self, spark):
+        from tsrollup.counters import spearman_matrix
+
+        # y = x^3-ish via values 1, 8, 27, 64: Pearson < 1, Spearman == 1
+        rows = []
+        for h, (va, vb) in enumerate(zip([1, 2, 3, 4], [1, 8, 27, 64])):
+            rows.append(_row(1, "a", 2 * h, h * 3600, va))
+            rows.append(_row(1, "b", 2 * h + 1, h * 3600, vb))
+        r = spearman_matrix(_events(spark, rows)).collect()[0]
+        assert (r.key1, r.key2, r.n_co) == ("a", "b", 4)
+        # num == denx == deny exactly; rho is num/(sqrt*sqrt), one ulp shy
+        assert r.rho_num == r.rho_denx == r.rho_deny > 0
+        assert abs(r.rho - 1.0) < 1e-12
+
+    def test_reversed_order_is_minus_one(self, spark):
+        from tsrollup.counters import spearman_matrix
+
+        rows = []
+        for h, (va, vb) in enumerate(zip([1, 2, 3, 4], [9, 7, 5, 3])):
+            rows.append(_row(1, "a", 2 * h, h * 3600, va))
+            rows.append(_row(1, "b", 2 * h + 1, h * 3600, vb))
+        r = spearman_matrix(_events(spark, rows)).collect()[0]
+        assert abs(r.rho + 1.0) < 1e-12
+
+    def test_ties_average_rank_matches_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from tsrollup.counters import spearman_matrix
+
+        rng = np.random.default_rng(3)
+        rows = []
+        eid = 0
+        for h in range(50):
+            # coarse values force plenty of ties
+            rows.append(_row(1, "a", eid, h * 3600,
+                             float(rng.integers(0, 4)))); eid += 1
+            rows.append(_row(1, "b", eid, h * 3600,
+                             float(rng.integers(0, 4)))); eid += 1
+        r = spearman_matrix(_events(spark, rows)).collect()[0]
+        got_rho = r.rho
+        pdf = pd.DataFrame({
+            "a": [rr[4] for rr in rows if rr[1] == "a"],
+            "b": [rr[4] for rr in rows if rr[1] == "b"]})
+        want = pdf["a"].rank(method="average").corr(
+            pdf["b"].rank(method="average"))
+        np.testing.assert_allclose(got_rho, want, rtol=1e-12)
+
+    def test_constant_side_is_null(self, spark):
+        from tsrollup.counters import spearman_matrix
+
+        rows = []
+        for h in range(4):
+            rows.append(_row(1, "a", 2 * h, h * 3600, 5.0))   # constant
+            rows.append(_row(1, "b", 2 * h + 1, h * 3600, float(h)))
+        r = spearman_matrix(_events(spark, rows)).collect()[0]
+        assert r.rho is None and r.rho_denx == 0.0
+
+    def test_coactive_buckets_only(self, spark):
+        from tsrollup.counters import spearman_matrix
+
+        rows = [_row(1, "a", 0, 0, 1.0), _row(1, "a", 1, 3600, 2.0),
+                _row(1, "a", 2, 7200, 3.0),
+                _row(1, "b", 3, 3600, 9.0), _row(1, "b", 4, 7200, 1.0),
+                _row(1, "b", 5, 10800, 4.0)]
+        r = spearman_matrix(_events(spark, rows)).collect()[0]
+        assert r.n_co == 2          # hours 1 and 2 only
+        assert abs(r.rho + 1.0) < 1e-12

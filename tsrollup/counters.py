@@ -38,6 +38,8 @@ output bit:
   one ``__other__`` row (fixed panel cardinality at any label count).
 - ``rolling_actives`` — trailing-W-bucket distinct-user census (DAU/WAU)
   via per-user interval-union + boundary deltas, never a ×W explode.
+- ``spearman_matrix`` — Spearman rank correlation per key pair over
+  co-active buckets (×2-integer average-tie ranks, exact moments).
 
 The per-series operators pay ONE exchange: the window partitioning is a
 subset of every later grouping key, so Spark's EnsureRequirements reuses it.
@@ -1801,3 +1803,87 @@ def rolling_actives(events: DataFrame, window_buckets: int = 24,
             .select(F.timestamp_micros(F.col("_g") * F.lit(w_us))
                     .alias("bucket_ts"),
                     F.col("active_users").cast("long")))
+
+
+def spearman_matrix(events: DataFrame, key_col: str = "event_type",
+                    ts_col: str = "ts", value_col: str = "value",
+                    bucket: str = "hour") -> DataFrame:
+    """Spearman RANK correlation matrix between per-key bucket volumes —
+    the robust/monotone twin of :func:`pair_correlation` (Pearson):
+    outlier hours can't dominate, and any monotone co-movement scores
+    |ρ| → 1. Standard two-sample semantics: for each pair the statistic
+    runs over their CO-ACTIVE buckets, with both sides ranked WITHIN the
+    pair's joined sample (ranks over a union grid with zero-fill are a
+    different statistic — the zero block's ranks would be artifacts of
+    grid completion, so the co-active form is the one every stats
+    library computes).
+
+    Exactness: ranks use the average-tie convention on a ×2 integer
+    scale — a tie group of m values starting at dense position p (1-based
+    ``rank()``) gets 2p + m − 1, an exact int64 both engines reproduce —
+    and the Pearson-on-ranks moments are exact decimal(38,0) sums
+    (ranks ≤ 2n, Σxy ≤ 4n³: at n = a year of hourly buckets that is
+    ~2.7e12, far under both the decimal and the 2^53 double-emission
+    bounds). corr is one division of single-rounded IEEE terms; all-tied
+    (zero-variance) sides emit NULL, not NaN.
+
+    Shape: one raw pass to the bucket grid (localCheckpoint-pinned — the
+    self-join reads it twice), the co-active equi-join on the bucket
+    (≤ K² rows per bucket, the inherent matrix cost), then rank windows
+    and the final moment aggregation ALL on the (key1, key2) pair
+    partitioning — one pair-grain exchange.
+
+    Output: key1, key2, n_co (long), rho_num, rho_denx, rho_deny
+    (doubles, exact per the bound), rho (double, NULL on zero variance).
+    """
+    if bucket not in _BUCKET_US and bucket != "day":
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    g = (events.filter(F.col(value_col).isNotNull()
+                       & F.col(key_col).isNotNull())
+         .groupBy(F.col(key_col).alias("_k"),
+                  F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+         .agg(F.sum(cents.cast("decimal(18,0)")).cast("decimal(18,0)")
+              .alias("_y")))
+    g = g.localCheckpoint(eager=True)
+    a = g.select(F.col("_k").alias("_k1"), "_b", F.col("_y").alias("_ya"))
+    b = g.select(F.col("_k").alias("_k2"), "_b", F.col("_y").alias("_yb"))
+    co = a.join(b, ["_b"]).filter(F.col("_k1") < F.col("_k2"))
+    pair = Window.partitionBy("_k1", "_k2")
+
+    def _r2(c: str) -> Column:
+        # average-tie rank on the ×2 integer scale: 2·rank + m − 1
+        rank = F.rank().over(pair.orderBy(c))
+        m = F.count("*").over(pair.partitionBy("_k1", "_k2", c))
+        return (2 * rank + m - 1).cast("long")
+
+    ranked = co.select("_k1", "_k2", _r2("_ya").alias("_rx"),
+                       _r2("_yb").alias("_ry"))
+    # widen BEFORE multiplying (the trend_slope rule): rank products in
+    # raw int64 would overflow past n ≈ 2^20 buckets
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mom = (ranked.groupBy("_k1", "_k2")
+           .agg(F.count("*").cast("long").alias("n_co"),
+                F.sum(d("_rx")).cast("decimal(38,0)").alias("_sx"),
+                F.sum(d("_ry")).cast("decimal(38,0)").alias("_sy"),
+                F.sum(d("_rx") * d("_rx")).cast("decimal(38,0)")
+                .alias("_sxx"),
+                F.sum(d("_ry") * d("_ry")).cast("decimal(38,0)")
+                .alias("_syy"),
+                F.sum(d("_rx") * d("_ry")).cast("decimal(38,0)")
+                .alias("_sxy")))
+    nd = F.col("n_co").cast("decimal(10,0)")
+    num = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return (mom.select(
+        F.col("_k1").alias("key1"), F.col("_k2").alias("key2"), "n_co",
+        num.cast("double").alias("rho_num"),
+        denx.cast("double").alias("rho_denx"),
+        deny.cast("double").alias("rho_deny"))
+        .withColumn("rho",
+                    F.when((F.col("rho_denx") > 0.0)
+                           & (F.col("rho_deny") > 0.0),
+                           F.col("rho_num")
+                           / (F.sqrt(F.col("rho_denx"))
+                              * F.sqrt(F.col("rho_deny"))))))
