@@ -965,6 +965,21 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_drift_tv(tokenize_words(_docs(spark, sf_dir)))
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift of each source vs the REST of
+    the corpus (tsrollup.features.ks_drift) — source_drift's CDF/ordinal
+    twin: the max CDF gap catches location shifts TV dilutes, and
+    source-vs-rest keeps the samples independent. Division-free
+    cross-multiplied argmax in exact decimals over the union value
+    domain; ks one IEEE division; ks_at via struct-max (mergeable, no
+    per-source sort). Same one-exchange histogram shape as
+    source_drift."""
+    from tsrollup.features import ks_drift
+    from tsrollup.text import tokenize_words
+
+    return ks_drift(tokenize_words(_docs(spark, sf_dir)))
+
+
 def q_holt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing (level + trend + 1-step
     forecast) per doc (tsrollup.convolve.holt_last) — the 2-state
@@ -2480,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_read": q_range_read,
         "interval_join": q_interval_join,
         "spearman": q_spearman,
+        "ks_drift": q_ks_drift,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -4873,6 +4889,47 @@ SELECT key1, key2, n_buckets, n_co, corr_num, corr_denx, corr_deny,
             THEN corr_num / (sqrt(corr_denx) * sqrt(corr_deny))
        END AS corr
 FROM f
+"""
+
+    # two-sample KS, source vs rest: cross-multiplied CDF-gap argmax over
+    # the union value domain, exact HUGEINT until the final division
+    sqls["ks_drift"] = """
+WITH t AS (
+  SELECT source,
+         unnest(list_transform(string_split(text, ' '),
+                               w -> length(w))) AS v
+  FROM documents
+), hist AS (
+  SELECT source, v, COUNT(*)::BIGINT AS o FROM t GROUP BY 1, 2
+), vals AS (SELECT v, SUM(o)::BIGINT AS ct FROM hist GROUP BY v),
+srcs AS (SELECT source, SUM(o)::BIGINT AS rt FROM hist GROUP BY source),
+n1 AS (SELECT SUM(ct)::BIGINT AS n FROM vals),
+grid AS (
+  SELECT s.source, va.v, s.rt, va.ct, n1.n, COALESCE(h.o, 0)::BIGINT AS o
+  FROM srcs s CROSS JOIN vals va CROSS JOIN n1
+  LEFT JOIN hist h ON h.source = s.source AND h.v = va.v
+), cum AS (
+  SELECT source, v, rt, n,
+         SUM(o) OVER (PARTITION BY source ORDER BY v)::HUGEINT AS cs,
+         SUM(ct) OVER (PARTITION BY source ORDER BY v)::HUGEINT AS cg
+  FROM grid
+), nums AS (
+  SELECT source, v, rt, n,
+         abs(cs * (n - rt)::HUGEINT - (cg - cs) * rt::HUGEINT) AS num
+  FROM cum
+), best AS (
+  SELECT source, rt AS n_tokens, n, num, v,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY num DESC, v ASC) AS rn
+  FROM nums
+)
+SELECT source, n_tokens, num::DOUBLE AS ks_num,
+       CASE WHEN n_tokens::HUGEINT * (n - n_tokens)::HUGEINT > 0
+            THEN num::DOUBLE
+                 / (n_tokens::HUGEINT * (n - n_tokens)::HUGEINT)::DOUBLE
+       END AS ks,
+       v::BIGINT AS ks_at
+FROM best WHERE rn = 1
 """
 
     # Spearman on co-active buckets: average-tie ranks on the ×2 integer

@@ -165,6 +165,7 @@ HEADLINE = [
     "interval_join",
     "unigram_surprisal",
     "spearman",
+    "ks_drift",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

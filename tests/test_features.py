@@ -378,3 +378,57 @@ class TestMatrixProfile:
 
         df = _docs(spark, [("d", [1, 2, 3, 4, 5, 6, 7, 8])])
         assert n_data_exchanges(formatted_plan(matrix_profile(df))) == 0
+
+
+class TestKsDrift:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "source string, tokens array<int>")
+
+    def test_identical_distributions_score_zero(self, spark):
+        from tsrollup.features import ks_drift
+
+        rows = [("a", [1, 2, 3] * 4), ("b", [1, 2, 3] * 4)]
+        out = {r.source: r for r in ks_drift(self._docs(spark, rows)).collect()}
+        assert out["a"].ks_num == 0.0 and out["a"].ks == 0.0
+        assert out["b"].ks == 0.0
+
+    def test_disjoint_supports_score_one(self, spark):
+        from tsrollup.features import ks_drift
+
+        rows = [("lo", [1, 1, 2, 2]), ("hi", [9, 9, 8, 8])]
+        out = {r.source: r for r in ks_drift(self._docs(spark, rows)).collect()}
+        # full separation: at v=2 the lo-CDF is 1 and the rest-CDF is 0
+        assert out["lo"].ks == 1.0 and out["lo"].ks_at == 2
+        assert out["hi"].ks == 1.0
+
+    def test_location_shift_beats_tv_dilution(self, spark):
+        import numpy as np
+
+        from tsrollup.features import ks_drift
+
+        rng = np.random.default_rng(5)
+        base = rng.integers(1, 50, size=2000).tolist()
+        shifted = [int(v) + 3 for v in rng.integers(1, 50, size=2000)]
+        rows = [("ref", base), ("shift", shifted)]
+        out = {r.source: r for r in ks_drift(self._docs(spark, rows)).collect()}
+        # a +3 shift over a 49-value support: KS must see a sizable gap
+        assert out["shift"].ks > 0.04
+        # exact twin of the engine's cross-multiplication
+        cs = cg = 0
+        per = {}
+        from collections import Counter
+        cnt_s, cnt_all = Counter(shifted), Counter(base + shifted)
+        ns, N = len(shifted), len(base) + len(shifted)
+        best = -1
+        for v in sorted(cnt_all):
+            cs += cnt_s.get(v, 0); cg += cnt_all[v]
+            best = max(best, abs(cs * (N - ns) - (cg - cs) * ns))
+        assert out["shift"].ks_num == float(best)
+
+    def test_argmax_tie_takes_smallest_value(self, spark):
+        from tsrollup.features import ks_drift
+
+        # lo={1,3}, rest={2,4}: |gap| numerator ties at v=1,2,3 — report 1
+        rows = [("lo", [1, 3]), ("hi", [2, 4])]
+        out = {r.source: r for r in ks_drift(self._docs(spark, rows)).collect()}
+        assert out["lo"].ks_at == 1

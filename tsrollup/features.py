@@ -481,3 +481,76 @@ def matrix_profile(df: DataFrame, m: int = 16, max_positions: int = 256,
 
     return pruned.mapInPandas(
         run, "doc_id string, pos int, mp_d2 long, mp_j int")
+
+
+def ks_drift(df: DataFrame, group_col: str = "source",
+             tokens_col: str = "tokens") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift of each source vs the REST of
+    the corpus, over the token-value distribution — the CDF/ordinal twin
+    of :func:`source_drift_tv` (TV weighs every histogram cell equally;
+    KS is the max CDF gap, the classic location/shift detector, and
+    "rest" rather than "whole" keeps the two samples independent — a
+    dominant source can't mask its own drift by dragging the mixture).
+
+    Division- and libm-free until the last step:
+
+        KS(s) = max_v |C_s(v)/n_s − C_r(v)/n_r|
+              = max_v |C_s(v)·n_r − C_r(v)·n_s|  /  (n_s·n_r)
+
+    with C the cumulative counts at every value of the UNION domain (the
+    max can land on a value the source never emits — its CDF plateaus
+    while the rest's climbs). The cross-multiplied argmax is exact
+    decimal(38,0); ks is then one double division (both operands exact
+    below 2^53 — the source_drift_tv bound). ``ks_at`` reports the value
+    achieving the max (ties → smallest value) via a struct-max — a
+    mergeable aggregate, no per-source sort.
+
+    Scale shape: raw tokens hit ONE exchange (the (source, value)
+    histogram with map-side partials — shared shape with
+    source_drift_tv); everything after runs at grid grain
+    (|sources| × |union values| rows): two cumulative windows partitioned
+    per source / globally-at-value-grain, one struct-max regroup.
+
+    Output: source, n_tokens (long), ks_num (double), ks (double,
+    ∈ [0, 1]), ks_at (long, the argmax value).
+    """
+    from pyspark.sql import Window
+
+    d18 = "decimal(18,0)"
+    t = df.select(F.col(group_col).alias("source"),
+                  F.explode(tokens_col).alias("v"))
+    hist = t.groupBy("source", "v").agg(F.count("*").cast("long").alias("o"))
+    vals = hist.groupBy("v").agg(F.sum("o").cast("long").alias("ct"))
+    srcs = hist.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    n1 = vals.agg(F.sum("ct").cast("long").alias("n"))
+    grid = (srcs.crossJoin(F.broadcast(vals))
+            .join(hist, ["source", "v"], "left")
+            .crossJoin(F.broadcast(n1))
+            .withColumn("_o", F.coalesce(F.col("o"), F.lit(0))))
+    # the COMPLETE grid makes the per-source cumsum of the value totals
+    # equal the GLOBAL cumulative at every value — no second join
+    ws = (Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (grid
+           .withColumn("_cs", F.sum("_o").over(ws).cast(d18))
+           .withColumn("_cg", F.sum("ct").over(ws).cast(d18)))
+    ns = F.col("rt").cast(d18)
+    nr = (F.col("n") - F.col("rt")).cast(d18)
+    cr = F.col("_cg") - F.col("_cs")
+    num = F.abs(F.col("_cs") * nr - cr * ns).cast("decimal(38,0)")
+    probed = cum.select("source", "rt", "n", F.col("v").cast("long").alias("v"),
+                        num.alias("_num"))
+    best = (probed.groupBy("source")
+            .agg(F.max("rt").cast("long").alias("n_tokens"),
+                 F.max("n").alias("_n"),
+                 F.max(F.struct(F.col("_num"), (-F.col("v")).alias("_mv")))
+                 .alias("_b")))
+    den = (F.col("n_tokens").cast(d18)
+           * (F.col("_n") - F.col("n_tokens")).cast(d18))
+    return best.select(
+        "source", "n_tokens",
+        F.col("_b._num").cast("double").alias("ks_num"),
+        F.when(den > 0,
+               F.col("_b._num").cast("double") / den.cast("double"))
+        .alias("ks"),
+        (-F.col("_b._mv")).cast("long").alias("ks_at"))
