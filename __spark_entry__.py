@@ -137,8 +137,10 @@ def q_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rolled = rollup_sequences(_tokenized(spark, sf_dir), window=W0,
                               tiers={"w1": 1, "w4": 4})
+    # validate=False: the tiers are materialized by the same expression
+    # two lines up — the guard's distinct-scan would re-run the rollup
     return read_range(rolled, 0, W0 * 6, window=W0,
-                      factors={"w1": 1, "w4": 4})
+                      factors={"w1": 1, "w4": 4}, validate=False)
 
 
 def q_rollup_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

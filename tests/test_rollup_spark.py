@@ -322,3 +322,17 @@ class TestPyramidRangeRead:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "PushedFilters" in plan
         assert "window_start" in plan.split("PushedFilters")[1][:400]
+
+
+def test_read_range_rejects_missing_store_tier(spark, seq_df):
+    from tsrollup.rollup import read_range, rollup_sequences
+
+    rolled = rollup_sequences(seq_df, tiers={"f1": 1, "f4": 4})
+    with pytest.raises(ValueError, match="absent from the store"):
+        read_range(rolled, 0, 64 * 48,
+                   factors={"f1": 1, "f4": 4, "f16": 16})
+    # validate=False documents the caller's own pin — no error, wrong
+    # interior is the caller's contract then
+    read_range(rolled, 0, 64 * 48,
+               factors={"f1": 1, "f4": 4, "f16": 16},
+               validate=False).collect()

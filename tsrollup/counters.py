@@ -1836,7 +1836,7 @@ def spearman_matrix(events: DataFrame, key_col: str = "event_type",
     Output: key1, key2, n_co (long), rho_num, rho_denx, rho_deny
     (doubles, exact per the bound), rho (double, NULL on zero variance).
     """
-    if bucket not in _BUCKET_US and bucket != "day":
+    if bucket not in _BUCKET_US:
         raise ValueError(f"unsupported bucket {bucket!r}")
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     g = (events.filter(F.col(value_col).isNotNull()

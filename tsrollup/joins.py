@@ -154,6 +154,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                       *[F.col(f"_m.{a}").alias(a) for a in attrs])
 
 
+def _exact_bucket(c, bw: int):
+    """Exact integer floor-bucket: F.floor(col / lit) runs a DOUBLE
+    division whose rounding could (for |ts| beyond 2^53) land a point or
+    interval edge in the wrong bucket and silently DROP a candidate pair
+    before any residual filter sees it. (c - pmod(c, bw)) is an exact
+    multiple of bw (pmod is non-negative, so this is the floor multiple
+    even for negative c) and `div` is exact long integer division —
+    correct for any long input. Shared by range_join and interval_join
+    (one copy: the subtlety must not drift)."""
+    c = c.cast("long")
+    return F.call_function("div", c - F.pmod(c, F.lit(bw)), F.lit(bw))
+
+
 def range_join(points: DataFrame, intervals: DataFrame, on: str,
                point_ts: str, start_col: str, end_col: str,
                bucket_width: int, attrs: tuple[str, ...]) -> DataFrame:
@@ -191,16 +204,7 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
     bw = int(bucket_width)
 
     def _bucket(c):
-        # exact integer floor-division: F.floor(col / lit) runs a DOUBLE
-        # division whose rounding could (for |ts| beyond 2^53) land a point
-        # or interval edge in the wrong bucket and silently DROP a candidate
-        # pair before the residual filter ever sees it. (c - pmod(c, bw)) is
-        # an exact multiple of bw (pmod is non-negative, so this is the
-        # floor multiple even for negative c) and `div` is exact long
-        # integer division — correct for any long input.
-        c = c.cast("long")
-        return F.call_function(
-            "div", c - F.pmod(c, F.lit(bw)), F.lit(bw))
+        return _exact_bucket(c, bw)
 
     # empty/inverted intervals (end ≤ start) match nothing by the [s, e)
     # contract — filtered up front, since sequence(floor(s/b), floor((e-1)/b))
@@ -257,9 +261,7 @@ def interval_join(left: DataFrame, right: DataFrame, bucket_width: int,
     bw = int(bucket_width)
 
     def _bucket(c):
-        c = c.cast("long")
-        return F.call_function(
-            "div", c - F.pmod(c, F.lit(bw)), F.lit(bw))
+        return _exact_bucket(c, bw)
 
     def _side(df, id_col, id_alias, s_alias, e_alias):
         return (df

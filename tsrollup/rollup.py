@@ -669,7 +669,8 @@ def pyramid_tiles(a_units: int, b_units: int,
 
 def read_range(rolled: DataFrame, a: int, b: int,
                window: int = BASE_WINDOW,
-               factors: dict[str, int] | None = None) -> DataFrame:
+               factors: dict[str, int] | None = None,
+               validate: bool = True) -> DataFrame:
     """Aggregate an arbitrary position range ``[a, b)`` from a stored tier
     pyramid — the hypertable/continuous-aggregate range-read path: a
     year-wide query touches a handful of coarse rows plus fine edges
@@ -700,6 +701,15 @@ def read_range(rolled: DataFrame, a: int, b: int,
 
     Docs shorter than ``b`` contribute their covered prefix (count says
     how much); docs with no window in range emit no row.
+
+    ``validate`` (default on) checks that every PLANNED tier name exists
+    in the store before reading: a ``factors`` map naming tiers the store
+    never materialized would otherwise silently drop that tile's whole
+    interior — an empty-or-partial answer from a function whose contract
+    is exactness (review finding, round 5). The check is one
+    ``select(tier).distinct()`` action — partition-listing-grade on a
+    tier-partitioned layout; pass ``validate=False`` on hot paths that
+    have already pinned the store's tier set.
     """
     if factors is None:
         factors = dict(TIER_FACTOR)
@@ -708,6 +718,15 @@ def read_range(rolled: DataFrame, a: int, b: int,
     if a >= b or a < 0:
         raise ValueError("need 0 <= a < b")
     tiles = pyramid_tiles(a // window, b // window, factors)
+    if validate:
+        stored = {r[0] for r in rolled.select("tier").distinct().collect()}
+        missing = sorted(set(tiles) - stored)
+        if missing:
+            raise ValueError(
+                f"planned tier(s) {missing} absent from the store "
+                f"(stored: {sorted(stored)}) — the stitched answer would "
+                "silently lose their tiles; fix `factors` or materialize "
+                "the tiers")
     pred = None
     for name, ranges in tiles.items():
         for lo, hi in ranges:
