@@ -967,6 +967,18 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_drift_tv(tokenize_words(_docs(spark, sf_dir)))
 
 
+def q_robust_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-doc scale stats (tsrollup.windowing.robust_norm_stats) —
+    znorm_outliers' median/IQR twin: exact median and Tukey-hinge
+    quartiles on the ×2 integer scale, 1.5·IQR fence census via the
+    division-free 2·|2t−med2| > 3·iqr2 compare. Pure per-row map (one
+    doc-local array_sort), zero exchanges — every column hash-exact."""
+    from tsrollup.windowing import robust_norm_stats
+
+    return robust_norm_stats(_tokenized(spark, sf_dir)
+                             .select("doc_id", "tokens"))
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift of each source vs the REST of
     the corpus (tsrollup.features.ks_drift) — source_drift's CDF/ordinal
@@ -2498,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "spearman": q_spearman,
         "ks_drift": q_ks_drift,
+        "robust_norm": q_robust_norm,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -4891,6 +4904,33 @@ SELECT key1, key2, n_buckets, n_co, corr_num, corr_denx, corr_deny,
             THEN corr_num / (sqrt(corr_denx) * sqrt(corr_deny))
        END AS corr
 FROM f
+"""
+
+    # robust per-doc stats: ×2-integer median / Tukey hinges / fence census
+    sqls["robust_norm"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, list_sort(t) AS s, len(t)::BIGINT AS n,
+         ((len(t) + 1) // 2)::BIGINT AS m
+  FROM tok
+), mids AS (
+  SELECT doc_id, t, n,
+         (s[((n-1)//2)::BIGINT + 1] + s[(n//2)::BIGINT + 1])::BIGINT
+           AS median2,
+         (s[((m-1)//2)::BIGINT + 1] + s[(m//2)::BIGINT + 1])::BIGINT
+           AS h1x2,
+         (s[(n-m+(m-1)//2)::BIGINT + 1] + s[(n-m+m//2)::BIGINT + 1])::BIGINT
+           AS h2x2
+  FROM st
+)
+SELECT doc_id, n AS n_tok, median2, h1x2, h2x2,
+       (h2x2 - h1x2)::BIGINT AS iqr2,
+       len(list_filter(t, x -> 2 * abs(2 * x - median2)
+                              > 3 * (h2x2 - h1x2)))::BIGINT AS n_outliers
+FROM mids
 """
 
     # two-sample KS, source vs rest: cross-multiplied CDF-gap argmax over

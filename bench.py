@@ -166,6 +166,7 @@ HEADLINE = [
     "unigram_surprisal",
     "spearman",
     "ks_drift",
+    "robust_norm",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -294,3 +294,53 @@ def test_pack_offsets_matches_oracle(spark):
     assert list(got.columns) == list(want.columns)
     for c in got.columns:
         assert (got[c].values == want[c].values).all(), c
+
+
+class TestRobustNormStats:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    def test_hand_built_odd_and_even(self, spark):
+        from tsrollup.windowing import robust_norm_stats
+
+        out = {r.doc_id: r for r in robust_norm_stats(self._docs(spark, [
+            ("odd", [5, 1, 3, 2, 4]),       # sorted 1 2 3 4 5
+            ("even", [4, 1, 3, 2]),         # sorted 1 2 3 4
+        ])).collect()}
+        o = out["odd"]
+        # median 3 → 6; halves of m=3: [1,2,3] & [3,4,5] → hinges 2, 4
+        assert (o.median2, o.h1x2, o.h2x2, o.iqr2) == (6, 4, 8, 4)
+        e = out["even"]
+        # median (2+3) = 5; halves m=2: [1,2] & [3,4] → 3, 7
+        assert (e.median2, e.h1x2, e.h2x2, e.iqr2) == (5, 3, 7, 4)
+
+    def test_fence_census(self, spark):
+        from tsrollup.windowing import robust_norm_stats
+
+        # sorted 1..7 + spike 100: med2=9, m=4, h1x2=2+3=5? halves
+        # [1,2,3,4] & [5,6,7,100]: h1x2=5, h2x2=13, iqr2=8
+        # fence: 2|2t-9| > 24 → t ≥ 11 or t ≤ -1 → only the spike
+        r = robust_norm_stats(self._docs(
+            spark, [("d", [1, 2, 3, 4, 5, 6, 7, 100])])).collect()[0]
+        assert (r.median2, r.h1x2, r.h2x2, r.iqr2) == (9, 5, 13, 8)
+        assert r.n_outliers == 1
+
+    def test_constant_doc_no_outliers(self, spark):
+        from tsrollup.windowing import robust_norm_stats
+
+        r = robust_norm_stats(self._docs(
+            spark, [("c", [7] * 10)])).collect()[0]
+        assert r.iqr2 == 0 and r.n_outliers == 0
+
+    def test_empty_doc_null_stats(self, spark):
+        from tsrollup.windowing import robust_norm_stats
+
+        r = robust_norm_stats(self._docs(spark, [("e", [])])).collect()[0]
+        assert r.n_tok == 0 and r.median2 is None and r.n_outliers == 0
+
+    def test_single_token(self, spark):
+        from tsrollup.windowing import robust_norm_stats
+
+        r = robust_norm_stats(self._docs(spark, [("s", [9])])).collect()[0]
+        assert (r.median2, r.h1x2, r.h2x2, r.iqr2) == (18, 18, 18, 0)
+        assert r.n_outliers == 0

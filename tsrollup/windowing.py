@@ -188,3 +188,59 @@ def znorm_outliers(df: DataFrame, z: float = 2.0, eps: float = 1.001e-5,
         F.col("_t"), lambda x: F.abs((x.cast("double") - mean) / denom) > z))
     return stats.select("doc_id", "n_tok", "mean", "var",
                         n_out.cast("long").alias("n_outliers"))
+
+
+def robust_norm_stats(df: DataFrame,
+                      tokens_col: str = "tokens") -> DataFrame:
+    """Robust per-doc scale statistics — the median/IQR twin of
+    :func:`znorm_outliers` (mean/σ are one fat-finger token away from
+    useless; median and Tukey hinges are not): exact median, Tukey-hinge
+    quartiles, IQR, and the 1.5·IQR fence census, all DIVISION-FREE on a
+    ×2 integer scale so any SQL engine reproduces every value bit-for-bit.
+
+    Pinned order-statistic rule (documented, cross-engine trivial):
+    median×2 = s[(n−1)÷2] + s[n÷2] over the sorted tokens; the hinges are
+    the same midpoint rule over the lower/upper HALVES of length
+    m = (n+1)÷2 (Tukey's convention: an odd-length doc's median belongs
+    to both halves). The fence test |t − med| > 1.5·IQR clears to
+    2·|2t − med2| > 3·iqr2 — pure int64.
+
+    Shape: a pure per-row map — one array_sort per doc, zero exchanges,
+    zero row amplification; the O(n) sort is doc-local exactly like the
+    kernels path. Empty docs emit NULL stats and 0 outliers.
+
+    Output: doc_id, n_tok (long), median2, h1x2, h2x2, iqr2 (long,
+    ×2-scaled), n_outliers (long).
+    """
+    t = F.col(tokens_col)
+    n = F.size(t)
+    s = F.array_sort(t)
+
+    def _mid2(offset, length):
+        # ×2 midpoint of the sorted slice s[offset : offset+length]
+        lo = offset + (length - 1) / 2 + 1   # 1-based element_at
+        hi = offset + length / 2 + 1
+        return (F.element_at(s, lo.cast("int")).cast("long")
+                + F.element_at(s, hi.cast("int")).cast("long"))
+
+    m = (n + 1) / 2
+    # the index arithmetic divides only by 2 — exact in IEEE doubles for
+    # any int32 length, truncating cast == floor on the non-negatives.
+    # Mids are guarded per row: element_at(s, 0) on an empty doc throws.
+    staged = df.select(
+        "doc_id", t.alias("_t"), s.alias("_s"), n.alias("_n"),
+        F.when(n > 0, _mid2(F.lit(0), n)).alias("median2"),
+        F.when(n > 0, _mid2(F.lit(0), m.cast("int"))).alias("h1x2"),
+        F.when(n > 0, _mid2(n - m.cast("int"), m.cast("int")))
+        .alias("h2x2"))
+    iqr2 = (F.col("h2x2") - F.col("h1x2")).alias("iqr2")
+    med2 = F.col("median2")
+    fence = F.size(F.filter(
+        F.col("_t"),
+        lambda x: 2 * F.abs(2 * x.cast("long") - med2)
+        > 3 * (F.col("h2x2") - F.col("h1x2"))))
+    return staged.select(
+        "doc_id", F.col("_n").cast("long").alias("n_tok"),
+        med2.alias("median2"), "h1x2", "h2x2", iqr2,
+        F.when(F.col("_n") > 0, fence).otherwise(F.lit(0))
+        .cast("long").alias("n_outliers"))
