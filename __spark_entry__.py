@@ -967,6 +967,19 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_drift_tv(tokenize_words(_docs(spark, sf_dir)))
 
 
+def q_binary_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary segmentation per (user, event_type) series
+    (tsrollup.counters.binary_segments): the changepoint estimator
+    applied recursively one level — τ₁ then the same exact
+    cross-multiplied argmax inside each half, half-local prefixes
+    DERIVED from the global prefix column (no re-scan, no join). One
+    series-hash exchange end to end. Exact decimal stats, ties to
+    smallest τ, four exact segment sums."""
+    from tsrollup.counters import binary_segments
+
+    return binary_segments(_fact(spark, sf_dir, "events"))
+
+
 def q_robust_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-doc scale stats (tsrollup.windowing.robust_norm_stats) —
     znorm_outliers' median/IQR twin: exact median and Tukey-hinge
@@ -2511,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "ks_drift": q_ks_drift,
         "robust_norm": q_robust_norm,
+        "binary_segments": q_binary_segments,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -4904,6 +4918,82 @@ SELECT key1, key2, n_buckets, n_co, corr_num, corr_denx, corr_deny,
             THEN corr_num / (sqrt(corr_denx) * sqrt(corr_deny))
        END AS corr
 FROM f
+"""
+
+    # depth-2 binary segmentation: the exact cross-multiplied CUSUM argmax
+    # run at the series level, then again per half on derived prefixes
+    sqls["binary_segments"] = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         (value::DECIMAL(18,2)*100)::BIGINT AS c
+  FROM events WHERE value IS NOT NULL
+), st AS (
+  SELECT user_id, event_type,
+         row_number() OVER wo AS rn,
+         SUM(c) OVER (wo ROWS UNBOUNDED PRECEDING)::BIGINT AS p,
+         COUNT(*) OVER wp::BIGINT AS n,
+         SUM(c) OVER wp::BIGINT AS s
+  FROM e
+  WINDOW wo AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+         wp AS (PARTITION BY user_id, event_type)
+), s1 AS (
+  SELECT *, CASE WHEN rn < n
+                 THEN abs(n::HUGEINT*p::HUGEINT - rn::HUGEINT*s::HUGEINT)
+            END AS st1
+  FROM st
+), pk1 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY st1 DESC NULLS LAST, rn ASC) AS pk
+  FROM s1
+), b1 AS (
+  SELECT *,
+    MAX(CASE WHEN pk = 1 AND st1 IS NOT NULL THEN rn END) OVER wp AS tau1,
+    MAX(CASE WHEN pk = 1 AND st1 IS NOT NULL THEN p END) OVER wp AS ptau1,
+    MAX(CASE WHEN pk = 1 AND st1 IS NOT NULL THEN st1 END) OVER wp AS stat1
+  FROM pk1
+  WINDOW wp AS (PARTITION BY user_id, event_type)
+), h AS (
+  SELECT *, CASE WHEN rn > tau1 THEN 1 ELSE 0 END AS half,
+    CASE WHEN rn > tau1 THEN rn - tau1 ELSE rn END AS lrn,
+    CASE WHEN rn > tau1 THEN p - ptau1 ELSE p END AS lp,
+    CASE WHEN rn > tau1 THEN n - tau1 ELSE tau1 END AS ln_,
+    CASE WHEN rn > tau1 THEN s - ptau1 ELSE ptau1 END AS ls
+  FROM b1 WHERE tau1 IS NOT NULL
+), s2 AS (
+  SELECT *, CASE WHEN lrn < ln_
+                 THEN abs(ln_::HUGEINT*lp::HUGEINT - lrn::HUGEINT*ls::HUGEINT)
+            END AS st2
+  FROM h
+), pk2 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, half
+                               ORDER BY st2 DESC NULLS LAST, lrn ASC) AS pk2
+  FROM s2
+), v AS (
+  SELECT *, CASE WHEN pk2 = 1 AND st2 IS NOT NULL THEN rn END AS vt,
+            CASE WHEN pk2 = 1 AND st2 IS NOT NULL THEN st2 END AS vs,
+            CASE WHEN pk2 = 1 AND st2 IS NOT NULL THEN p END AS vp
+  FROM pk2
+), agg AS (
+  SELECT user_id, event_type,
+         MAX(n)::BIGINT AS n, MAX(tau1)::BIGINT AS tau1,
+         MAX(stat1)::DOUBLE AS stat1,
+         MAX(CASE WHEN half = 0 THEN vt END)::BIGINT AS tau_left,
+         MAX(CASE WHEN half = 0 THEN vs END)::DOUBLE AS stat_left,
+         MAX(CASE WHEN half = 1 THEN vt END)::BIGINT AS tau_right,
+         MAX(CASE WHEN half = 1 THEN vs END)::DOUBLE AS stat_right,
+         MAX(CASE WHEN half = 0 THEN vp END)::BIGINT AS pl,
+         MAX(ptau1)::BIGINT AS p1,
+         MAX(CASE WHEN half = 1 THEN vp END)::BIGINT AS pr,
+         MAX(s)::BIGINT AS tot
+  FROM v GROUP BY 1, 2
+)
+SELECT user_id, event_type, n, tau1, stat1,
+       tau_left, stat_left, tau_right, stat_right,
+       COALESCE(pl, 0)::BIGINT AS s1,
+       (p1 - COALESCE(pl, 0))::BIGINT AS s2,
+       (COALESCE(pr, p1) - p1)::BIGINT AS s3,
+       (tot - COALESCE(pr, p1))::BIGINT AS s4
+FROM agg
 """
 
     # robust per-doc stats: ×2-integer median / Tukey hinges / fence census

@@ -167,6 +167,7 @@ HEADLINE = [
     "spearman",
     "ks_drift",
     "robust_norm",
+    "binary_segments",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -1598,3 +1598,93 @@ class TestSpearmanMatrix:
         r = spearman_matrix(_events(spark, rows)).collect()[0]
         assert r.n_co == 2          # hours 1 and 2 only
         assert abs(r.rho + 1.0) < 1e-12
+
+
+class TestBinarySegments:
+    def _series(self, spark, cases):
+        rows, eid = [], 0
+        for name, vals in cases.items():
+            for i, v in enumerate(vals):
+                rows.append(_row(1, name, eid, i * 60, float(v)))
+                eid += 1
+        return _events(spark, rows)
+
+    @staticmethod
+    def _twin(vals):
+        import numpy as np
+
+        c = [int(round(v * 100)) for v in vals]
+        n = len(c)
+        P = np.cumsum(c)
+        tot = int(P[-1])
+
+        def argmax(lo, hi):
+            ln = hi - lo + 1
+            if ln < 2:
+                return None, None
+            base = int(P[lo - 2]) if lo >= 2 else 0
+            ls = int(P[hi - 1]) - base
+            best = (-1, None)
+            for r in range(lo, hi):
+                st = abs(ln * (int(P[r - 1]) - base) - (r - lo + 1) * ls)
+                if st > best[0]:
+                    best = (st, r)
+            return best[1], best[0]
+
+        t1, st1 = argmax(1, n)
+        tl, stl = argmax(1, t1)
+        tr, str_ = argmax(t1 + 1, n)
+        pl = int(P[tl - 1]) if tl else 0
+        p1 = int(P[t1 - 1])
+        pr = int(P[tr - 1]) if tr else p1
+        return dict(n=n, tau1=t1, stat1=float(st1),
+                    tau_left=tl,
+                    stat_left=float(stl) if stl is not None else None,
+                    tau_right=tr,
+                    stat_right=float(str_) if str_ is not None else None,
+                    s1=pl, s2=p1 - pl, s3=pr - p1, s4=tot - pr)
+
+    def test_three_level_staircase_names_both_steps(self, spark):
+        from tsrollup.counters import binary_segments
+
+        cases = {"steps": [1.0] * 10 + [5.0] * 10 + [9.0] * 10}
+        r = binary_segments(self._series(spark, cases)).collect()[0]
+        assert r.tau1 == 10 and r.tau_right == 20
+        assert (r.s1 + r.s2, r.s3 + r.s4) == (1000, 500 * 10 + 900 * 10)
+
+    def test_exact_twin_parity_incl_edges(self, spark):
+        import numpy as np
+
+        from tsrollup.counters import binary_segments
+
+        cases = {
+            "flat": [2.0] * 8,
+            "two": [1.0, 9.0],
+            "short3": [1.0, 1.0, 9.0],
+            "noisy": list(np.round(
+                np.random.default_rng(2).normal(5, 1, 40), 2)),
+        }
+        got = {r.event_type: r.asDict()
+               for r in binary_segments(self._series(spark, cases)).collect()}
+        for name, vals in cases.items():
+            want = self._twin(vals)
+            for k, v in want.items():
+                assert got[name][k] == v, (name, k, got[name][k], v)
+
+    def test_single_sample_series_absent(self, spark):
+        from tsrollup.counters import binary_segments
+
+        df = _events(spark, [_row(1, "solo", 0, 0, 5.0),
+                             _row(1, "pair", 1, 0, 1.0),
+                             _row(1, "pair", 2, 60, 2.0)])
+        out = {r.event_type for r in binary_segments(df).collect()}
+        assert out == {"pair"}
+
+    def test_single_exchange(self, spark):
+        from tsrollup.counters import binary_segments
+        from tsrollup.planaudit import formatted_plan, n_data_exchanges
+
+        df = _events(spark, [_row(1, "a", i, i * 60, float(i))
+                             for i in range(6)])
+        plan = formatted_plan(binary_segments(df))
+        assert n_data_exchanges(plan) == 1, plan

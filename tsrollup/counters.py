@@ -40,6 +40,8 @@ output bit:
   via per-user interval-union + boundary deltas, never a ×W explode.
 - ``spearman_matrix`` — Spearman rank correlation per key pair over
   co-active buckets (×2-integer average-tie ranks, exact moments).
+- ``binary_segments`` — depth-2 binary segmentation (the changepoint
+  estimator recursed once per half on derived prefixes, one exchange).
 
 The per-series operators pay ONE exchange: the window partitioning is a
 subset of every later grouping key, so Spark's EnsureRequirements reuses it.
@@ -1887,3 +1889,125 @@ def spearman_matrix(events: DataFrame, key_col: str = "event_type",
                            F.col("rho_num")
                            / (F.sqrt(F.col("rho_denx"))
                               * F.sqrt(F.col("rho_deny"))))))
+
+
+def binary_segments(events: DataFrame,
+                    series_cols: Sequence[str] = ("user_id", "event_type"),
+                    ts_col: str = "ts", id_col: str = "event_id",
+                    value_col: str = "value") -> DataFrame:
+    """Depth-2 BINARY SEGMENTATION per series — up to three changepoints
+    (the classical multi-changepoint recursion, one level deep): the
+    :func:`changepoint_cusum` estimator names τ₁, then the SAME exact
+    cross-multiplied argmax runs again inside each half with half-local
+    prefix sums. "Did the level shift more than once" is the question
+    the single-τ op can't answer.
+
+    Exactness: identical to the parent op — stat(τ) = |n·P_τ − τ·S| per
+    (series, half) in decimal(38,0), ties to the smallest τ, every
+    boundary sum an exact int64. Half-local prefixes derive from the
+    GLOBAL prefix column by subtracting the τ₁ boundary values — no
+    re-scan, no join.
+
+    Shape: still ONE series-hash exchange — τ₁'s rank pick, the
+    boundary-value broadcasts (max-of-flagged over the series window),
+    and the per-(series, half) windows all partition on the series tuple
+    or a superset of it, so every step is a sort within the same
+    exchange (plan-guarded in tests).
+
+    Output: series_cols…, n (long), tau1, stat1, tau_left, stat_left,
+    tau_right, stat_right (taus GLOBAL 1-indexed positions; left/right
+    NULL when that half has < 2 samples), and the four segment cents
+    sums s1..s4 (boundaries [1..τL], (τL..τ₁], (τ₁..τR], (τR..n]; when a
+    half has no split its first sum is 0 and the whole half's mass sits
+    in the second — s1+s2 and s3+s4 are always the exact half totals).
+    """
+    scols = list(series_cols)
+    events = events.filter(F.col(value_col).isNotNull())
+    wseq = Window.partitionBy(*scols).orderBy(ts_col, id_col)
+    wall = Window.partitionBy(*scols)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    d38 = "decimal(38,0)"
+
+    staged = events.select(
+        *scols,
+        F.row_number().over(wseq).alias("_rn"),
+        F.sum(cents).over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0)).alias("_p"),
+        F.count("*").over(wall).alias("_n"),
+        F.sum(cents).over(wall).alias("_s"))
+    stat1 = F.when(
+        F.col("_rn") < F.col("_n"),
+        F.abs(F.col("_n").cast(d38) * F.col("_p").cast(d38)
+              - F.col("_rn").cast(d38) * F.col("_s").cast(d38)))
+    pick1 = F.row_number().over(
+        Window.partitionBy(*scols)
+        .orderBy(F.col("_st1").desc_nulls_last(), F.col("_rn").asc()))
+    # mask on the PICKED ROW'S stat, not just its rank: a 1-sample series
+    # has only NULL-stat candidates, and its rank-1 row must not become τ₁
+    ok1 = (F.col("_pk1") == 1) & F.col("_st1").isNotNull()
+    s1 = (staged
+          .withColumn("_st1", stat1)
+          .withColumn("_pk1", pick1)
+          .withColumn("_tau1", F.max(F.when(ok1, F.col("_rn"))).over(wall))
+          .withColumn("_ptau1", F.max(F.when(ok1, F.col("_p"))).over(wall))
+          .withColumn("_stat1", F.max(F.when(ok1, F.col("_st1")))
+                      .over(wall)))
+    # half-local coordinates (derived, never re-scanned)
+    half = (F.col("_rn") > F.col("_tau1")).cast("int")
+    s2 = s1.withColumn("_half", half).withColumn(
+        "_lrn", F.when(F.col("_half") == 0, F.col("_rn"))
+                 .otherwise(F.col("_rn") - F.col("_tau1"))).withColumn(
+        "_lp", F.when(F.col("_half") == 0, F.col("_p"))
+                .otherwise(F.col("_p") - F.col("_ptau1"))).withColumn(
+        "_ln", F.when(F.col("_half") == 0, F.col("_tau1"))
+                .otherwise(F.col("_n") - F.col("_tau1"))).withColumn(
+        "_ls", F.when(F.col("_half") == 0, F.col("_ptau1"))
+                .otherwise(F.col("_s") - F.col("_ptau1")))
+    stat2 = F.when(
+        F.col("_lrn") < F.col("_ln"),
+        F.abs(F.col("_ln").cast(d38) * F.col("_lp").cast(d38)
+              - F.col("_lrn").cast(d38) * F.col("_ls").cast(d38)))
+    whalf = Window.partitionBy(*scols, "_half")
+    pick2 = F.row_number().over(
+        whalf.orderBy(F.col("_st2").desc_nulls_last(), F.col("_lrn").asc()))
+    s3 = (s2.withColumn("_st2", stat2)
+          .withColumn("_pk2", pick2)
+          # a half of size < 2 has no valid candidate: its rank-1 row has
+          # a NULL stat — masked below
+          .withColumn("_vt", F.when((F.col("_pk2") == 1)
+                                    & F.col("_st2").isNotNull(),
+                                    F.col("_rn")))
+          .withColumn("_vs", F.when((F.col("_pk2") == 1)
+                                    & F.col("_st2").isNotNull(),
+                                    F.col("_st2")))
+          .withColumn("_vp", F.when((F.col("_pk2") == 1)
+                                    & F.col("_st2").isNotNull(),
+                                    F.col("_p"))))
+    agg = (s3.groupBy(*scols)
+           .agg(F.max("_n").cast("long").alias("n"),
+                F.max("_tau1").cast("long").alias("tau1"),
+                F.max("_stat1").cast("double").alias("stat1"),
+                F.max(F.when(F.col("_half") == 0, F.col("_vt")))
+                .cast("long").alias("tau_left"),
+                F.max(F.when(F.col("_half") == 0, F.col("_vs")))
+                .cast("double").alias("stat_left"),
+                F.max(F.when(F.col("_half") == 1, F.col("_vt")))
+                .cast("long").alias("tau_right"),
+                F.max(F.when(F.col("_half") == 1, F.col("_vs")))
+                .cast("double").alias("stat_right"),
+                F.max(F.when(F.col("_half") == 0, F.col("_vp")))
+                .cast("long").alias("_pL"),
+                F.max("_ptau1").cast("long").alias("_p1"),
+                F.max(F.when(F.col("_half") == 1, F.col("_vp")))
+                .cast("long").alias("_pR"),
+                F.max("_s").cast("long").alias("_S")))
+    pL = F.coalesce(F.col("_pL"), F.lit(0))
+    pR = F.coalesce(F.col("_pR"), F.col("_p1"))
+    return (agg
+            .filter(F.col("tau1").isNotNull())
+            .select(*scols, "n", "tau1", "stat1",
+                    "tau_left", "stat_left", "tau_right", "stat_right",
+                    pL.alias("s1"),
+                    (F.col("_p1") - pL).cast("long").alias("s2"),
+                    (pR - F.col("_p1")).cast("long").alias("s3"),
+                    (F.col("_S") - pR).cast("long").alias("s4")))
