@@ -967,6 +967,19 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_drift_tv(tokenize_words(_docs(spark, sf_dir)))
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample (tsrollup.text.group_sample): the
+    k smallest (md5(doc_id), doc_id) per source — the reproducible
+    TABLESAMPLE a pipeline wants for eyeballing (df.sample is seed-and-
+    partitioning dependent; LIMIT is scan-order dependent; this is
+    engine- and run-stable, hence oracle-checkable). One group-key
+    window exchange; rank ≤ k prunes immediately."""
+    from tsrollup.text import group_sample
+
+    return group_sample(_docs(spark, sf_dir), k=5).select(
+        "doc_id", "source", "n_chars", "sample_rank")
+
+
 def q_binary_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-2 binary segmentation per (user, event_type) series
     (tsrollup.counters.binary_segments): the changepoint estimator
@@ -2525,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "robust_norm": q_robust_norm,
         "binary_segments": q_binary_segments,
+        "group_sample": q_group_sample,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -4918,6 +4932,18 @@ SELECT key1, key2, n_buckets, n_co, corr_num, corr_denx, corr_deny,
             THEN corr_num / (sqrt(corr_denx) * sqrt(corr_deny))
        END AS corr
 FROM f
+"""
+
+    # deterministic per-group sample: k smallest (md5(id), id) per group
+    sqls["group_sample"] = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id)
+           ::BIGINT AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, sample_rank FROM r WHERE sample_rank <= 5
 """
 
     # depth-2 binary segmentation: the exact cross-multiplied CUSUM argmax

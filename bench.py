@@ -168,6 +168,7 @@ HEADLINE = [
     "ks_drift",
     "robust_norm",
     "binary_segments",
+    "group_sample",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

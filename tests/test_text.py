@@ -584,3 +584,37 @@ class TestUnigramSurprisal:
                                .repartition(11)).toPandas()
              .sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupSample:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_k_per_group_and_reproducible(self, spark):
+        from tsrollup.text import group_sample
+
+        rows = [(i, f"s{i % 3}") for i in range(60)]
+        a = (group_sample(self._docs(spark, rows), k=4, id_col="doc_id")
+             .toPandas().sort_values(["source", "sample_rank"])
+             .reset_index(drop=True))
+        assert (a.groupby("source").size() == 4).all()
+        # same rows regardless of input order/partitioning
+        b = (group_sample(self._docs(spark, list(reversed(rows)))
+                          .repartition(7), k=4, id_col="doc_id")
+             .toPandas().sort_values(["source", "sample_rank"])
+             .reset_index(drop=True))
+        assert a[["doc_id", "source", "sample_rank"]].equals(
+            b[["doc_id", "source", "sample_rank"]])
+
+    def test_small_group_returned_whole(self, spark):
+        from tsrollup.text import group_sample
+
+        rows = [(1, "tiny"), (2, "tiny")]
+        out = group_sample(self._docs(spark, rows), k=10).toPandas()
+        assert len(out) == 2 and set(out.sample_rank) == {1, 2}
+
+    def test_rejects_bad_k(self, spark):
+        from tsrollup.text import group_sample
+
+        with pytest.raises(ValueError):
+            group_sample(self._docs(spark, [(1, "s")]), k=0)

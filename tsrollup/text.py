@@ -630,3 +630,32 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select(
         "doc_id", "n_tok", nats.alias("surprisal_nats"),
         (nats / math.log(2.0)).alias("bits_per_token"))
+
+
+def group_sample(df: DataFrame, k: int = 10,
+                 group_col: str = "source",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic uniform-style sample of ``k`` rows PER GROUP — the
+    reproducible TABLESAMPLE a 100 TB pipeline actually wants: eyeball
+    k docs per source, get the SAME k on every run, every engine, every
+    partitioning (`df.sample()` is seed-and-partitioning dependent;
+    LIMIT is scan-order dependent — neither survives a re-run, and
+    neither can be oracle-checked).
+
+    The sample is the k smallest (md5(id), id) per group — the same
+    deterministic-shuffle rank :func:`stratified_split` orders by, so
+    "random-looking" but exactly reproducible and SQL-expressible.
+    Groups with fewer than k rows return whole.
+
+    Shape: one window rank per group — a single exchange on the group
+    key, and rank ≤ k prunes before anything downstream; no global sort,
+    no driver collect. All input columns pass through plus
+    ``sample_rank`` (1-based).
+    """
+    if k < 1:
+        raise ValueError("need k >= 1")
+    r = F.row_number().over(
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (df.withColumn("sample_rank", r.cast("long"))
+            .filter(F.col("sample_rank") <= k))
