@@ -923,3 +923,71 @@ def test_disorder_profile_sizes_the_watermark(spark, tmp_path):
     tight = run("40 seconds", "tight")
     assert tight["count"].sum() == want["count"].sum() - len(f1)
     assert tight["sum"].sum() == want["sum"].sum() - 400.0
+
+
+def test_stream_actives_matches_batch_distinct(spark, tmp_path):
+    """Per-bucket distinct actives: the two-stateful-operator chain
+    (dedup → windowed count) must equal the batch COUNT(DISTINCT) per
+    bucket bit-for-bit, across multi-file arrival with in-watermark
+    duplicates."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tsrollup.streaming import stream_actives
+
+    t0 = dt.datetime(2026, 3, 1)
+    rng = np.random.default_rng(17)
+    frames = []
+    eid = 0
+    for f in range(3):
+        n = 400
+        rows = pd.DataFrame({
+            "event_id": np.arange(eid, eid + n, dtype=np.int64),
+            "user_id": rng.integers(1, 40, size=n).astype(np.int64),
+            "ts": [t0 + dt.timedelta(seconds=int(s))
+                   for s in rng.integers(f * 3600, (f + 2) * 3600, size=n)],
+            "value": 1.0})
+        eid += n
+        frames.append(rows)
+    flush = pd.DataFrame({
+        "event_id": np.array([99999], dtype=np.int64),
+        "user_id": np.int64(77777),
+        "ts": [t0 + dt.timedelta(days=3)], "value": 0.0})
+    frames.append(flush)
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, fr in enumerate(frames):
+        p = src / f"f{i}.parquet"
+        fr.to_parquet(p, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (stream_actives(stream, watermark="4 hours")
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    _await_done(q)
+    got = (spark.read.parquet(sink)
+           .filter(F.col("bucket_ts") < dt.datetime(2026, 3, 2))
+           .toPandas().sort_values("bucket_ts").reset_index(drop=True))
+
+    batch = spark.read.parquet(str(src))
+    want = (stream_actives(batch)
+            .filter(F.col("bucket_ts") < dt.datetime(2026, 3, 2))
+            .toPandas().sort_values("bucket_ts").reset_index(drop=True))
+    direct = (batch.filter("user_id != 77777")
+              .groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.countDistinct("user_id").alias("n"))
+              .select(F.col("w.start").alias("bucket_ts"), "n")
+              .toPandas().sort_values("bucket_ts").reset_index(drop=True))
+    assert len(got) == len(want) == len(direct) > 0
+    assert (got.active_users.values == want.active_users.values).all()
+    assert (got.active_users.values == direct.n.values).all()

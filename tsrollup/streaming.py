@@ -517,3 +517,55 @@ def stream_cusum(events: DataFrame, target: float = 50.0,
             .groupBy("user_id", "event_type")
             .applyInPandasWithState(update, CUSUM_OUT_SCHEMA,
                                     CUSUM_STATE_SCHEMA, "append", timeout))
+
+
+def stream_actives(events: DataFrame, bucket_seconds: int = 3600,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-bucket distinct actives — the LIVE DAU/hourly-actives panel
+    (the streaming face of the census :func:`tsrollup.counters.
+    rolling_actives` serves in batch; the rolling window stays a batch/
+    read-side concern because its ×W bucket lookahead would drag the
+    event-time watermark forward — this op is the exact per-bucket
+    distinct count a dashboard refreshes from).
+
+    Two chained stateful operators, the SPARK-42376-supported combo:
+    first-arrival dedup of (user, bucket) via
+    ``dropDuplicatesWithinWatermark``, then a watermarked tumbling count
+    of the survivors (append mode: each bucket's census emits once,
+    final). The dedup KEY is a plain derived bucket timestamp (exact
+    integer-µs floor), NOT the event-time column itself: a tagged
+    event-time column inside the dedup key leaves the operator's state
+    empty at every batch end (observed: cross-batch duplicates all
+    survive), and two tagged columns in one stream are rejected
+    outright — so the raw ``ts`` stays the stream's single event-time
+    column and the key stays untagged. Dedup state expires once the
+    watermark passes a key's FIRST arrival: ``watermark`` must cover
+    the bucket width plus the source's maximum disorder, or a late
+    (user, bucket) re-arrival after eviction double-counts (the
+    documented dropDuplicatesWithinWatermark contract).
+
+    On a batch frame the same expression degrades to
+    dropDuplicates → groupBy — COUNT(DISTINCT user) per bucket exactly,
+    so stream == batch parity is testable on the same files.
+
+    Output: bucket_ts (timestamp, bucket start), active_users (long).
+    """
+    if bucket_seconds < 1:
+        raise ValueError("need bucket_seconds >= 1")
+    w_us = int(bucket_seconds) * 1_000_000
+    bucket_start = F.timestamp_micros(
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w_us}")
+        * F.lit(w_us))
+    df = events.select(F.col(user_col).alias("_u"),
+                       F.col(ts_col).alias("_ts"),
+                       bucket_start.alias("_b"))
+    if events.isStreaming:
+        df = (df.withWatermark("_ts", watermark)
+              .dropDuplicatesWithinWatermark(["_u", "_b"]))
+    else:
+        df = df.dropDuplicates(["_u", "_b"])
+    return (df.groupBy(F.window("_ts", f"{int(bucket_seconds)} seconds")
+                       .alias("_w"))
+            .agg(F.count("*").cast("long").alias("active_users"))
+            .select(F.col("_w.start").alias("bucket_ts"), "active_users"))
