@@ -967,6 +967,19 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_drift_tv(tokenize_words(_docs(spark, sf_dir)))
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (tsrollup.counters.retention_cohorts) —
+    the product-analytics triangle: users cohort by first active day;
+    cell (cohort, offset) counts distinct returners. Each distinct
+    (user, day) maps to exactly one cell, so the census is a plain
+    COUNT over deduplicated pairs — never a COUNT(DISTINCT) at matrix
+    grain; cohort_size rides a matrix-grain window; retention is one
+    IEEE division of exact int64s. Two data-sized exchanges."""
+    from tsrollup.counters import retention_cohorts
+
+    return retention_cohorts(_fact(spark, sf_dir, "events"))
+
+
 def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source sample (tsrollup.text.group_sample): the
     k smallest (md5(doc_id), doc_id) per source — the reproducible
@@ -2539,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_norm": q_robust_norm,
         "binary_segments": q_binary_segments,
         "group_sample": q_group_sample,
+        "cohort_retention": q_cohort_retention,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -4932,6 +4946,27 @@ SELECT key1, key2, n_buckets, n_co, corr_num, corr_denx, corr_deny,
             THEN corr_num / (sqrt(corr_denx) * sqrt(corr_deny))
        END AS corr
 FROM f
+"""
+
+    # cohort retention triangle: first-active-day cohorts, exact cells
+    sqls["cohort_retention"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS b
+  FROM events WHERE user_id IS NOT NULL AND epoch_us(ts) >= 0
+), c AS (
+  SELECT user_id, b, MIN(b) OVER (PARTITION BY user_id) AS c0 FROM ud
+), cells AS (
+  SELECT c0, (b - c0)::BIGINT AS day_offset, COUNT(*)::BIGINT AS n_active
+  FROM c GROUP BY 1, 2
+), sized AS (
+  SELECT *, MAX(CASE WHEN day_offset = 0 THEN n_active END)
+              OVER (PARTITION BY c0)::BIGINT AS cohort_size
+  FROM cells
+)
+SELECT make_timestamp(c0 * 86400000000) AS cohort_ts,
+       day_offset, n_active, cohort_size,
+       n_active::DOUBLE / cohort_size::DOUBLE AS retention
+FROM sized
 """
 
     # deterministic per-group sample: k smallest (md5(id), id) per group

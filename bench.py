@@ -169,6 +169,7 @@ HEADLINE = [
     "robust_norm",
     "binary_segments",
     "group_sample",
+    "cohort_retention",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -1688,3 +1688,58 @@ class TestBinarySegments:
                              for i in range(6)])
         plan = formatted_plan(binary_segments(df))
         assert n_data_exchanges(plan) == 1, plan
+
+
+class TestRetentionCohorts:
+    def test_hand_built_triangle(self, spark):
+        from tsrollup.counters import retention_cohorts
+
+        D = 86_400
+        # cohort day 0: users 1,2,3 (u1 returns d1,d2; u2 returns d2)
+        # cohort day 1: user 4 (returns d2)
+        rows = [_row(1, "a", 0, 0, 1.0), _row(2, "a", 1, 10, 1.0),
+                _row(3, "a", 2, 20, 1.0),
+                _row(1, "a", 3, D + 5, 1.0),
+                _row(1, "a", 4, 2 * D + 5, 1.0),
+                _row(2, "a", 5, 2 * D + 9, 1.0),
+                _row(4, "a", 6, D + 1, 1.0),
+                _row(4, "a", 7, 2 * D + 1, 1.0),
+                # a same-day duplicate must not double-count
+                _row(3, "a", 8, 30, 1.0)]
+        out = {(r.cohort_ts, r.day_offset): r for r in
+               retention_cohorts(_events(spark, rows)).collect()}
+        # buckets are epoch-aligned days: cohort_ts is the day FLOOR of
+        # T0 (10:00), not T0 itself
+        c0 = dt.datetime(2024, 1, 1)
+        c1 = dt.datetime(2024, 1, 2)
+        assert out[(c0, 0)].n_active == 3 and out[(c0, 0)].retention == 1.0
+        assert out[(c0, 1)].n_active == 1
+        assert out[(c0, 2)].n_active == 2
+        assert out[(c0, 2)].cohort_size == 3
+        assert out[(c0, 2)].retention == 2.0 / 3.0
+        assert out[(c1, 0)].n_active == 1
+        assert out[(c1, 1)].n_active == 1 and out[(c1, 1)].retention == 1.0
+        assert len(out) == 5  # sparse: no empty cells
+
+    def test_every_offset_zero_is_full(self, spark):
+        import numpy as np
+
+        from tsrollup.counters import retention_cohorts
+
+        rng = np.random.default_rng(9)
+        rows = [_row(int(u), "a", i, int(s), 1.0)
+                for i, (u, s) in enumerate(zip(
+                    rng.integers(1, 30, 300),
+                    rng.integers(0, 10 * 86_400, 300)))]
+        out = retention_cohorts(_events(spark, rows)).collect()
+        zero = [r for r in out if r.day_offset == 0]
+        assert all(r.retention == 1.0 and r.n_active == r.cohort_size
+                   for r in zero)
+        assert all(r.n_active <= r.cohort_size for r in out)
+
+    def test_rejects_bad_bucket(self, spark):
+        from tsrollup.counters import retention_cohorts
+
+        with pytest.raises(ValueError):
+            retention_cohorts(_events(spark, [_row(1, "a", 0, 0, 1.0)]),
+                              bucket_seconds=0)

@@ -42,6 +42,8 @@ output bit:
   co-active buckets (×2-integer average-tie ranks, exact moments).
 - ``binary_segments`` — depth-2 binary segmentation (the changepoint
   estimator recursed once per half on derived prefixes, one exchange).
+- ``retention_cohorts`` — the cohort retention triangle (first-active
+  cohorts × offset, exact cells over deduplicated (user, day) pairs).
 
 The per-series operators pay ONE exchange: the window partitioning is a
 subset of every later grouping key, so Spark's EnsureRequirements reuses it.
@@ -2011,3 +2013,58 @@ def binary_segments(events: DataFrame,
                     (F.col("_p1") - pL).cast("long").alias("s2"),
                     (pR - F.col("_p1")).cast("long").alias("s3"),
                     (F.col("_S") - pR).cast("long").alias("s4")))
+
+
+def retention_cohorts(events: DataFrame, bucket_seconds: int = 86_400,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics triangle:
+    users cohort by their FIRST active bucket (signup-day proxy), and
+    cell (cohort, offset) counts how many of them were active again
+    ``offset`` buckets later (``apply_retention`` is the STORAGE-TTL
+    sense of "retention"; this is the user-behavior sense).
+
+    Exactness: buckets are exact integer ``div`` on non-negative µs;
+    each distinct (user, bucket) maps to exactly ONE (cohort, offset)
+    cell, so the cell census is a plain COUNT over the deduplicated
+    pairs — never a COUNT(DISTINCT) at matrix grain; cohort_size is the
+    offset-0 cell (every cohort member is by construction active in its
+    first bucket) carried by a window at MATRIX grain; the rate is one
+    IEEE division of exact int64s.
+
+    Shape: distinct (user, bucket) → per-user min-bucket window (the two
+    data-sized exchanges) → matrix-grain regroup + cohort-size window
+    (tiny: cohorts × offsets rows). Sparse cells (no returning user)
+    are absent — the matrix reads as observations, not a dense grid.
+
+    Output: cohort_ts (timestamp, cohort bucket start), day_offset
+    (long, 0 = the cohort bucket itself), n_active (long), cohort_size
+    (long), retention (double, n_active/cohort_size; the offset-0 row
+    reads exactly 1.0).
+    """
+    if bucket_seconds < 1:
+        raise ValueError("need bucket_seconds >= 1")
+    w_us = int(bucket_seconds) * 1_000_000
+    ud = (events
+          .select(F.col(user_col).alias("_u"),
+                  F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                  .alias("_us"))
+          .filter(F.col("_u").isNotNull() & (F.col("_us") >= 0))
+          .select("_u", F.expr(f"_us div {w_us}").alias("_b"))
+          .distinct())
+    wu = Window.partitionBy("_u")
+    cells = (ud
+             .withColumn("_c", F.min("_b").over(wu))
+             .groupBy("_c", (F.col("_b") - F.col("_c")).alias("day_offset"))
+             .agg(F.count("*").cast("long").alias("n_active")))
+    wc = Window.partitionBy("_c")
+    size = F.max(F.when(F.col("day_offset") == 0,
+                        F.col("n_active"))).over(wc)
+    return (cells
+            .withColumn("cohort_size", size.cast("long"))
+            .select(F.timestamp_micros(F.col("_c") * F.lit(w_us))
+                    .alias("cohort_ts"),
+                    "day_offset", "n_active", "cohort_size",
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_size").cast("double"))
+                    .alias("retention")))
