@@ -991,3 +991,29 @@ def test_stream_actives_matches_batch_distinct(spark, tmp_path):
     assert len(got) == len(want) == len(direct) > 0
     assert (got.active_users.values == want.active_users.values).all()
     assert (got.active_users.values == direct.n.values).all()
+
+
+def test_stream_actives_guards_null_user_and_pre_epoch(spark):
+    """Batch-degrade guard set (review r5): NULL users don't count
+    (COUNT(DISTINCT) parity) and pre-epoch rows are excluded rather
+    than colliding dedup bucket -1 with bucket 0 (`div` truncates
+    toward zero while F.window floors)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tsrollup.streaming import stream_actives
+
+    rows = [
+        # bucket 0 of 1970-01-01: one real user + a NULL user
+        (1, dt.datetime(1970, 1, 1, 0, 30)),
+        (None, dt.datetime(1970, 1, 1, 0, 30)),
+        # pre-epoch event for the SAME user: truncating div would give
+        # dedup bucket 0 and swallow one of the two appearances
+        (1, dt.datetime(1969, 12, 31, 23, 30)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["bucket_ts"]: r["active_users"]
+           for r in stream_actives(df).collect()}
+    # NULL user ignored; pre-epoch row excluded, not merged into 00:00
+    assert got == {dt.datetime(1970, 1, 1): 1}

@@ -1724,6 +1724,23 @@ def disorder_stats(events: DataFrame,
                     .alias("avg_lateness_us")))
 
 
+def _user_bucket_ids(events: DataFrame, user_col: str, ts_col: str,
+                     w_us: int) -> DataFrame:
+    """(user, bucket-ordinal) staging shared by the census family
+    (rolling_actives, retention_cohorts) with the uniform guard set —
+    NULL users dropped (COUNT(DISTINCT) parity) and pre-epoch rows
+    dropped (``div`` truncates toward zero while the bucket rule
+    floors). Pre-distinct on purpose: callers `.distinct()` for the
+    one-exchange dedup, while scan-level aggs (bucket bounds) read the
+    raw frame without paying that exchange."""
+    return (events
+            .select(F.col(user_col).alias("_u"),
+                    F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                    .alias("_us"))
+            .filter(F.col("_u").isNotNull() & (F.col("_us") >= 0))
+            .select("_u", F.expr(f"_us div {w_us}").alias("_b")))
+
+
 def rolling_actives(events: DataFrame, window_buckets: int = 24,
                     bucket_seconds: int = 3600,
                     user_col: str = "user_id",
@@ -1762,13 +1779,7 @@ def rolling_actives(events: DataFrame, window_buckets: int = 24,
     if window_buckets < 1 or bucket_seconds < 1:
         raise ValueError("need window_buckets >= 1 and bucket_seconds >= 1")
     w_us = int(bucket_seconds) * 1_000_000
-    staged = (events
-              .select(F.col(user_col).alias("_u"),
-                      F.expr(f"unix_micros(cast({ts_col} as timestamp))")
-                      .alias("_us"))
-              .filter(F.col("_u").isNotNull() & (F.col("_us") >= 0))
-              .select("_u", (F.col("_us") / F.lit(w_us)).cast("long")
-                      .alias("_b")))
+    staged = _user_bucket_ids(events, user_col, ts_col, w_us)
     hb = staged.distinct()
     # contribution interval of bucket b is [b, b+W) on the bucket axis;
     # sorted by start and all W wide, runs merge exactly when the next
@@ -2045,13 +2056,7 @@ def retention_cohorts(events: DataFrame, bucket_seconds: int = 86_400,
     if bucket_seconds < 1:
         raise ValueError("need bucket_seconds >= 1")
     w_us = int(bucket_seconds) * 1_000_000
-    ud = (events
-          .select(F.col(user_col).alias("_u"),
-                  F.expr(f"unix_micros(cast({ts_col} as timestamp))")
-                  .alias("_us"))
-          .filter(F.col("_u").isNotNull() & (F.col("_us") >= 0))
-          .select("_u", F.expr(f"_us div {w_us}").alias("_b"))
-          .distinct())
+    ud = _user_bucket_ids(events, user_col, ts_col, w_us).distinct()
     wu = Window.partitionBy("_u")
     cells = (ud
              .withColumn("_c", F.min("_b").over(wu))

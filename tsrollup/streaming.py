@@ -549,22 +549,28 @@ def stream_actives(events: DataFrame, bucket_seconds: int = 3600,
     dropDuplicates → groupBy — COUNT(DISTINCT user) per bucket exactly,
     so stream == batch parity is testable on the same files.
 
+    Guard set matches the batch census twins (rolling_actives,
+    retention_cohorts): NULL users are dropped (COUNT(DISTINCT) ignores
+    NULL) and pre-epoch rows are dropped — ``div`` truncates toward zero
+    while F.window floors, so a negative-µs event would collide dedup
+    bucket −1 with bucket 0 and undercount.
+
     Output: bucket_ts (timestamp, bucket start), active_users (long).
     """
     if bucket_seconds < 1:
         raise ValueError("need bucket_seconds >= 1")
     w_us = int(bucket_seconds) * 1_000_000
-    bucket_start = F.timestamp_micros(
-        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {w_us}")
-        * F.lit(w_us))
-    df = events.select(F.col(user_col).alias("_u"),
-                       F.col(ts_col).alias("_ts"),
-                       bucket_start.alias("_b"))
-    if events.isStreaming:
-        df = (df.withWatermark("_ts", watermark)
-              .dropDuplicatesWithinWatermark(["_u", "_b"]))
-    else:
-        df = df.dropDuplicates(["_u", "_b"])
+    df = (events
+          .select(F.col(user_col).alias("_u"),
+                  F.col(ts_col).alias("_ts"),
+                  F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                  .alias("_us"))
+          .filter(F.col("_u").isNotNull() & (F.col("_us") >= 0))
+          .select("_u", "_ts",
+                  F.timestamp_micros(F.expr(f"_us div {w_us}")
+                                     * F.lit(w_us)).alias("_b")))
+    df = stream_dedup(df, keys=("_u", "_b"), ts_col="_ts",
+                      watermark=watermark)
     return (df.groupBy(F.window("_ts", f"{int(bucket_seconds)} seconds")
                        .alias("_w"))
             .agg(F.count("*").cast("long").alias("active_users"))

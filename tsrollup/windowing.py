@@ -228,19 +228,18 @@ def robust_norm_stats(df: DataFrame,
     # any int32 length, truncating cast == floor on the non-negatives.
     # Mids are guarded per row: element_at(s, 0) on an empty doc throws.
     staged = df.select(
-        "doc_id", t.alias("_t"), s.alias("_s"), n.alias("_n"),
+        "doc_id", t.alias("_t"), n.alias("_n"),
         F.when(n > 0, _mid2(F.lit(0), n)).alias("median2"),
         F.when(n > 0, _mid2(F.lit(0), m.cast("int"))).alias("h1x2"),
         F.when(n > 0, _mid2(n - m.cast("int"), m.cast("int")))
         .alias("h2x2"))
-    iqr2 = (F.col("h2x2") - F.col("h1x2")).alias("iqr2")
+    iqr2 = F.col("h2x2") - F.col("h1x2")
     med2 = F.col("median2")
     fence = F.size(F.filter(
         F.col("_t"),
-        lambda x: 2 * F.abs(2 * x.cast("long") - med2)
-        > 3 * (F.col("h2x2") - F.col("h1x2"))))
+        lambda x: 2 * F.abs(2 * x.cast("long") - med2) > 3 * iqr2))
     return staged.select(
         "doc_id", F.col("_n").cast("long").alias("n_tok"),
-        med2.alias("median2"), "h1x2", "h2x2", iqr2,
+        med2.alias("median2"), "h1x2", "h2x2", iqr2.alias("iqr2"),
         F.when(F.col("_n") > 0, fence).otherwise(F.lit(0))
         .cast("long").alias("n_outliers"))
