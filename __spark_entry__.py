@@ -993,6 +993,61 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars", "sample_rank")
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate-distinct sketches (tsrollup.sketches): per
+    ship-month distinct-order cardinality three ways — exact, KMV
+    bottom-k (k=64, exact below k), and raw HyperLogLog (p=8, m=256
+    registers) — PLUS each sketch's day→month MERGED twin, which equals
+    the direct sketch bit-for-bit (bottom-k-of-union and register-max
+    are associative: the merge identity is asserted by the value hash
+    itself). The merged columns are the tier story COUNT(DISTINCT)
+    can't have: the coarser tier computes from stored sketch state,
+    never from raw rows. Estimates are one literal-over-int64 IEEE
+    division — no ln (the HLL linear-counting correction is documented
+    downstream via hll_hit), so the DuckDB oracle matches every bit."""
+    from tsrollup.dedup import _h60
+    from tsrollup.sketches import (hll_estimate, hll_merge, hll_registers,
+                                   kmv_estimate, kmv_merge, kmv_sketch)
+
+    ev = _fact(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+        F.date_trunc("day", "l_shipdate").alias("day"),
+        "l_orderkey")
+    exact = ev.groupBy("mon").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_exact"))
+    # one shared staged hash frame (key_is_hash below) — left LAZY on
+    # purpose: materializing it (localCheckpoint) serializes the DAG
+    # behind one 3 s barrier, while the lazy plan lets the scheduler
+    # overlap all four sketch branches across idle cores (measured
+    # 3.5 s vs 4.3 s at sf0.1). A production tier pipeline stores the
+    # sketch TABLE itself and never recomputes any of this.
+    hashed = (ev.select("mon", "day",
+                        _h60(F.col("l_orderkey").cast("string"))
+                        .alias("h"))
+              .filter(F.col("h").isNotNull())
+              .distinct())
+    kd = kmv_sketch(hashed, "h", ["mon"], k=64, key_is_hash=True)
+    kdir = kd.select("mon", kmv_estimate(kd, k=64).alias("kmv_est"))
+    km = kmv_merge(kmv_sketch(hashed, "h", ["mon", "day"], k=64,
+                              key_is_hash=True), ["mon"], k=64)
+    kmer = km.select("mon",
+                     kmv_estimate(km, k=64).alias("kmv_merged_est"))
+    hdir = (hll_estimate(hll_registers(hashed, "h", ["mon"], p=8,
+                                       key_is_hash=True), ["mon"], p=8)
+            .select("mon", "hll_est",
+                    F.col("n_hit").alias("hll_hit")))
+    hmer = (hll_estimate(
+                hll_merge(hll_registers(hashed, "h", ["mon", "day"],
+                                        p=8, key_is_hash=True), ["mon"]),
+                ["mon"], p=8)
+            .select("mon", F.col("hll_est").alias("hll_merged_est")))
+    return (exact.join(kdir, "mon").join(kmer, "mon")
+            .join(hdir, "mon").join(hmer, "mon")
+            .select(F.col("mon").alias("bucket_ts"), "n_exact",
+                    "kmv_est", "kmv_merged_est", "hll_est",
+                    "hll_merged_est", "hll_hit"))
+
+
 def q_binary_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-2 binary segmentation per (user, event_type) series
     (tsrollup.counters.binary_segments): the changepoint estimator
@@ -2553,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_segments": q_binary_segments,
         "group_sample": q_group_sample,
         "cohort_retention": q_cohort_retention,
+        "sketch_distinct": q_sketch_distinct,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -4967,6 +5023,78 @@ SELECT make_timestamp(c0 * 86400000000) AS cohort_ts,
        day_offset, n_active, cohort_size,
        n_active::DOUBLE / cohort_size::DOUBLE AS retention
 FROM sized
+"""
+
+    # mergeable approximate-distinct sketches: KMV bottom-k + raw HLL,
+    # each with its day->month merged twin (merge identity is exact, so
+    # merged columns hash-match the direct ones). Estimate numerators are
+    # Python-float literals shared with tsrollup.sketches so one decimal
+    # string parses to the same double in both engines.
+    _kmv_num = repr(float(63 * (1 << 60)))
+    _hll_num = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256
+                    * float(1 << 53))
+    sqls["sketch_distinct"] = f"""
+WITH ev AS (
+  SELECT date_trunc('month', l_shipdate) AS mon,
+         date_trunc('day', l_shipdate) AS day, l_orderkey AS k
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+), ex AS (
+  SELECT mon, COUNT(DISTINCT k)::BIGINT AS n_exact FROM ev GROUP BY mon
+), h AS (
+  SELECT DISTINCT mon, day,
+         ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS h
+  FROM ev
+), kr AS (
+  SELECT mon, h, row_number() OVER (PARTITION BY mon ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY mon) AS cnt
+  FROM (SELECT DISTINCT mon, h FROM h)
+), kest AS (
+  SELECT mon, CASE WHEN MAX(cnt) < 64 THEN MAX(cnt)::DOUBLE
+              ELSE {_kmv_num} / MAX(CASE WHEN rn = 64 THEN h END)::DOUBLE
+              END AS kmv_est
+  FROM kr WHERE rn <= 64 GROUP BY mon
+), kdayr AS (
+  SELECT mon, h,
+         row_number() OVER (PARTITION BY mon, day ORDER BY h) AS rn
+  FROM h
+), kmr AS (
+  SELECT mon, h, row_number() OVER (PARTITION BY mon ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY mon) AS cnt
+  FROM (SELECT DISTINCT mon, h FROM kdayr WHERE rn <= 64)
+), kmest AS (
+  SELECT mon, CASE WHEN MAX(cnt) < 64 THEN MAX(cnt)::DOUBLE
+              ELSE {_kmv_num} / MAX(CASE WHEN rn = 64 THEN h END)::DOUBLE
+              END AS kmv_merged_est
+  FROM kmr WHERE rn <= 64 GROUP BY mon
+), hh AS (
+  SELECT mon, day, h % 256 AS idx,
+         CASE WHEN h // 256 = 0 THEN 53
+              ELSE 53 - length(bin(h // 256)) END AS rho
+  FROM h
+), hr AS (
+  SELECT mon, idx, MAX(rho) AS r FROM hh GROUP BY mon, idx
+), hest AS (
+  SELECT mon,
+         {_hll_num} / ((SUM(1::BIGINT << (53 - r))
+                        + (256 - COUNT(*)) * (1::BIGINT << 53))::DOUBLE)
+           AS hll_est,
+         COUNT(*)::BIGINT AS hll_hit
+  FROM hr GROUP BY mon
+), hrd AS (
+  SELECT mon, day, idx, MAX(rho) AS r FROM hh GROUP BY mon, day, idx
+), hrm AS (
+  SELECT mon, idx, MAX(r) AS r FROM hrd GROUP BY mon, idx
+), hmest AS (
+  SELECT mon,
+         {_hll_num} / ((SUM(1::BIGINT << (53 - r))
+                        + (256 - COUNT(*)) * (1::BIGINT << 53))::DOUBLE)
+           AS hll_merged_est
+  FROM hrm GROUP BY mon
+)
+SELECT ex.mon AS bucket_ts, n_exact, kmv_est, kmv_merged_est,
+       hll_est, hll_merged_est, hll_hit
+FROM ex JOIN kest USING (mon) JOIN kmest USING (mon)
+        JOIN hest USING (mon) JOIN hmest USING (mon)
 """
 
     # deterministic per-group sample: k smallest (md5(id), id) per group

@@ -170,6 +170,7 @@ HEADLINE = [
     "binary_segments",
     "group_sample",
     "cohort_retention",
+    "sketch_distinct",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

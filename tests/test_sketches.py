@@ -1,144 +1,139 @@
-"""Heavy-hitters sketch tests (tsrollup/sketches.py).
-
-The load-bearing property is EXACTNESS-VIA-SUPERSET: the Misra-Gries pass
-may keep extra candidates and mangle their residual counts however it
-likes — the recount pass must still emit exactly the rows a full groupBy +
-HAVING would. The Zipf test pins that end-to-end across partitions; the
-unit tests pin the MG merge rule itself (bounded size, survival guarantee).
+"""Mergeable approximate-distinct sketches (tsrollup.sketches): KMV
+bottom-k and HyperLogLog registers — estimator pinned against a pure
+Python replica, merge identities exact, guards, and accuracy envelopes.
 """
 
-from __future__ import annotations
+import hashlib
 
-import random
-
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from tsrollup.sketches import _mg_partition, heavy_hitters
+from tsrollup.sketches import (HASH_RANGE, hll_estimate, hll_merge,
+                               hll_registers, kmv_estimate, kmv_merge,
+                               kmv_sketch)
 
 
-def _exact(df, num, den):
-    ex = (df.select(F.explode(F.split("text", " ")).alias("word"))
-          .groupBy("word").count())
-    n = ex.agg(F.sum("count")).collect()[0][0] or 0
-    return sorted((r.word, r["count"]) for r in ex.collect()
-                  if r["count"] * den > n * num), n
+def _h60(s) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
 
 
-class TestMGPartition:
-    def _run(self, batches, k):
-        out = list(_mg_partition(k)(iter(
-            pd.DataFrame({"word": b}) for b in batches)))
-        assert len(out) == 1
-        pdf = out[0]
-        marker = pdf[pdf.word.isna()]
-        items = pdf[pdf.word.notna()]
-        return dict(zip(items.word, items.cnt)), int(marker.cnt.iloc[0])
-
-    def test_bounded_size_and_total(self, spark):
-        stream = [f"w{i % 50}" for i in range(1000)]
-        summary, total = self._run([stream[:400], stream[400:]], k=8)
-        assert len(summary) <= 8
-        assert total == 1000
-
-    def test_survival_guarantee(self, spark):
-        # one item with freq > N/(k+1) must survive any adversarial mix
-        random.seed(3)
-        heavy = ["HH"] * 300  # 300 of N=1000 > 1000/9
-        noise = [f"n{i}" for i in range(700)]  # all distinct
-        stream = heavy + noise
-        random.shuffle(stream)
-        summary, total = self._run(
-            [stream[i:i + 100] for i in range(0, 1000, 100)], k=8)
-        assert "HH" in summary and total == 1000
-
-    def test_exact_when_under_capacity(self, spark):
-        # fewer distinct keys than k: no decrement ever fires and the
-        # summary holds EXACT counts
-        summary, _ = self._run([["a", "b", "a"], ["a", "c"]], k=10)
-        assert summary == {"a": 3, "b": 1, "c": 1}
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 3 groups × 2 subgroups, ~333 distinct keys per (g, d) cell, plus a
+    # NULL key and a duplicate to pin the guard and the distinct
+    rows = [(f"g{i % 3}", f"d{i % 2}", k) for i, k in enumerate(range(2000))]
+    rows += [("g0", "d0", None), ("g1", "d1", 5)]
+    return spark.createDataFrame(rows, "g string, d string, key long")
 
 
-class TestHeavyHitters:
-    def test_matches_exact_groupby_on_zipf(self, spark):
-        random.seed(7)
-        vocab = [f"w{i}" for i in range(1, 800)]
-        weights = [1.0 / i for i in range(1, 800)]
-        docs = [(str(d), " ".join(random.choices(vocab, weights,
-                                                 k=random.randint(5, 50))))
-                for d in range(300)]
-        df = (spark.createDataFrame(docs, "doc_id string, text string")
-              .repartition(13))
-        got = sorted((r.word, r.n_occ) for r in
-                     heavy_hitters(df, 1, 100).collect())
-        want, n = _exact(df, 1, 100)
-        assert got == want and len(got) > 3
-        out = heavy_hitters(df, 1, 100).collect()
-        assert all(r.n_corpus == n for r in out)
-        assert all(r.share == r.n_occ / n for r in out)
+def _truth_sets(rows=2000):
+    truth = {}
+    for i, k in enumerate(range(rows)):
+        truth.setdefault((f"g{i % 3}", f"d{i % 2}"), set()).add(_h60(k))
+    return truth
 
-    def test_small_sketch_forces_decrements_still_exact(self, spark):
-        # sketch_k barely above the minimum: decrements fire constantly,
-        # output must still equal the exact answer
-        random.seed(11)
-        vocab = [f"w{i}" for i in range(1, 400)]
-        weights = [1.0 / i for i in range(1, 400)]
-        docs = [(str(d), " ".join(random.choices(vocab, weights, k=40)))
-                for d in range(200)]
-        df = (spark.createDataFrame(docs, "doc_id string, text string")
-              .repartition(7))
-        got = sorted((r.word, r.n_occ) for r in
-                     heavy_hitters(df, 1, 20, sketch_k=25).collect())
-        want, _ = _exact(df, 1, 20)
-        assert got == want
 
-    def test_threshold_is_strict(self, spark):
-        # 100 words total, "edge" appears exactly 10 times: at threshold
-        # 1/10 the cross-multiplied test 10·10 > 100·1 is FALSE
-        text = " ".join(["edge"] * 10 + [f"u{i}" for i in range(90)])
-        df = spark.createDataFrame([("0", text)], "doc_id string, text string")
-        out = heavy_hitters(df, 1, 10).collect()
-        assert out == []
+class TestKMV:
+    def test_estimator_matches_python_replica(self, keyed):
+        k = 64
+        sk = kmv_sketch(keyed, "key", ["g", "d"], k=k)
+        got = {(r.g, r.d): (r.kmv, r.e) for r in
+               sk.select("g", "d", "kmv",
+                         kmv_estimate(sk, k=k).alias("e")).collect()}
+        for cell, hs in _truth_sets().items():
+            want_kmv = sorted(hs)[:k]
+            want_est = (float(len(hs)) if len(hs) < k
+                        else (k - 1) * float(HASH_RANGE)
+                        / float(sorted(hs)[k - 1]))
+            assert got[cell][0] == want_kmv
+            assert got[cell][1] == want_est  # bit-exact: one division
 
-    def test_empty_corpus(self, spark):
-        df = spark.createDataFrame([], "doc_id string, text string")
-        out = heavy_hitters(df)
-        assert out.count() == 0
-        assert [f.name for f in out.schema.fields] == [
-            "word", "n_occ", "n_corpus", "share"]
+    def test_exact_below_k(self, spark):
+        df = spark.createDataFrame([("a", i % 7) for i in range(100)],
+                                   "g string, key long")
+        sk = kmv_sketch(df, "key", ["g"], k=64)
+        row = sk.select(F.size("kmv").alias("n"),
+                        kmv_estimate(sk, k=64).alias("e")).collect()[0]
+        assert row.n == 7 and row.e == 7.0
 
-    def test_rejects_bad_threshold_and_sketch(self, spark):
-        df = spark.createDataFrame([("0", "a")], "doc_id string, text string")
+    def test_merge_identity(self, keyed):
+        # bottom-k of a union of per-part bottom-k == global bottom-k
+        merged = kmv_merge(kmv_sketch(keyed, "key", ["g", "d"], k=32),
+                           ["g"], k=32)
+        direct = kmv_sketch(keyed, "key", ["g"], k=32)
+        a = {r.g: r.kmv for r in merged.collect()}
+        b = {r.g: r.kmv for r in direct.collect()}
+        assert a == b
+
+    def test_null_keys_ignored(self, spark):
+        df = spark.createDataFrame([("a", None), ("a", 1), ("a", 2)],
+                                   "g string, key long")
+        sk = kmv_sketch(df, "key", ["g"], k=64)
+        assert sk.select(F.size("kmv")).collect()[0][0] == 2
+
+    def test_accuracy_envelope(self, keyed):
+        # k=64 -> relative std error ~ 1/sqrt(62) = 12.7%; assert 3 sigma
+        sk = kmv_sketch(keyed.filter("key is not null"), "key", ["g"],
+                        k=64)
+        for r in sk.select("g", kmv_estimate(sk, k=64).alias("e")).collect():
+            assert abs(r.e - 667) / 667 < 0.38
+
+    def test_k_guard(self, keyed):
         with pytest.raises(ValueError):
-            heavy_hitters(df, 0, 10)
+            kmv_sketch(keyed, "key", ["g"], k=1)
+
+
+class TestHLL:
+    P = 8
+
+    def _replica(self, hs):
+        m, qm = 1 << self.P, 61 - self.P
+        reg = {}
+        for h in hs:
+            idx, w = h % m, h // m
+            rho = qm if w == 0 else qm - w.bit_length()
+            reg[idx] = max(reg.get(idx, 0), rho)
+        s = (sum(1 << (qm - r) for r in reg.values())
+             + (m - len(reg)) * (1 << qm))
+        num = 0.7213 / (1 + 1.079 / m) * m * m * float(1 << qm)
+        return num / float(s), len(reg), s
+
+    def test_estimate_matches_python_replica(self, keyed):
+        est = hll_estimate(
+            hll_registers(keyed, "key", ["g", "d"], p=self.P),
+            ["g", "d"], p=self.P)
+        got = {(r.g, r.d): (r.hll_est, r.n_hit, r.s_scaled)
+               for r in est.collect()}
+        for cell, hs in _truth_sets().items():
+            assert got[cell] == self._replica(hs)  # bit-exact
+
+    def test_merge_identity(self, keyed):
+        merged = hll_merge(
+            hll_registers(keyed, "key", ["g", "d"], p=self.P), ["g"])
+        direct = hll_registers(keyed, "key", ["g"], p=self.P)
+        a = sorted(tuple(r) for r in merged.collect())
+        b = sorted(tuple(r) for r in direct.collect())
+        assert a == b
+
+    def test_rho_bounds_and_null_guard(self, spark):
+        df = spark.createDataFrame(
+            [("a", i) for i in range(5000)] + [("a", None)],
+            "g string, key long")
+        regs = hll_registers(df, "key", ["g"], p=self.P)
+        lohi = regs.agg(F.min("r"), F.max("r"),
+                        F.count("*")).collect()[0]
+        assert 1 <= lohi[0] and lohi[1] <= 61 - self.P
+        assert lohi[2] <= 1 << self.P
+
+    def test_accuracy_envelope_large_n(self, spark):
+        # n = 5000 >> 2.5m = 640: the raw estimate (no linear-counting
+        # correction) should sit within ~3 sigma of 1.04/sqrt(256) = 6.5%
+        df = spark.createDataFrame([("a", i) for i in range(5000)],
+                                   "g string, key long")
+        est = hll_estimate(hll_registers(df, "key", ["g"], p=self.P),
+                           ["g"], p=self.P).collect()[0]
+        assert abs(est.hll_est - 5000) / 5000 < 0.20
+
+    def test_p_guard(self, keyed):
         with pytest.raises(ValueError):
-            heavy_hitters(df, 10, 10)
-        with pytest.raises(ValueError):
-            heavy_hitters(df, 1, 100, sketch_k=50)  # below den/num - 1
-
-    def test_recount_join_is_broadcast(self, spark):
-        from tsrollup.planaudit import count_op, formatted_plan
-        df = spark.createDataFrame([("0", "a a b")],
-                                   "doc_id string, text string")
-        plan = formatted_plan(heavy_hitters(df, 1, 3))
-        assert count_op(plan, "BroadcastHashJoin") >= 1, plan
-        assert count_op(plan, "SortMergeJoin") == 0, plan
-
-
-class TestMGMerge:
-    def test_weighted_merge_preserves_markers_and_heavies(self, spark):
-        from tsrollup.sketches import _mg_merge
-        # two partition summaries: markers 600 + 400; "HH" residual
-        # 80+70 > (600+400)/(8+1) must survive the merged cut
-        p1 = pd.DataFrame({"word": ["HH", "x1", "x2", "x3", "x4", None],
-                           "cnt": [80, 9, 8, 7, 6, 600]})
-        p2 = pd.DataFrame({"word": ["HH", "y1", "y2", "y3", "y4", "y5",
-                                    "y6", "y7", "y8", None],
-                           "cnt": [70, 5, 5, 5, 5, 5, 5, 5, 5, 400]})
-        out = list(_mg_merge(8)(iter([p1, p2])))[0]
-        marker = out[out.word.isna()]
-        items = dict(zip(out[out.word.notna()].word,
-                         out[out.word.notna()].cnt))
-        assert int(marker.cnt.iloc[0]) == 1000
-        assert len(items) <= 8 and "HH" in items
+            hll_registers(keyed, "key", ["g"], p=2)
