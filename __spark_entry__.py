@@ -2439,6 +2439,42 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", "n_bytes", "n_frames_sampled")
 
 
+def q_hrv_poincare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poincaré/HRV difference-domain moments per doc
+    (tsrollup.features.hrv_poincare) — RMSSD/SD1/SD2/pNN numerators as
+    exact int64 (sum_d telescopes to x_n−x_1; var numerators by
+    cross-multiplication), two IEEE divisions only. The classical
+    features of the reference's own domain (every TSFEDL net consumes
+    ECG/RR windows). Zero exchanges — pure array map."""
+    from tsrollup.features import hrv_poincare
+
+    return hrv_poincare(_tokenized(spark, sf_dir))
+
+
+def q_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt–Pompe ordinal-pattern census (m=3) per source
+    (tsrollup.features.ordinal_census): each consecutive triple encodes
+    its three pairwise sign comparisons into one exact integer class
+    (ties get their own classes — no rank ambiguity), counted per
+    source. One exchange at (source, pattern) grain after map-side
+    partial; share is the single IEEE division over the group total."""
+    from tsrollup.features import ordinal_census
+    from tsrollup.text import tokenize_words
+
+    return ordinal_census(tokenize_words(_docs(spark, sf_dir)))
+
+
+def q_shape_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsfresh-style shape descriptors per doc
+    (tsrollup.features.shape_features): mean-crossings WITHOUT the float
+    mean (r_t = n·x_t − Σx sign flips), strict peaks, longest
+    strictly-increasing run (struct-accumulator fold), abs_energy — all
+    integer-exact; mean_abs_change is the one division. Zero exchanges."""
+    from tsrollup.features import shape_features
+
+    return shape_features(_tokenized(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full 3-tier rollup of sf0.001 documents-as-sequences through
     the zero-shuffle engine path."""
@@ -2609,6 +2645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": q_group_sample,
         "cohort_retention": q_cohort_retention,
         "sketch_distinct": q_sketch_distinct,
+        "hrv_poincare": q_hrv_poincare,
+        "ordinal_patterns": q_ordinal_patterns,
+        "shape_features": q_shape_features,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -5736,6 +5775,115 @@ WITH e AS (
 SELECT user_id, bucket_ts, COUNT(*)::BIGINT AS n_total,
        {", ".join(ft_cols)}
 FROM e GROUP BY user_id, bucket_ts
+"""
+
+    # HRV/Poincaré: successive-difference moments per doc, all exact
+    # int64 but the two final divisions
+    sqls["hrv_poincare"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+), xm AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tok, SUM(tk)::BIGINT AS sx,
+         SUM(tk * tk)::BIGINT AS sx2
+  FROM pos GROUP BY doc_id
+), d AS (
+  SELECT a.doc_id, b.tk - a.tk AS dd
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+), dm AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_d, SUM(dd)::BIGINT AS sum_d,
+         SUM(dd * dd)::BIGINT AS sum_d2, SUM(ABS(dd))::BIGINT AS sum_abs,
+         SUM(CASE WHEN ABS(dd) > 2 THEN 1 ELSE 0 END)::BIGINT AS nn_thr
+  FROM d GROUP BY doc_id
+)
+SELECT xm.doc_id, n_tok, n_d, sum_d, sum_d2, sum_abs, nn_thr, sx, sx2,
+       (n_tok * sx2 - sx * sx)::BIGINT AS var_x_num,
+       (n_d * sum_d2 - sum_d * sum_d)::BIGINT AS var_d_num,
+       sum_abs::DOUBLE / n_d::DOUBLE AS mean_abs_d,
+       nn_thr::DOUBLE / n_d::DOUBLE AS pnn
+FROM xm JOIN dm ON xm.doc_id = dm.doc_id
+WHERE n_tok >= 2
+"""
+
+    # Bandt-Pompe m=3 census: triple self-join on positions, pairwise
+    # sign comparisons packed into one exact integer class per triple
+    sqls["ordinal_patterns"] = """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, unnest(tokens) AS tk,
+         unnest(range(0, len(tokens))) AS p
+  FROM tok
+), tri AS (
+  SELECT a.source,
+         ((sign(b.tk - a.tk) + 1) * 9 + (sign(c.tk - b.tk) + 1) * 3
+          + (sign(c.tk - a.tk) + 1))::INT AS pattern_id
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+), g AS (
+  SELECT source, pattern_id, COUNT(*)::BIGINT AS n_triples
+  FROM tri GROUP BY source, pattern_id
+)
+SELECT source, pattern_id, n_triples,
+       SUM(n_triples) OVER (PARTITION BY source)::BIGINT AS n_group,
+       n_triples::DOUBLE
+         / SUM(n_triples) OVER (PARTITION BY source)::DOUBLE AS share
+FROM g
+"""
+
+    # tsfresh shape descriptors: sign-flip crossings by the n·x − Σx
+    # cross-multiplication, strict peaks, islands trick for the longest
+    # strictly-increasing run
+    sqls["shape_features"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+), w AS (
+  SELECT doc_id, p, tk,
+         LEAD(tk) OVER (PARTITION BY doc_id ORDER BY p) AS nx,
+         LAG(tk) OVER (PARTITION BY doc_id ORDER BY p) AS pv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         SUM(tk) OVER (PARTITION BY doc_id) AS s
+  FROM pos
+), base AS (
+  SELECT doc_id, MAX(n)::BIGINT AS n_tok,
+         SUM(CASE WHEN nx IS NOT NULL
+                   AND (n * tk - s) * (n * nx - s) < 0
+                  THEN 1 ELSE 0 END)::BIGINT AS n_cross,
+         SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                   AND pv < tk AND nx < tk
+                  THEN 1 ELSE 0 END)::BIGINT AS n_peaks,
+         SUM(tk * tk)::BIGINT AS abs_energy,
+         SUM(CASE WHEN nx IS NOT NULL THEN ABS(nx - tk) END)::BIGINT
+           AS sum_abs
+  FROM w GROUP BY doc_id
+), runs AS (
+  SELECT doc_id,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM w WHERE nx IS NOT NULL AND nx > tk
+), lr AS (
+  SELECT doc_id, MAX(cnt)::BIGINT AS longest_incr
+  FROM (SELECT doc_id, grp, COUNT(*) AS cnt
+        FROM runs GROUP BY doc_id, grp)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, n_tok, n_cross, n_peaks,
+       COALESCE(lr.longest_incr, 0)::BIGINT AS longest_incr,
+       abs_energy,
+       sum_abs::DOUBLE / (n_tok - 1)::DOUBLE AS mean_abs_change
+FROM base b LEFT JOIN lr ON b.doc_id = lr.doc_id
+WHERE n_tok >= 2
 """
 
     return sqls

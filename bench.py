@@ -171,6 +171,9 @@ HEADLINE = [
     "group_sample",
     "cohort_retention",
     "sketch_distinct",
+    "hrv_poincare",
+    "ordinal_patterns",
+    "shape_features",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -432,3 +432,144 @@ class TestKsDrift:
         rows = [("lo", [1, 3]), ("hi", [2, 4])]
         out = {r.source: r for r in ks_drift(self._docs(spark, rows)).collect()}
         assert out["lo"].ks_at == 1
+
+
+class TestHrvPoincare:
+    def test_hand_computed_moments(self, spark):
+        from tsrollup.features import hrv_poincare
+
+        df = _docs(spark, [("d1", [3, 1, 4, 1, 5, 9, 2, 6]), ("d2", [7]),
+                           ("d3", [])])
+        rows = {r.doc_id: r for r in hrv_poincare(df).collect()}
+        assert set(rows) == {"d1"}  # <2 tokens carry no difference signal
+        r = rows["d1"]
+        # diffs: -2, 3, -3, 4, 4, -7, 4
+        assert (r.n_tok, r.n_d) == (8, 7)
+        assert r.sum_d == 6 - 3           # telescope: x_n - x_1
+        assert r.sum_d2 == 4 + 9 + 9 + 16 + 16 + 49 + 16
+        assert r.sum_abs == 2 + 3 + 3 + 4 + 4 + 7 + 4
+        assert r.nn_thr == 6              # |d| > 2 census
+        assert r.var_d_num == r.n_d * r.sum_d2 - r.sum_d ** 2
+        assert r.pnn == 6 / 7
+
+    def test_numpy_parity_random(self, spark):
+        from tsrollup.features import hrv_poincare
+
+        rng = np.random.default_rng(11)
+        docs = [(f"d{i}", rng.integers(0, 20, rng.integers(2, 60)).tolist())
+                for i in range(40)]
+        got = {r.doc_id: r for r in hrv_poincare(_docs(spark, docs)).collect()}
+        for doc_id, toks in docs:
+            x = np.asarray(toks, dtype=np.int64)
+            d = np.diff(x)
+            r = got[doc_id]
+            assert r.sum_d == d.sum() and r.sum_d2 == (d * d).sum()
+            assert r.sum_abs == np.abs(d).sum()
+            assert r.nn_thr == int((np.abs(d) > 2).sum())
+            assert r.var_x_num == len(x) * (x * x).sum() - x.sum() ** 2
+            assert r.mean_abs_d == np.abs(d).sum() / len(d)
+
+    def test_constant_doc_zero_variance(self, spark):
+        from tsrollup.features import hrv_poincare
+
+        r = hrv_poincare(_docs(spark, [("c", [5] * 10)])).collect()[0]
+        assert (r.sum_d, r.sum_d2, r.var_d_num, r.var_x_num) == (0, 0, 0, 0)
+
+    def test_zero_exchanges(self, spark):
+        from tsrollup.features import hrv_poincare
+
+        plan = formatted_plan(hrv_poincare(_docs(spark, [("d", [1, 2])])))
+        assert n_data_exchanges(plan) == 0
+
+
+class TestOrdinalCensus:
+    def _replica(self, docs):
+        import collections
+        cnt = collections.Counter()
+        for _, toks, src in docs:
+            for a, b, c in zip(toks, toks[1:], toks[2:]):
+                pid = ((np.sign(b - a) + 1) * 9 + (np.sign(c - b) + 1) * 3
+                       + (np.sign(c - a) + 1))
+                cnt[(src, int(pid))] += 1
+        return cnt
+
+    def test_tie_classes_and_counts(self, spark):
+        from tsrollup.features import ordinal_census
+
+        df = spark.createDataFrame(
+            [("d1", [2, 2, 2], "a"), ("d2", [1, 2, 3, 2], "a"),
+             ("d3", [5, 4], "b")],
+            "doc_id string, tokens array<int>, source string")
+        got = {(r.source, r.pattern_id): r.n_triples
+               for r in ordinal_census(df).collect()}
+        # all-equal triple -> the all-ties class 13; d3 too short -> no rows
+        assert got[("a", 13)] == 1
+        # (1,2,3): +,+,+ -> 26 ; (2,3,2): +,-,0 -> 2*9+0*3+1 = 19
+        assert got[("a", 26)] == 1 and got[("a", 19)] == 1
+        assert not any(s == "b" for s, _ in got)
+
+    def test_replica_parity_and_share(self, spark):
+        from tsrollup.features import ordinal_census
+
+        rng = np.random.default_rng(3)
+        docs = [(f"d{i}", rng.integers(0, 6, rng.integers(3, 40)).tolist(),
+                 f"s{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(
+            docs, "doc_id string, tokens array<int>, source string")
+        rows = ordinal_census(df).collect()
+        want = self._replica(docs)
+        assert {(r.source, r.pattern_id): r.n_triples
+                for r in rows} == dict(want)
+        for r in rows:
+            assert r.share == r.n_triples / r.n_group
+
+    def test_one_exchange_before_window(self, spark):
+        from tsrollup.features import ordinal_census
+
+        df = spark.createDataFrame(
+            [("d", [1, 2, 3], "s")],
+            "doc_id string, tokens array<int>, source string")
+        plan = formatted_plan(ordinal_census(df))
+        # census agg + group-total window share the same key: 2 exchanges max
+        assert n_data_exchanges(plan) <= 2
+
+
+class TestShapeFeatures:
+    def _replica(self, toks):
+        x = np.asarray(toks, dtype=np.int64)
+        n = len(x)
+        d = np.diff(x)
+        r = n * x - x.sum()
+        n_cross = int((r[:-1] * r[1:] < 0).sum())
+        n_peaks = int(((x[:-2] < x[1:-1]) & (x[1:-1] > x[2:])).sum())
+        best = cur = 0
+        for v in d:
+            cur = cur + 1 if v > 0 else 0
+            best = max(best, cur)
+        return (n_cross, n_peaks, best, int((x * x).sum()),
+                np.abs(d).sum() / len(d))
+
+    def test_hand_and_replica(self, spark):
+        from tsrollup.features import shape_features
+
+        rng = np.random.default_rng(5)
+        docs = [("mono", [1, 2, 3, 4, 5]), ("flat", [4] * 6),
+                ("saw", [1, 3, 1, 3, 1, 3])]
+        docs += [(f"r{i}", rng.integers(0, 9, rng.integers(2, 50)).tolist())
+                 for i in range(25)]
+        got = {r.doc_id: r
+               for r in shape_features(_docs(spark, docs)).collect()}
+        for doc_id, toks in docs:
+            nc, npk, run, en, mac = self._replica(toks)
+            r = got[doc_id]
+            assert (r.n_cross, r.n_peaks, r.longest_incr,
+                    r.abs_energy) == (nc, npk, run, en), doc_id
+            assert r.mean_abs_change == mac
+        assert got["mono"].longest_incr == 4
+        assert got["flat"].n_cross == 0 and got["flat"].longest_incr == 0
+
+    def test_zero_exchanges(self, spark):
+        from tsrollup.features import shape_features
+
+        plan = formatted_plan(shape_features(_docs(spark, [("d", [1, 2])])))
+        assert n_data_exchanges(plan) == 0

@@ -39,7 +39,7 @@ from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default SAX breakpoints in token-value space (word-length tokens cluster
@@ -554,3 +554,174 @@ def ks_drift(df: DataFrame, group_col: str = "source",
                F.col("_b._num").cast("double") / den.cast("double"))
         .alias("ks"),
         (-F.col("_b._mv")).cast("long").alias("ks_at"))
+
+
+def hrv_poincare(df: DataFrame, tokens_col: str = "tokens",
+                 nn_threshold: int = 2) -> DataFrame:
+    """Poincaré-plot / HRV difference-domain moments per doc — the
+    classical descriptors of the reference's actual domain (every TSFEDL
+    architecture consumes RR-interval/ECG windows; RMSSD, SD1/SD2 and
+    pNN50 are THE features cardiology computed before deep learning,
+    Brennan et al., IEEE TBME 2001). Token value = signal sample,
+    successive difference d_t = x_{t+1} − x_t = the "ΔRR" axis.
+
+    Everything a downstream caller needs arrives as EXACT int64 moments:
+
+        n_d      = n − 1 successive pairs
+        sum_d    = Σ d_t          (telescopes to x_n − x_1 — pinned in tests)
+        sum_d2   = Σ d_t²         (RMSSD² numerator; SD1² = var(d)/2)
+        sum_abs  = Σ |d_t|        (mean-abs-change numerator, tsfresh)
+        nn_thr   = #{|d_t| > θ}   (the pNNθ census, θ = ``nn_threshold``)
+        sx, sx2  = Σ x, Σ x²      (SD2² = 2·var(x) − SD1² needs var(x))
+        var_x_num = n·sx2 − sx²,  var_d_num = n_d·sum_d2 − sum_d²
+
+    sqrt/σ normalizations are libm-unsafe as hash targets (the SAX
+    argument above), so the only floats are two single IEEE divisions of
+    exact int64: ``mean_abs_d`` and ``pnn``. Docs with fewer than 2
+    tokens carry no difference signal and emit no row.
+
+    Plan: pure per-row map over the token array (slice/zip_with/
+    aggregate) — zero exchanges at any scale, like the rest of the module.
+    """
+    n = F.size(tokens_col)
+    m = (n - 1).cast("int")
+    head = F.slice(tokens_col, 1, m)
+    tail = F.slice(tokens_col, 2, m)
+    d = F.zip_with(head, tail, lambda a, b: b.cast("long") - a.cast("long"))
+
+    def s(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sum_d = s(d)
+    sum_d2 = s(F.transform(d, lambda x: x * x))
+    sum_abs = s(F.transform(d, lambda x: F.abs(x)))
+    nn_thr = F.size(F.filter(d, lambda x: F.abs(x) > nn_threshold)) \
+        .cast("long")
+    sx = s(F.transform(F.col(tokens_col), lambda x: x.cast("long")))
+    sx2 = s(F.transform(F.col(tokens_col),
+                        lambda x: x.cast("long") * x.cast("long")))
+    n_d = m.cast("long")
+    return (df
+            .filter(n >= 2)
+            .select("doc_id",
+                    n.cast("long").alias("n_tok"), n_d.alias("n_d"),
+                    sum_d.alias("sum_d"), sum_d2.alias("sum_d2"),
+                    sum_abs.alias("sum_abs"), nn_thr.alias("nn_thr"),
+                    sx.alias("sx"), sx2.alias("sx2"))
+            .withColumn("var_x_num",
+                        F.col("n_tok") * F.col("sx2") - F.col("sx") * F.col("sx"))
+            .withColumn("var_d_num",
+                        F.col("n_d") * F.col("sum_d2")
+                        - F.col("sum_d") * F.col("sum_d"))
+            .withColumn("mean_abs_d",
+                        F.col("sum_abs").cast("double")
+                        / F.col("n_d").cast("double"))
+            .withColumn("pnn",
+                        F.col("nn_thr").cast("double")
+                        / F.col("n_d").cast("double")))
+
+
+def ordinal_census(df: DataFrame, tokens_col: str = "tokens",
+                   group_col: str = "source") -> DataFrame:
+    """Bandt–Pompe ordinal-pattern census (m = 3) per group: every
+    consecutive triple (a, b, c) classifies into one of the ≤ 13 feasible
+    sign patterns and the census counts each per ``group_col`` — the
+    histogram behind permutation entropy (Bandt & Pompe, PRL 2002), the
+    standard complexity measure for exactly the physiological signals the
+    reference models.
+
+    Ties break NOTHING here: instead of forcing a permutation (the
+    classical tie-ambiguous rank map), the pattern id encodes all three
+    pairwise comparisons exactly —
+
+        pattern_id = 9·(sign(b−a)+1) + 3·(sign(c−b)+1) + (sign(c−a)+1)
+
+    so equal neighbours get their own classes and the census is
+    integer-exact cross-engine (signum on int64 is exact; no rank, no
+    float). ``share`` is the one IEEE division, over the group total.
+
+    Plan: per-doc pattern ids via a transform over the index sequence
+    (no token explode — ids are born as a per-row array), then ONE
+    exchange at (group, pattern) grain after map-side partial count.
+    The explode amplifies to n rows per doc but partial aggregation
+    collapses each task's output to ≤ |groups|·27 rows before shuffle.
+    """
+    n = F.size(tokens_col)
+    e = lambda i: F.element_at(F.col(tokens_col), i).cast("long")  # noqa: E731
+    sgn = lambda x: F.signum(x).cast("int")  # noqa: E731 — exact on int64
+    pid = (lambda i: (sgn(e(i + 1) - e(i)) + 1) * 9
+           + (sgn(e(i + 2) - e(i + 1)) + 1) * 3
+           + (sgn(e(i + 2) - e(i)) + 1))
+    ids = F.transform(F.sequence(F.lit(1), n - 2), pid)
+    w = Window.partitionBy(group_col)
+    return (df
+            .filter(n >= 3)
+            .select(group_col, F.explode(ids).alias("pattern_id"))
+            .groupBy(group_col, "pattern_id")
+            .agg(F.count("*").cast("long").alias("n_triples"))
+            .withColumn("n_group", F.sum("n_triples").over(w))
+            .withColumn("share",
+                        F.col("n_triples").cast("double")
+                        / F.col("n_group").cast("double")))
+
+
+def shape_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """tsfresh-style shape descriptors per doc, each integer-exact:
+
+    * ``n_cross`` — mean crossings WITHOUT computing the float mean:
+      r_t = n·x_t − Σx is the residual scaled by n (exact int64), and a
+      crossing is a strict sign flip r_t·r_{t+1} < 0 — the
+      cross-multiplication trick the SAX breakpoints use.
+    * ``n_peaks`` — strict local maxima x_{t−1} < x_t > x_{t+1}.
+    * ``longest_incr`` — the longest run of consecutive strictly
+      increasing steps (a struct-accumulator fold: (current, best)).
+    * ``abs_energy`` — Σ x² (tsfresh abs_energy, exact).
+    * ``mean_abs_change`` — Σ|Δ| / (n−1), the single IEEE division.
+
+    Plan: per-row array math only; zero exchanges. Docs need n ≥ 2 (one
+    difference); peaks/crossings degrade to 0 at n = 2 rather than
+    dropping the doc.
+    """
+    n = F.size(tokens_col)
+    m = (n - 1).cast("int")
+    tok = F.col(tokens_col)
+    e = lambda i: F.element_at(tok, i).cast("long")  # noqa: E731
+
+    def s(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sx = s(F.transform(tok, lambda x: x.cast("long")))
+    sx2 = s(F.transform(tok, lambda x: x.cast("long") * x.cast("long")))
+    d = F.zip_with(F.slice(tok, 1, m), F.slice(tok, 2, m),
+                   lambda a, b: b.cast("long") - a.cast("long"))
+    sum_abs = s(F.transform(d, lambda x: F.abs(x)))
+    # residuals r_t = n·x_t − Σx; strict sign-flip census over pairs
+    r = F.transform(tok, lambda x: n.cast("long") * x.cast("long") - sx)
+    n_cross = F.size(F.filter(
+        F.zip_with(F.slice(r, 1, m), F.slice(r, 2, m), lambda a, b: a * b),
+        lambda p: p < 0)).cast("long")
+    # n = 2 guard: Spark's sequence(2, 1) would count DOWN ([2, 1]) and
+    # index past the array — peaks need three points anyway
+    n_peaks = F.when(n >= 3, F.size(F.filter(
+        F.sequence(F.lit(2), n - 1),
+        lambda i: (e(i - 1) < e(i)) & (e(i) > e(i + 1))))) \
+        .otherwise(F.lit(0)).cast("long")
+    run0 = F.struct(F.lit(0).cast("long").alias("cur"),
+                    F.lit(0).cast("long").alias("best"))
+    longest = F.aggregate(
+        d, run0,
+        lambda acc, x: F.struct(
+            F.when(x > 0, acc.cur + 1).otherwise(F.lit(0).cast("long"))
+            .alias("cur"),
+            F.greatest(acc.best,
+                       F.when(x > 0, acc.cur + 1)
+                       .otherwise(F.lit(0).cast("long"))).alias("best")),
+        lambda acc: acc.best)
+    return (df
+            .filter(n >= 2)
+            .select("doc_id", n.cast("long").alias("n_tok"),
+                    n_cross.alias("n_cross"), n_peaks.alias("n_peaks"),
+                    longest.alias("longest_incr"),
+                    sx2.alias("abs_energy"),
+                    (sum_abs.cast("double") / m.cast("double"))
+                    .alias("mean_abs_change")))
