@@ -2475,6 +2475,19 @@ def q_shape_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape_features(_tokenized(spark, sf_dir))
 
 
+def q_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsfresh energy/mass family per doc
+    (tsrollup.features.energy_profile): per-chunk Σx² under the exact
+    PAA chunk rule (p·C div n), index_mass_quantile(0.5) WITHOUT floats
+    (first position with 2·cumsum ≥ Σx, a staged-column fold — the
+    O(n²) inline-aggregate trap is designed out), and Schreiber–Schmitz
+    c3(lag=1) cross-moments. Zero exchanges; one IEEE division per row
+    (energy_ratio)."""
+    from tsrollup.features import energy_profile
+
+    return energy_profile(_tokenized(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full 3-tier rollup of sf0.001 documents-as-sequences through
     the zero-shuffle engine path."""
@@ -2648,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrv_poincare": q_hrv_poincare,
         "ordinal_patterns": q_ordinal_patterns,
         "shape_features": q_shape_features,
+        "energy_profile": q_energy_profile,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -5884,6 +5898,57 @@ SELECT b.doc_id, n_tok, n_cross, n_peaks,
        sum_abs::DOUBLE / (n_tok - 1)::DOUBLE AS mean_abs_change
 FROM base b LEFT JOIN lr ON b.doc_id = lr.doc_id
 WHERE n_tok >= 2
+"""
+
+    # tsfresh energy/mass family: chunk = p·C div n (the PAA quotient),
+    # index_mass_quantile(0.5) by cross-multiplication over the running
+    # sum, c3 as a triple position self-join
+    sqls["energy_profile"] = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tk, unnest(range(0, len(tokens))) AS p
+  FROM tok
+), base AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tok, SUM(tk)::BIGINT AS total,
+         SUM(tk * tk)::BIGINT AS total_energy
+  FROM pos GROUP BY doc_id
+), cum AS (
+  SELECT doc_id, p,
+         SUM(tk) OVER (PARTITION BY doc_id ORDER BY p) AS run
+  FROM pos
+), imq AS (
+  SELECT c.doc_id, MIN(c.p + 1)::BIGINT AS imq_num
+  FROM cum c JOIN base b ON b.doc_id = c.doc_id
+  WHERE 2 * c.run >= b.total
+  GROUP BY c.doc_id
+), c3 AS (
+  SELECT a.doc_id, SUM(a.tk * b.tk * c.tk)::BIGINT AS c3_num,
+         COUNT(*)::BIGINT AS c3_n
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+  GROUP BY a.doc_id
+), ch AS (
+  SELECT pos.doc_id, ((pos.p * 4) // b.n_tok)::INT AS chunk,
+         COUNT(*)::BIGINT AS chunk_len,
+         SUM(pos.tk * pos.tk)::BIGINT AS chunk_energy
+  FROM pos JOIN base b ON b.doc_id = pos.doc_id
+  GROUP BY pos.doc_id, ((pos.p * 4) // b.n_tok)
+)
+SELECT b.doc_id, b.n_tok, ch.chunk, b.total_energy, imq.imq_num,
+       COALESCE(c3.c3_num, 0)::BIGINT AS c3_num,
+       GREATEST(b.n_tok - 2, 0)::BIGINT AS c3_n,
+       ch.chunk_len, ch.chunk_energy,
+       CASE WHEN b.total_energy > 0
+            THEN ch.chunk_energy::DOUBLE / b.total_energy::DOUBLE
+       END AS energy_ratio
+FROM base b
+JOIN imq ON imq.doc_id = b.doc_id
+LEFT JOIN c3 ON c3.doc_id = b.doc_id
+JOIN ch ON ch.doc_id = b.doc_id
 """
 
     return sqls

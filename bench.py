@@ -174,6 +174,7 @@ HEADLINE = [
     "hrv_poincare",
     "ordinal_patterns",
     "shape_features",
+    "energy_profile",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

@@ -573,3 +573,68 @@ class TestShapeFeatures:
 
         plan = formatted_plan(shape_features(_docs(spark, [("d", [1, 2])])))
         assert n_data_exchanges(plan) == 0
+
+
+class TestEnergyProfile:
+    def _replica(self, toks, chunks=4):
+        x = np.asarray(toks, dtype=np.int64)
+        n = len(x)
+        total = x.sum()
+        imq = int(np.argmax(2 * np.cumsum(x) >= total)) + 1
+        c3 = x[:-2] * x[1:-1] * x[2:] if n >= 3 else np.array([], dtype=np.int64)
+        rows = {}
+        for c in range(chunks):
+            lo = -(-c * n // chunks)          # ceil
+            hi = -(-(c + 1) * n // chunks)
+            if hi > lo:
+                seg = x[lo:hi]
+                rows[c] = (hi - lo, int((seg * seg).sum()))
+        return (int((x * x).sum()), imq, int(c3.sum()), max(n - 2, 0), rows)
+
+    def test_hand_and_replica(self, spark):
+        from tsrollup.features import energy_profile
+
+        rng = np.random.default_rng(7)
+        docs = [("one", [9]), ("two", [0, 5]), ("zeros", [0, 0, 0])]
+        docs += [(f"r{i}", rng.integers(0, 9, rng.integers(1, 40)).tolist())
+                 for i in range(25)]
+        out = energy_profile(_docs(spark, docs)).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r.doc_id, {})[r.chunk] = r
+        for doc_id, toks in docs:
+            te, imq, c3n, c3c, chunks = self._replica(toks)
+            rows = got[doc_id]
+            assert set(rows) == set(chunks), doc_id
+            for c, (clen, cen) in chunks.items():
+                r = rows[c]
+                assert (r.total_energy, r.imq_num, r.c3_num, r.c3_n,
+                        r.chunk_len, r.chunk_energy) == \
+                    (te, imq, c3n, c3c, clen, cen), (doc_id, c)
+                if te:
+                    assert r.energy_ratio == cen / te
+        # all-zero doc: ratio NULL, imq hits the first position
+        z = got["zeros"][0]
+        assert z.energy_ratio is None and z.imq_num == 1
+
+    def test_chunk_energies_sum_to_total(self, spark):
+        from tsrollup.features import energy_profile
+
+        rng = np.random.default_rng(13)
+        docs = [(f"d{i}", rng.integers(0, 20, rng.integers(1, 80)).tolist())
+                for i in range(20)]
+        import collections
+        acc = collections.Counter()
+        tot = {}
+        for r in energy_profile(_docs(spark, docs)).collect():
+            acc[r.doc_id] += r.chunk_energy
+            tot[r.doc_id] = r.total_energy
+        assert acc == collections.Counter(tot)
+
+    def test_zero_exchanges_and_validation(self, spark):
+        from tsrollup.features import energy_profile
+
+        df = _docs(spark, [("d", [1, 2, 3])])
+        assert n_data_exchanges(formatted_plan(energy_profile(df))) == 0
+        with pytest.raises(ValueError):
+            energy_profile(df, chunks=0)

@@ -725,3 +725,90 @@ def shape_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
                     sx2.alias("abs_energy"),
                     (sum_abs.cast("double") / m.cast("double"))
                     .alias("mean_abs_change")))
+
+
+def energy_profile(df: DataFrame, chunks: int = 4,
+                   tokens_col: str = "tokens") -> DataFrame:
+    """The tsfresh energy/mass family per doc, integer-exact throughout:
+
+    * ``chunk_energy`` — Σ x² per equal-width chunk (tsfresh
+      energy_ratio_by_chunks numerators; chunk assignment is the PAA rule
+      ``p·C div n``, so the SQL twin is a plain quotient GROUP BY). The
+      ratio itself is the one IEEE division per row.
+    * ``imq_num`` — tsfresh index_mass_quantile(q=0.5) WITHOUT floats:
+      the first 1-based position where the running mass reaches half the
+      total, by the cross-multiplication ``2·cumsum ≥ Σx``. Emitted at
+      doc grain on every chunk row (constant per doc).
+    * ``c3_num``/``c3_n`` — Schreiber–Schmitz nonlinearity c3(lag=1):
+      Σ x_t·x_{t+1}·x_{t+2} and its term count (mean = one division,
+      left to the caller like the ACF normalizations).
+
+    Output grain: one row per (doc, chunk). Zero exchanges — array
+    HOFs only; the explode amplifies to ``chunks`` scalar rows per doc
+    AFTER the per-chunk math. Docs with n < 1 emit nothing; chunks are
+    capped at n so every row has mass.
+    """
+    if chunks < 1:
+        raise ValueError("chunks must be >= 1")
+    n = F.size(tokens_col)
+    tok = F.col(tokens_col)
+
+    def s(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    x2 = F.transform(tok, lambda x: x.cast("long") * x.cast("long"))
+    total = s(F.transform(tok, lambda x: x.cast("long")))
+    total_energy = s(x2)
+    # first 1-based p with 2·(running sum) >= total: fold carrying
+    # (running, found-index); found stays once set. The fold reads the
+    # STAGED ``_total`` column, not the ``total`` aggregate expression —
+    # an aggregate referenced inside the lambda would re-sum the whole
+    # array per element (O(n²))
+    acc0 = F.struct(F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("idx"),
+                    F.lit(0).cast("long").alias("pos"))
+    imq = F.aggregate(
+        tok, acc0,
+        lambda acc, x: F.struct(
+            (acc.run + x.cast("long")).alias("run"),
+            F.when((acc.idx == 0)
+                   & (2 * (acc.run + x.cast("long")) >= F.col("_total")),
+                   acc.pos + 1).otherwise(acc.idx).alias("idx"),
+            (acc.pos + 1).alias("pos")),
+        lambda acc: acc.idx)
+    e = lambda i: F.element_at(tok, i).cast("long")  # noqa: E731
+    c3_terms = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: e(i) * e(i + 1) * e(i + 2)))
+    c3_num = F.coalesce(s(c3_terms), F.lit(0).cast("long"))
+    c3_n = F.greatest(n - 2, F.lit(0)).cast("long")
+    # per-chunk energy: chunk c covers positions [ceil(c·n/C), ceil((c+1)·n/C))
+    ch = F.col("chunk")
+    start = F.expr(f"(chunk * _n + {chunks} - 1) div {chunks}")
+    nxt = F.expr(f"((chunk + 1) * _n + {chunks} - 1) div {chunks}")
+    clen = (nxt - start).cast("int")
+    chunk_energy = s(F.transform(
+        F.slice(tok, (start + 1).cast("int"), clen),
+        lambda x: x.cast("long") * x.cast("long")))
+    return (df
+            .filter(n >= 1)
+            .select("doc_id", tok.alias(tokens_col),
+                    n.cast("long").alias("_n"), total.alias("_total"),
+                    total_energy.alias("total_energy"),
+                    c3_num.alias("c3_num"), c3_n.alias("c3_n"))
+            .select("doc_id", tokens_col, "_n", "total_energy",
+                    imq.alias("imq_num"), "c3_num", "c3_n")
+            .select("doc_id", tokens_col, "_n", "total_energy",
+                    "imq_num", "c3_num", "c3_n",
+                    F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))
+                    .alias("chunk"))
+            .select("doc_id", F.col("_n").alias("n_tok"),
+                    ch.cast("int").alias("chunk"), "total_energy",
+                    "imq_num", "c3_num", "c3_n",
+                    clen.cast("long").alias("chunk_len"),
+                    chunk_energy.alias("chunk_energy"))
+            .filter(F.col("chunk_len") > 0)
+            .withColumn("energy_ratio",
+                        F.when(F.col("total_energy") > 0,
+                               F.col("chunk_energy").cast("double")
+                               / F.col("total_energy").cast("double"))))
