@@ -8,12 +8,15 @@ KAIS 2001), its SAX symbolization (Lin et al., DMKD 2007), and the
 autocorrelation function — the standard pre-deep-learning representations
 of the very same per-window statistics this engine rolls up.
 
-Scale shape (the whole module is shuffle-free): every operator is a per-row
-computation on the token ARRAY — ``F.slice`` / ``F.aggregate`` /
-``F.zip_with`` higher-order functions, never a position explode — so a
-100 TB corpus pays a scan and zero exchanges. The only row amplification is
-a constant per doc (``frames`` PAA rows, ``max_lag`` ACF rows), exploded
-AFTER the per-frame math so the amplified rows are already tiny scalars.
+Scale shape: the per-doc operators (PAA/SAX/ACF/LTTB/matrix-profile/HRV/
+shape/energy) are pure per-row computations on the token ARRAY —
+``F.slice`` / ``F.aggregate`` / ``F.zip_with`` higher-order functions,
+never a position explode — so a 100 TB corpus pays a scan and zero
+exchanges; the only row amplification is a constant per doc (``frames``
+PAA rows, ``max_lag`` ACF rows), exploded AFTER the per-frame math so the
+amplified rows are already tiny scalars. The corpus-grain operators
+(source_drift_tv, ks_drift, ordinal_census) pay exactly ONE exchange at
+their census grain, always behind a map-side partial aggregate.
 
 Cross-engine determinism (every op has a DuckDB value oracle in
 __spark_entry__.py):
