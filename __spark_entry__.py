@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -2475,6 +2476,50 @@ def q_shape_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape_features(_tokenized(spark, sf_dir))
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming distinct sketch VALUE-checked end-to-end
+    (tsrollup.streaming.stream_hll_actives): the events table streamed
+    file-by-file through a watermarked per-hour HLL register aggregation
+    (state = 2^p rows per open bucket regardless of key cardinality —
+    the 100 TB answer to stream_actives' per-key dedup state), flushed
+    by a far-future sentinel row, sink filtered back to real buckets.
+    The register derivation is the SHARED sketches.hll_idx_rho, so the
+    streamed table must hash-match the same DuckDB register SQL the
+    batch sketch_distinct family uses."""
+    import datetime as _dt
+
+    import pandas as _pd
+
+    from tsrollup.streaming import stream_hll_actives
+
+    base = _scratch(sf_dir, "streamhll")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    ev = _fact(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    hi = ev.agg(F.max("ts")).collect()[0][0]  # bounded: 1 row
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    flush = _pd.DataFrame({
+        "event_id": [int(-1)],
+        "ts": [hi + _dt.timedelta(days=3)],
+        "user_id": [int(-1)]})
+    fp = os.path.join(src, "zz-flush.parquet")
+    flush.to_parquet(fp, coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+    os.utime(fp, (time.time() + 3600,) * 2)  # strictly last in mtime order
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_hll_actives(stream, bucket_seconds=3600, p=8,
+                            watermark="2 hours")
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if q.isActive:  # never read a sink mid-flight — fail loudly instead
+        q.stop()
+        raise TimeoutError("stream_hll did not finish within 600s")
+    return spark.read.parquet(sink).filter(F.col("bucket_ts") <= hi)
+
+
 def q_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tsfresh energy/mass family per doc
     (tsrollup.features.energy_profile): per-chunk Σx² under the exact
@@ -2662,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_patterns": q_ordinal_patterns,
         "shape_features": q_shape_features,
         "energy_profile": q_energy_profile,
+        "stream_hll": q_stream_hll,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -5949,6 +5995,20 @@ FROM base b
 JOIN imq ON imq.doc_id = b.doc_id
 LEFT JOIN c3 ON c3.doc_id = b.doc_id
 JOIN ch ON ch.doc_id = b.doc_id
+"""
+
+    # streamed per-hour HLL register table == the batch register SQL
+    # (the same 60-bit md5 hash / idx / rho derivation as sketch_distinct)
+    sqls["stream_hll"] = """
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT bucket_ts, (h % 256)::BIGINT AS idx,
+       MAX(CASE WHEN h // 256 = 0 THEN 53
+                ELSE 53 - length(bin(h // 256)) END)::INT AS r
+FROM ev GROUP BY bucket_ts, h % 256
 """
 
     return sqls

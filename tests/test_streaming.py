@@ -1017,3 +1017,107 @@ def test_stream_actives_guards_null_user_and_pre_epoch(spark):
            for r in stream_actives(df).collect()}
     # NULL user ignored; pre-epoch row excluded, not merged into 00:00
     assert got == {dt.datetime(1970, 1, 1): 1}
+
+
+def test_stream_hll_registers_match_batch(spark, tmp_path):
+    """Bounded-state streaming HLL (stream_hll_actives): streamed
+    per-bucket registers must equal batch hll_registers over the same
+    bucketing bit-for-bit across multi-file arrival, the streamed table
+    must feed hll_estimate identically, and per-bucket state must be
+    bounded by m = 2^p rows."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tsrollup.sketches import hll_estimate, hll_registers
+    from tsrollup.streaming import stream_hll_actives
+
+    t0 = dt.datetime(2026, 4, 1)
+    rng = np.random.default_rng(23)
+    frames = []
+    eid = 0
+    for f in range(3):
+        n = 500
+        rows = pd.DataFrame({
+            "event_id": np.arange(eid, eid + n, dtype=np.int64),
+            "user_id": rng.integers(1, 3000, size=n).astype(np.int64),
+            "ts": [t0 + dt.timedelta(seconds=int(s))
+                   for s in rng.integers(f * 3600, (f + 2) * 3600, size=n)],
+            "value": 1.0})
+        eid += n
+        frames.append(rows)
+    flush = pd.DataFrame({
+        "event_id": np.array([99999], dtype=np.int64),
+        "user_id": np.int64(777777),
+        "ts": [t0 + dt.timedelta(days=3)], "value": 0.0})
+    frames.append(flush)
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, fr in enumerate(frames):
+        pth = src / f"f{i}.parquet"
+        fr.to_parquet(pth, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        os.utime(pth, (1_700_000_000 + i * 60,) * 2)
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (stream_hll_actives(stream, p=6, watermark="4 hours")
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    _await_done(q)
+    cutoff = dt.datetime(2026, 4, 2)
+    got = (spark.read.parquet(sink).filter(F.col("bucket_ts") < cutoff)
+           .toPandas().sort_values(["bucket_ts", "idx"])
+           .reset_index(drop=True))
+
+    batch = spark.read.parquet(str(src)).filter("user_id != 777777")
+    want = (hll_registers(
+        batch.withColumn("bucket_ts", F.window("ts", "3600 seconds")
+                         .start),
+        "user_id", ["bucket_ts"], p=6)
+        .toPandas().sort_values(["bucket_ts", "idx"])
+        .reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    assert (got.bucket_ts.values == want.bucket_ts.values).all()
+    assert (got.idx.values == want.idx.values).all()
+    assert (got.r.values == want.r.values).all()
+    # bounded state: never more than m = 64 register rows per bucket
+    assert got.groupby("bucket_ts").size().max() <= 64
+    # the streamed table feeds the SAME estimate read path bit-for-bit
+    est_s = (hll_estimate(spark.createDataFrame(got), ["bucket_ts"], p=6)
+             .toPandas().sort_values("bucket_ts").reset_index(drop=True))
+    est_b = (hll_estimate(spark.createDataFrame(want), ["bucket_ts"], p=6)
+             .toPandas().sort_values("bucket_ts").reset_index(drop=True))
+    assert (est_s.hll_est.values == est_b.hll_est.values).all()
+
+
+def test_stream_hll_batch_degrade_and_guards(spark):
+    """On a batch frame stream_hll_actives degrades to the plain
+    register groupBy: equal to hll_registers over the same bucket
+    column; NULL keys drop; validation rejects bucket_seconds < 1."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tsrollup.sketches import hll_registers
+    from tsrollup.streaming import stream_hll_actives
+
+    rows = [(1, dt.datetime(2026, 1, 1, 0, 10)),
+            (2, dt.datetime(2026, 1, 1, 0, 20)),
+            (None, dt.datetime(2026, 1, 1, 0, 30)),
+            (2, dt.datetime(2026, 1, 1, 1, 5))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted((r.bucket_ts, r.idx, r.r)
+                 for r in stream_hll_actives(df, p=8).collect())
+    want = sorted((r.bucket_ts, r.idx, r.r) for r in hll_registers(
+        df.withColumn("bucket_ts", F.window("ts", "3600 seconds").start),
+        "user_id", ["bucket_ts"], p=8).collect())
+    assert got == want and len(got) == 3  # NULL dropped; 2 dedups per reg
+    with pytest.raises(ValueError):
+        stream_hll_actives(df, bucket_seconds=0)

@@ -142,21 +142,31 @@ def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
     """
     if not 4 <= p <= 14:
         raise ValueError("need 4 <= p <= 14")
-    m = 1 << p
-    q = 60 - p  # remainder bits
     h = (F.col(key_col) if key_is_hash
          else _h60(F.col(key_col).cast("string")))
     # stage the hash once so md5 isn't evaluated per derived column
     staged = (df.select(*group_cols, h.alias("_h"))
               .filter(F.col("_h").isNotNull()))  # COUNT(DISTINCT) parity
+    idx, rho = hll_idx_rho(p)
+    return (staged
+            .select(*group_cols, idx, rho)
+            .groupBy(*group_cols, "idx")
+            .agg(F.max("_rho").alias("r")))
+
+
+def hll_idx_rho(p: int) -> tuple[Column, Column]:
+    """The (idx, _rho) derivation over a staged ``_h`` hash column —
+    shared by the batch register builder and the streaming twin
+    (:func:`tsrollup.streaming.stream_hll_actives`) so their registers
+    agree by construction, not by parallel maintenance."""
+    if not 4 <= p <= 14:
+        raise ValueError("need 4 <= p <= 14")
+    m = 1 << p
+    q = 60 - p  # remainder bits
     w_rem = F.expr(f"_h div {m}")
     rho = (F.when(w_rem == 0, F.lit(q + 1))
            .otherwise(F.lit(q + 1) - F.length(F.bin(w_rem))))
-    return (staged
-            .select(*group_cols, (F.col("_h") % m).alias("idx"),
-                    rho.cast("int").alias("_rho"))
-            .groupBy(*group_cols, "idx")
-            .agg(F.max("_rho").alias("r")))
+    return (F.col("_h") % m).alias("idx"), rho.cast("int").alias("_rho")
 
 
 def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:

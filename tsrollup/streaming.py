@@ -575,3 +575,54 @@ def stream_actives(events: DataFrame, bucket_seconds: int = 3600,
                        .alias("_w"))
             .agg(F.count("*").cast("long").alias("active_users"))
             .select(F.col("_w.start").alias("bucket_ts"), "active_users"))
+
+
+def stream_hll_actives(events: DataFrame, bucket_seconds: int = 3600,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       p: int = 8, watermark: str = "2 hours") -> DataFrame:
+    """Per-bucket HLL register maintenance on a stream — the
+    BOUNDED-STATE twin of :func:`stream_actives`.
+
+    The exact-distinct panel's dedup state grows with the number of
+    distinct (user, bucket) pairs inside the watermark — fine for DAU,
+    fatal when the key is a token n-gram or URL at 100 TB/day. HLL
+    register max is decomposable (merge = element-wise max, the
+    `tsrollup.sketches` tier-rollup identity), so the SAME sketch the
+    batch tiers store runs as a plain watermarked streaming aggregation:
+    state is exactly m = 2^p register rows per open bucket REGARDLESS of
+    key cardinality, and each bucket's final register table emits once
+    (append mode) when the watermark passes.
+
+    Register parity with batch is by construction, not by twin
+    maintenance: the (idx, rho) derivation is the shared
+    :func:`tsrollup.sketches.hll_idx_rho` over the same 60-bit md5
+    hash, and ``F.window`` bucketing equals the batch ``date_trunc``
+    floor on epoch-aligned widths. Downstream, the streamed register
+    table feeds the same ``hll_estimate`` / ``hll_merge`` read path as a
+    stored batch sketch — a dashboard reads ONE code path whether the
+    registers arrived from the stream or a backfill.
+
+    NULL keys drop (COUNT(DISTINCT) parity, the batch guard). On a
+    batch frame the expression degrades to groupBy(bucket, idx).max —
+    bit-equal to ``hll_registers`` over the same bucketing, which is what
+    the parity test pins.
+
+    Output: bucket_ts (timestamp, bucket start), idx (long), r (int).
+    """
+    from .dedup import _h60
+    from .sketches import hll_idx_rho
+
+    if bucket_seconds < 1:
+        raise ValueError("need bucket_seconds >= 1")
+    idx, rho = hll_idx_rho(p)
+    staged = (events
+              .select(F.col(ts_col).alias("_ts"),
+                      _h60(F.col(key_col).cast("string")).alias("_h"))
+              .filter(F.col("_h").isNotNull())
+              .withWatermark("_ts", watermark)
+              .select("_ts", idx, rho))
+    return (staged
+            .groupBy(F.window("_ts", f"{int(bucket_seconds)} seconds")
+                     .alias("_w"), "idx")
+            .agg(F.max("_rho").alias("r"))
+            .select(F.col("_w.start").alias("bucket_ts"), "idx", "r"))
