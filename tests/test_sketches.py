@@ -137,3 +137,33 @@ class TestHLL:
     def test_p_guard(self, keyed):
         with pytest.raises(ValueError):
             hll_registers(keyed, "key", ["g"], p=2)
+
+
+class TestHllIdxRho:
+    def test_key_is_hash_equals_plain_path(self, spark):
+        """hash-once contract: sketching a pre-staged _h column must give
+        byte-identical registers/sketches to hashing inside the op."""
+        from tsrollup.dedup import _h60
+        from tsrollup.sketches import hll_registers, kmv_sketch
+
+        df = spark.range(300).selectExpr("id % 5 as g",
+                                         "cast(id as string) as k")
+        staged = df.select("g", _h60(F.col("k")).alias("h"))
+        plain = sorted(map(tuple, hll_registers(df, "k", ["g"], p=6)
+                           .collect()))
+        pre = sorted(map(tuple, hll_registers(staged, "h", ["g"], p=6,
+                                              key_is_hash=True).collect()))
+        assert plain == pre
+        ks = sorted((r.g, tuple(r.kmv)) for r in
+                    kmv_sketch(df, "k", ["g"], k=16).collect())
+        kp = sorted((r.g, tuple(r.kmv)) for r in
+                    kmv_sketch(staged, "h", ["g"], k=16,
+                               key_is_hash=True).collect())
+        assert ks == kp
+
+    def test_p_validation(self):
+        from tsrollup.sketches import hll_idx_rho
+
+        for bad in (3, 15, 0):
+            with pytest.raises(ValueError):
+                hll_idx_rho(bad)
