@@ -2520,6 +2520,17 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).filter(F.col("bucket_ts") <= hi)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit census per event type
+    (tsrollup.counters.benford_census): exact int64-cents quantization,
+    leading digit via decimal rendering (no log10), exact counts; share
+    is the one IEEE division. The log10 expected curve is left to the
+    caller (libm rule). One (group, digit)-grain exchange."""
+    from tsrollup.counters import benford_census
+
+    return benford_census(_fact(spark, sf_dir, "events"))
+
+
 def q_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tsfresh energy/mass family per doc
     (tsrollup.features.energy_profile): per-chunk Σx² under the exact
@@ -2708,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_features": q_shape_features,
         "energy_profile": q_energy_profile,
         "stream_hll": q_stream_hll,
+        "benford": q_benford,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -6009,6 +6021,24 @@ SELECT bucket_ts, (h % 256)::BIGINT AS idx,
        MAX(CASE WHEN h // 256 = 0 THEN 53
                 ELSE 53 - length(bin(h // 256)) END)::INT AS r
 FROM ev GROUP BY bucket_ts, h % 256
+"""
+
+    # Benford leading-digit census: int64-cents quantization, first
+    # decimal character, exact counts; share = one division
+    sqls["benford"] = """
+WITH d AS (
+  SELECT event_type,
+         substr(abs((value::DECIMAL(18,2) * 100)::BIGINT)::VARCHAR,
+                1, 1)::INT AS digit
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type, digit, COUNT(*)::BIGINT AS n
+  FROM d GROUP BY event_type, digit
+)
+SELECT event_type, digit, n,
+       SUM(n) OVER (PARTITION BY event_type)::BIGINT AS n_group,
+       n::DOUBLE / SUM(n) OVER (PARTITION BY event_type)::DOUBLE AS share
+FROM g
 """
 
     return sqls

@@ -175,6 +175,7 @@ HEADLINE = [
     "ordinal_patterns",
     "shape_features",
     "energy_profile",
+    "benford",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

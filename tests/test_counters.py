@@ -1743,3 +1743,42 @@ class TestRetentionCohorts:
         with pytest.raises(ValueError):
             retention_cohorts(_events(spark, [_row(1, "a", 0, 0, 1.0)]),
                               bucket_seconds=0)
+
+
+class TestBenfordCensus:
+    def test_hand_census_zero_negative_null(self, spark):
+        """Digit classes: leading digit of |cents|; 0.00 -> digit 0 (a
+        zero-spike must be visible, not dropped); negatives fold to their
+        magnitude; NULLs drop."""
+        from tsrollup.counters import benford_census
+
+        rows = [("a", 123.45), ("a", 1.02), ("a", 0.0), ("a", -9.5),
+                ("a", None), ("b", 0.31)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        got = {(r.event_type, r.digit): (r.n, r.n_group, r.share)
+               for r in benford_census(df).collect()}
+        assert got == {
+            ("a", 1): (2, 4, 0.5),   # 12345 and 102 cents
+            ("a", 0): (1, 4, 0.25),  # exact zero
+            ("a", 9): (1, 4, 0.25),  # |-950|
+            ("b", 3): (1, 1, 1.0),   # 31 cents
+        }
+
+    def test_replica_parity_random(self, spark):
+        import numpy as np
+
+        from tsrollup.counters import benford_census
+
+        rng = np.random.default_rng(29)
+        vals = np.round(rng.lognormal(3, 2, 400), 2)
+        rows = [(f"t{i % 3}", float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        got = {(r.event_type, r.digit): r.n
+               for r in benford_census(df).collect()}
+        import collections
+        from decimal import Decimal
+        want = collections.Counter()
+        for t, v in rows:
+            cents = abs(int(Decimal(str(v)).quantize(Decimal("0.01")) * 100))
+            want[(t, int(str(cents)[0]))] += 1
+        assert got == dict(want)

@@ -2073,3 +2073,41 @@ def retention_cohorts(events: DataFrame, bucket_seconds: int = 86_400,
                     (F.col("n_active").cast("double")
                      / F.col("cohort_size").cast("double"))
                     .alias("retention")))
+
+
+def benford_census(events: DataFrame, value_col: str = "value",
+                   group_col: str = "event_type") -> DataFrame:
+    """Leading-significant-digit census per group — the Benford's-law
+    drift detector for value streams (Nigrini's fraud/quality screen;
+    natural multi-scale positive values lean toward P(d) = log10(1+1/d),
+    so a shifted digit mix flags synthetic, clipped, or unit-mangled
+    feeds before any downstream model sees them).
+
+    Exactness: values quantize to int64 cents (the repo's decimal(18,2)
+    events convention), the leading digit of |cents| is the first
+    character of its decimal rendering — pure integer/string ops, no
+    log10 anywhere — and the census is exact counts; ``share`` is the
+    one IEEE division per row. The expected Benford shares need log10
+    and are left to the caller (the libm rule; the counts are the
+    oracle-checkable part). Zero cents has no significant digit and is
+    censused as digit 0 rather than dropped — a zero-spike is exactly
+    the kind of feed defect the screen exists to catch. NULL values
+    drop (COUNT parity).
+
+    One exchange at (group, digit) grain behind a map-side partial.
+
+    Output: group_col, digit (int, 0-9), n (long), n_group (long),
+    share (double).
+    """
+    cents = F.abs((F.col(value_col).cast("decimal(18,2)") * 100)
+                  .cast("long"))
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    w = Window.partitionBy(group_col)
+    return (events
+            .filter(F.col(value_col).isNotNull())
+            .select(F.col(group_col), digit.alias("digit"))
+            .groupBy(group_col, "digit")
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("n_group", F.sum("n").over(w))
+            .withColumn("share", F.col("n").cast("double")
+                        / F.col("n_group").cast("double")))
