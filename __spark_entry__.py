@@ -2520,6 +2520,17 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).filter(F.col("bucket_ts") <= hi)
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length histogram on power-of-two buckets
+    (tsrollup.text.length_histogram) — the sequence-packing planner's
+    input (bucket = bit_length via length(bin(n)), the HLL-rho device;
+    no log2). Exact counts + length sums; share is the one division.
+    One census-grain exchange."""
+    from tsrollup.text import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir))
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford leading-digit census per event type
     (tsrollup.counters.benford_census): exact int64-cents quantization,
@@ -2720,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_profile": q_energy_profile,
         "stream_hll": q_stream_hll,
         "benford": q_benford,
+        "length_histogram": q_length_histogram,
         # rows-only (eigh is float-iterative; NumPy-parity pytest-pinned)
         "pca_whiten": q_pca_whiten,
         # rows-only (ln is libm-grade; NumPy-parity pytest-pinned)
@@ -6038,6 +6050,32 @@ WITH d AS (
 SELECT event_type, digit, n,
        SUM(n) OVER (PARTITION BY event_type)::BIGINT AS n_group,
        n::DOUBLE / SUM(n) OVER (PARTITION BY event_type)::DOUBLE AS share
+FROM g
+"""
+
+    # power-of-two doc-length histogram: bucket = bit_length(n_words)
+    # via length(bin(n)) — the HLL-rho device, engine-portable
+    sqls["length_histogram"] = """
+WITH d AS (
+  SELECT source, len(string_split(text, ' '))::BIGINT AS n
+  FROM documents
+), b AS (
+  SELECT source,
+         (CASE WHEN n <= 0 THEN 0 ELSE length(bin(n)) END)::INT AS bucket,
+         n
+  FROM d
+), g AS (
+  SELECT source, bucket, COUNT(*)::BIGINT AS n_docs,
+         SUM(n)::BIGINT AS n_words_sum
+  FROM b GROUP BY source, bucket
+)
+SELECT source, bucket,
+       (CASE WHEN bucket = 0 THEN 0
+             ELSE 1::BIGINT << (bucket - 1) END)::BIGINT AS lo,
+       n_docs, n_words_sum,
+       SUM(n_docs) OVER (PARTITION BY source)::BIGINT AS n_group,
+       n_docs::DOUBLE / SUM(n_docs) OVER (PARTITION BY source)::DOUBLE
+         AS share
 FROM g
 """
 

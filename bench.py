@@ -176,6 +176,7 @@ HEADLINE = [
     "shape_features",
     "energy_profile",
     "benford",
+    "length_histogram",
     # honest row: on the word-length fixture LB_Keogh prunes little, so
     # this measures near-brute exact DTW retrieval (see dtw.py docstring)
     "dtw_knn",

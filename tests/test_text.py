@@ -618,3 +618,41 @@ class TestGroupSample:
 
         with pytest.raises(ValueError):
             group_sample(self._docs(spark, [(1, "s")]), k=0)
+
+
+class TestLengthHistogram:
+    def test_hand_buckets_and_partition_identity(self, spark):
+        """bucket = bit_length(n_words); bucket b covers [2^(b-1), 2^b);
+        per-source doc counts partition the corpus exactly."""
+        from tsrollup.text import length_histogram
+
+        rows = [("a", "x"), ("a", "x y"), ("a", "x y z"),   # 1 -> b1; 2,3 -> b2
+                ("a", "a b c d e f g h"),                    # 8 -> b4
+                ("b", "")]                                   # split('') -> [''] = 1 word
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {(r.source, r.bucket): (r.lo, r.n_docs, r.n_words_sum,
+                                      r.n_group, r.share)
+               for r in length_histogram(df).collect()}
+        assert got == {
+            ("a", 1): (1, 1, 1, 4, 0.25),
+            ("a", 2): (2, 2, 5, 4, 0.5),
+            ("a", 4): (8, 1, 8, 4, 0.25),
+            ("b", 1): (1, 1, 1, 1, 1.0),
+        }
+
+    def test_replica_parity(self, spark):
+        import numpy as np
+
+        from tsrollup.text import length_histogram
+
+        rng = np.random.default_rng(31)
+        rows = [(f"s{i % 3}", " ".join("w" * 1 for _ in range(int(k))))
+                for i, k in enumerate(rng.integers(1, 300, 120))]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {(r.source, r.bucket): r.n_docs
+               for r in length_histogram(df).collect()}
+        import collections
+        want = collections.Counter()
+        for s, t in rows:
+            want[(s, len(t.split(" ")).bit_length())] += 1
+        assert got == dict(want)

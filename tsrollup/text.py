@@ -659,3 +659,45 @@ def group_sample(df: DataFrame, k: int = 10,
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
     return (df.withColumn("sample_rank", r.cast("long"))
             .filter(F.col("sample_rank") <= k))
+
+
+def length_histogram(df: DataFrame, text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Per-source doc-length histogram on exact power-of-two buckets —
+    the input a sequence-packing planner reads before choosing capacity
+    (``windowing.pack_offsets``): the waste of packing length-L docs
+    into capacity-C bins is governed by the mass in each octave of L.
+
+    Bucket = bit_length(n_words), computed as ``length(bin(n))`` —
+    integer-exact and engine-portable (the same device as the HLL rho),
+    never log2. Bucket b covers lengths [2^(b−1), 2^b); empty docs
+    (0 words is impossible — split keeps empties — but 0 guards anyway)
+    land in bucket 0. Exact counts + exact length sums per bucket; the
+    one float per row is the share division.
+
+    One (group, bucket)-grain exchange behind a map-side partial.
+
+    Output: group_col, bucket (int), lo (long, 2^(b−1) or 0), n_docs
+    (long), n_words_sum (long), n_group (long), share (double).
+    """
+    n = F.size(words(text_col)).cast("long")
+    bucket = (F.when(n <= 0, F.lit(0))
+              .otherwise(F.length(F.bin(n))).cast("int"))
+    w = Window.partitionBy(group_col)
+    return (df
+            .select(F.col(group_col), n.alias("_n"),
+                    bucket.alias("bucket"))
+            .groupBy(group_col, "bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_n").cast("long").alias("n_words_sum"))
+            .withColumn("lo",
+                        F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+                        # shiftleft() the SQL function takes a column bit
+                        # count; the F.shiftleft wrapper only takes an int
+                        .otherwise(F.expr(
+                            "shiftleft(cast(1 as bigint), bucket - 1)")))
+            .withColumn("n_group", F.sum("n_docs").over(w))
+            .withColumn("share", F.col("n_docs").cast("double")
+                        / F.col("n_group").cast("double"))
+            .select(group_col, "bucket", "lo", "n_docs", "n_words_sum",
+                    "n_group", "share"))
