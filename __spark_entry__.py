@@ -46,13 +46,22 @@ def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     broadcast joins where an extra exchange is pure loss. The split-count
     probe (~0.1 s of driver-side RDD conversion) is memoized per path —
     fixture layouts don't change within a session."""
-    from tsrollup.io import scan_min_parallel
+    from tsrollup.io import parquet_split_atoms, scan_min_parallel
 
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
     n = _SCAN_PARTS.get(path)
     if n is None:
         n = df.rdd.getNumPartitions()
+        # clamp by the ROW-GROUP count: nominal size-based splits whose byte
+        # range holds no row-group start read nothing, so a one-row-group
+        # file "has" 32 splits but scans on ONE core (the round-5 sf1.0
+        # cliff: every documents/events query serialized its pre-shuffle
+        # compute while 31 tasks finished empty)
+        atoms = parquet_split_atoms(
+            path, cap=max(64, spark.sparkContext.defaultParallelism))
+        if atoms is not None:
+            n = min(n, atoms)
         _SCAN_PARTS[path] = n
     return scan_min_parallel(df, known_partitions=n)
 

@@ -144,6 +144,44 @@ def write_table(df: DataFrame, ident: str, mode: str = "overwrite",
             spark.conf.set(conf_key, prev)
 
 
+def parquet_split_atoms(path: str, cap: int = 1 << 30) -> int | None:
+    """Count the parquet ROW GROUPS under ``path`` (file or directory) — the
+    true split atom. ``getNumPartitions()`` reports size-based splits, but a
+    scan task whose byte range contains no row-group START reads nothing, so
+    a single-row-group file scans as ONE working task no matter how many
+    nominal splits the size formula produces (observed: the sf1.0 fixtures
+    are one row group per table → 32 nominal splits, 31 of them empty, and
+    every per-doc operator serialized on one core of 32).
+
+    Stops early once ``cap`` atoms are found: a production table carries
+    orders of magnitude more row groups than cores, and the caller only needs
+    to know whether the count is BELOW its parallelism target — so at scale
+    this touches a handful of footers, never the full manifest. Returns None
+    when the layout isn't plain parquet files (caller falls back to the
+    split count)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith((".parquet", ".parq")) and not f.startswith(("_", ".")))
+    elif os.path.isfile(path):
+        files = [path]
+    else:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:  # noqa: BLE001 — not parquet we can read: no claim
+            return None
+        if total >= cap:
+            break
+    return total
+
+
 def scan_min_parallel(df: DataFrame,
                       min_partitions: int | None = None,
                       known_partitions: int | None = None) -> DataFrame:

