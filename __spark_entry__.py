@@ -34,8 +34,22 @@ W0 = 16  # base window for document-token rollups (docs are short)
 
 _SCAN_PARTS: dict[str, int] = {}
 
+# unique (or near-unique) key per fact table for the widening exchange's
+# hash spread — high cardinality, deterministic, never derived from rand()
+_SPREAD_KEYS: dict[str, tuple[str, ...]] = {
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "customer": ("c_custkey",),
+}
 
-def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+
+def _fact(spark: SparkSession, sf_dir: str, table: str,
+          widen: bool = True) -> DataFrame:
     """Read a FACT table with the small-scan parallelism guard: the sf
     fixtures arrive as one single-row-group file per table (row groups are
     the parquet split atom, so maxPartitionBytes can't subdivide them), and
@@ -50,6 +64,14 @@ def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
+    if not widen:
+        # scan→aggregate / window-first queries opt OUT: their map-side
+        # partial aggregation (or their first keyed exchange) already
+        # reduces before the only shuffle they need, so a widening
+        # exchange of the full projected rows is pure loss (measured
+        # +0.1–0.8 s per row at sf1.0); the heavy pre-shuffle compute the
+        # guard exists for isn't there
+        return df
     n = _SCAN_PARTS.get(path)
     if n is None:
         n = df.rdd.getNumPartitions()
@@ -63,11 +85,15 @@ def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         if atoms is not None:
             n = min(n, atoms)
         _SCAN_PARTS[path] = n
-    return scan_min_parallel(df, known_partitions=n)
+    # hash-spread on the table's unique key, not round-robin: round-robin
+    # pays a per-input-partition local sort (sortBeforeRepartition) that
+    # runs on the scan's few real tasks — the serial bottleneck again
+    return scan_min_parallel(df, known_partitions=n,
+                             spread_cols=_SPREAD_KEYS.get(table))
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fact(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFrame:
+    return _fact(spark, sf_dir, "documents", widen=widen)
 
 
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,7 +599,7 @@ def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation of the lineage (the earlier two-branch form re-ran the scan
     and window twice; plan-guarded). Merged to free an oracle slot for
     range_join."""
-    ev = _fact(spark, sf_dir, "events")
+    ev = _fact(spark, sf_dir, "events", widen=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
@@ -611,7 +637,7 @@ def q_segment_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling mean over an ordered frame ≙ reference moving_average
     (IGN_experiment.py:190-205)."""
-    ev = _fact(spark, sf_dir, "events")
+    ev = _fact(spark, sf_dir, "events", widen=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
     return ev.select("event_id", F.avg("value").over(w).alias("rmean"))
 
@@ -974,7 +1000,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.features import source_drift_tv
     from tsrollup.text import tokenize_words
 
-    return source_drift_tv(tokenize_words(_docs(spark, sf_dir)))
+    return source_drift_tv(tokenize_words(_docs(spark, sf_dir, widen=False)))
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,7 +1013,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division of exact int64s. Two data-sized exchanges."""
     from tsrollup.counters import retention_cohorts
 
-    return retention_cohorts(_fact(spark, sf_dir, "events"))
+    return retention_cohorts(_fact(spark, sf_dir, "events", widen=False))
 
 
 def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,7 +1025,7 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exchange; rank ≤ k prunes immediately."""
     from tsrollup.text import group_sample
 
-    return group_sample(_docs(spark, sf_dir), k=5).select(
+    return group_sample(_docs(spark, sf_dir, widen=False), k=5).select(
         "doc_id", "source", "n_chars", "sample_rank")
 
 
@@ -1095,7 +1121,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.features import ks_drift
     from tsrollup.text import tokenize_words
 
-    return ks_drift(tokenize_words(_docs(spark, sf_dir)))
+    return ks_drift(tokenize_words(_docs(spark, sf_dir, widen=False)))
 
 
 def q_holt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,7 +1207,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact; bit-exact tail oracle."""
     from tsrollup.rollup import mad_outliers
 
-    return mad_outliers(_docs(spark, sf_dir),
+    return mad_outliers(_docs(spark, sf_dir, widen=False),
                         group_cols=("source",), value_col="n_chars", k=3)
 
 
@@ -1206,7 +1232,7 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join runs at grid grain. Bit-exact tail oracle."""
     from tsrollup.counters import period_over_period
 
-    return period_over_period(_fact(spark, sf_dir, "events"),
+    return period_over_period(_fact(spark, sf_dir, "events", widen=False),
                               series_cols=("event_type",))
 
 
@@ -1244,7 +1270,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail oracle."""
     from tsrollup.text import oov_rate
 
-    return oov_rate(_docs(spark, sf_dir), vocab_size=20)
+    return oov_rate(_docs(spark, sf_dir, widen=False), vocab_size=20)
 
 
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,7 +1282,7 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize's per-user exchange. Bit-exact tail oracle."""
     from tsrollup.segments import funnel_counts
 
-    return funnel_counts(_fact(spark, sf_dir, "events"))
+    return funnel_counts(_fact(spark, sf_dir, "events", widen=False))
 
 
 def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,7 +1295,7 @@ def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact tail oracle."""
     from tsrollup.counters import hampel_filter
 
-    return hampel_filter(_fact(spark, sf_dir, "events"))
+    return hampel_filter(_fact(spark, sf_dir, "events", widen=False))
 
 
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,7 +1308,7 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit-exact tail oracle."""
     from tsrollup.counters import histogram_quantile
 
-    return histogram_quantile(_fact(spark, sf_dir, "events"), 9, 10,
+    return histogram_quantile(_fact(spark, sf_dir, "events", widen=False), 9, 10,
                               series_cols=("event_type",))
 
 
@@ -1327,7 +1353,7 @@ def q_histogram_quantile_hourly(spark: SparkSession, sf_dir: str
     oracle."""
     from tsrollup.counters import histogram_quantile
 
-    ev = _fact(spark, sf_dir, "events").withColumn(
+    ev = _fact(spark, sf_dir, "events", widen=False).withColumn(
         "hour_ts", F.date_trunc("hour", F.col("ts")))
     return histogram_quantile(ev, 9, 10,
                               series_cols=("event_type", "hour_ts"))
@@ -1382,7 +1408,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ, double division does not). One exchange."""
     from tsrollup.counters import time_weighted_avg
 
-    return time_weighted_avg(_fact(spark, sf_dir, "events"))
+    return time_weighted_avg(_fact(spark, sf_dir, "events", widen=False))
 
 
 def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,7 +1421,7 @@ def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition), integer-exact in the DuckDB tail oracle."""
     from tsrollup.rollup import group_quantiles
 
-    return group_quantiles(_docs(spark, sf_dir),
+    return group_quantiles(_docs(spark, sf_dir, widen=False),
                            group_cols=("source",), value_col="n_chars")
 
 
@@ -1406,7 +1432,7 @@ def q_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-series grouping; tail-oracle hash-exact."""
     from tsrollup.counters import cadence_gaps
 
-    return cadence_gaps(_fact(spark, sf_dir, "events"),
+    return cadence_gaps(_fact(spark, sf_dir, "events", widen=False),
                         cadence_seconds=3600)
 
 
@@ -1564,7 +1590,7 @@ def q_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange."""
     from tsrollup.counters import disorder_stats
 
-    return disorder_stats(_fact(spark, sf_dir, "events"))
+    return disorder_stats(_fact(spark, sf_dir, "events", widen=False))
 
 
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,7 +1672,7 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the single IEEE division."""
     from tsrollup.segments import interval_coverage
 
-    ev = _fact(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = _fact(spark, sf_dir, "events", widen=False).filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     iv = ev.select("user_id", us.alias("start_us"),
                    (us + F.lit(300_000_000)).alias("end_us"))
@@ -1677,7 +1703,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     One pair-grain exchange after the bucket self-join."""
     from tsrollup.counters import spearman_matrix
 
-    return spearman_matrix(_fact(spark, sf_dir, "events"))
+    return spearman_matrix(_fact(spark, sf_dir, "events", widen=False))
 
 
 def q_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1700,7 +1726,7 @@ def q_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 div binning, one (bucket, bin) exchange."""
     from tsrollup.counters import value_heatmap
 
-    return value_heatmap(_fact(spark, sf_dir, "events"), bin_cents=500)
+    return value_heatmap(_fact(spark, sf_dir, "events", widen=False), bin_cents=500)
 
 
 def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1734,7 +1760,7 @@ def q_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-group reuses the bucket partitioning."""
     from tsrollup.counters import topn_others
 
-    return topn_others(_fact(spark, sf_dir, "events"), n=3)
+    return topn_others(_fact(spark, sf_dir, "events", widen=False), n=3)
 
 
 def q_wfdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1817,7 +1843,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.dedup import exact_dedup
 
-    return exact_dedup(_docs(spark, sf_dir))
+    return exact_dedup(_docs(spark, sf_dir, widen=False))
 
 
 def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2181,7 +2207,7 @@ def q_one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    StructType)
 
     csv_dir = _scratch(sf_dir, "onehot-csv")
-    (_fact(spark, sf_dir, "events")
+    (_fact(spark, sf_dir, "events", widen=False)
      .select(F.col("event_id").cast("long"), F.col("user_id").cast("long"),
              "event_type")
      .write.mode("overwrite").option("header", True).csv(csv_dir))
@@ -2537,7 +2563,7 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     One census-grain exchange."""
     from tsrollup.text import length_histogram
 
-    return length_histogram(_docs(spark, sf_dir))
+    return length_histogram(_docs(spark, sf_dir, widen=False))
 
 
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2548,7 +2574,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller (libm rule). One (group, digit)-grain exchange."""
     from tsrollup.counters import benford_census
 
-    return benford_census(_fact(spark, sf_dir, "events"))
+    return benford_census(_fact(spark, sf_dir, "events", widen=False))
 
 
 def q_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -185,6 +185,61 @@ def test_scan_min_parallel_widens_small_scans_only(spark, tmp_path):
     assert scan_min_parallel(wide, min_partitions=4) is wide
 
 
+def test_parquet_split_atoms_counts_row_groups(tmp_path):
+    """Row groups are the parquet split atom: the probe must report the
+    ROW-GROUP count (what scan tasks can actually parallelize over), not
+    the file count, and it must cap early and refuse non-parquet input."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsrollup.io import parquet_split_atoms
+
+    one = str(tmp_path / "one.parquet")
+    pd.DataFrame({"x": range(1000)}).to_parquet(one)
+    assert parquet_split_atoms(one) == 1
+
+    many = str(tmp_path / "many.parquet")
+    tbl = pa.Table.from_pandas(pd.DataFrame({"x": range(1000)}))
+    pq.write_table(tbl, many, row_group_size=100)  # 10 row groups
+    assert parquet_split_atoms(many) == 10
+    # cap stops early at file granularity — it may overshoot within the
+    # final footer read, the caller only asks "is it below my target"
+    assert parquet_split_atoms(many, cap=4) >= 4
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    pd.DataFrame({"x": range(10)}).to_parquet(str(d / "a.parquet"))
+    pq.write_table(tbl, str(d / "b.parquet"), row_group_size=500)
+    (d / "_SUCCESS").write_text("")  # marker files are skipped
+    assert parquet_split_atoms(str(d)) == 3
+
+    notpq = tmp_path / "x.parquet"
+    notpq.write_text("not parquet")
+    assert parquet_split_atoms(str(notpq)) is None
+    assert parquet_split_atoms(str(tmp_path / "missing")) is None
+
+
+def test_shingle_explode_keeps_transform_above_exchange(spark):
+    """The inferred size()>0 filter from exploding a STAGED shingle array
+    used to be pushed below the scan-widening exchange, re-evaluating the
+    whole interpreted shingle transform per row on the scan's few real
+    tasks. The inline form must keep the gram transform OUT of every
+    pre-exchange Filter/Scan node (split+size there is fine)."""
+    import pandas as pd
+
+    from tsrollup.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "b c d e"]}))
+    plan = word_shingles(docs.repartition(4), 3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        node = line.lstrip(" +-*(0123456789)")
+        if node.startswith(("Filter", "Scan", "FileScan")):
+            assert "array_join" not in line, plan
+
+
 def test_iceberg_without_runtime_fails_with_actionable_error(
         spark, monkeypatch):
     """Selecting the iceberg format without the runtime jar must name the

@@ -670,37 +670,51 @@ def grid_gapfill(events: DataFrame,
         *scols,
         F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step)))
         .alias("bucket_ts"))
-    j = grid.join(observed, scols + ["bucket_ts"], "left")
-    wseq = Window.partitionBy(*scols).orderBy("bucket_ts")
-    wpast = wseq.rowsBetween(Window.unboundedPreceding, 0)
-    # "next observed" anchors ride a DESCENDING running frame, not
-    # (0, unboundedFollowing): Spark executes unbounded-FOLLOWING frames
-    # by rescanning current-row→partition-end per row (quadratic per
-    # series — measured 1.7 s → 46.7 s at sf0.1 when this used wfut),
-    # while running frames are O(n) incremental. Same hash partitioning,
-    # so the extra desc sort is sort-only — no exchange.
-    wnext = (Window.partitionBy(*scols).orderBy(F.desc("bucket_ts"))
+    # next-anchor carriers computed at OBSERVED grain (one lead per
+    # series over the aggregated buckets), so the grid-grain pass below
+    # needs just ONE running-frame window. The earlier shape paid, at
+    # GRID grain, a row_number plus two ascending and two DESCENDING
+    # running `last`s (the desc pair forced a second full sort of the
+    # grid) — measured 4.9 s → 2.7 s at sf1.0 for this form,
+    # bit-identical output at sf0.01/sf0.1.
+    wobs = Window.partitionBy(*scols).orderBy("bucket_ts")
+    anch = observed.select(
+        *scols, "bucket_ts", "n_samples", "sum_value", "_last_cents",
+        F.lead("_last_cents").over(wobs).alias("_nc"),
+        F.lead("bucket_ts").over(wobs).alias("_nts"))
+    j = grid.join(anch, scols + ["bucket_ts"], "left")
+    wpast = (Window.partitionBy(*scols).orderBy("bucket_ts")
              .rowsBetween(Window.unboundedPreceding, 0))
-    locf = (F.last("_last_cents", ignorenulls=True).over(wpast)
-            .cast("double") / F.lit(100.0))
-    # linear interpolation on the bucket-INDEX axis: anchor cents and
-    # indices of the surrounding observed buckets carried by the same
-    # running-frame shape LOCF uses (observed rows interpolate to
-    # themselves)
-    idx = F.row_number().over(wseq)
-    oc = F.col("_last_cents")  # exact cents, carried from the agg
-    j = (j.withColumn("_i", idx)
-         .withColumn("_oi", F.when(F.col("n_samples").isNotNull(),
-                                   F.col("_i"))))
-    pc = F.last(oc, ignorenulls=True).over(wpast)
-    pi = F.last("_oi", ignorenulls=True).over(wpast)
-    nc = F.last(oc, ignorenulls=True).over(wnext)
-    ni = F.last("_oi", ignorenulls=True).over(wnext)
-    m = (ni - pi).cast("long")
-    k = (F.col("_i") - pi).cast("long")
-    interp = F.when(m == 0, pc.cast("double") / F.lit(100.0)).otherwise(
-        (pc * m + (nc - pc) * k).cast("double")
-        / (m * 100).cast("double"))
+    # one struct-valued running last: previous anchor's cents + bucket,
+    # and THAT anchor's next-anchor twin (every gap row lies strictly
+    # between two anchors, so the carried struct is never NULL-fielded
+    # where it is read)
+    pa = F.last(F.when(F.col("n_samples").isNotNull(),
+                       F.struct(F.col("_last_cents").alias("c"),
+                                F.col("bucket_ts").alias("t"),
+                                F.col("_nc").alias("nc"),
+                                F.col("_nts").alias("nt"))),
+                ignorenulls=True).over(wpast)
+    j = j.withColumn("_pa", pa)
+    pc = F.col("_pa.c")
+    locf = pc.cast("double") / F.lit(100.0)
+    # linear interpolation on the bucket-INDEX axis; m and k only ever
+    # appear as index DIFFERENCES, so they derive exactly from timestamp
+    # deltas over the fixed step (grid buckets are exact step multiples;
+    # the double division of exact-multiple int64 microseconds is exact)
+    su = {"minute": 60_000_000, "hour": 3_600_000_000,
+          "day": 86_400_000_000}[bucket]
+    nc = F.col("_pa.nc")
+    m = ((F.unix_micros(F.col("_pa.nt")) - F.unix_micros(F.col("_pa.t")))
+         / F.lit(su)).cast("long")
+    k = ((F.unix_micros(F.col("bucket_ts")) - F.unix_micros(F.col("_pa.t")))
+         / F.lit(su)).cast("long")
+    # observed rows reproduce the old m == 0 branch (own cents / 100);
+    # gap rows interpolate between the carried anchors (m ≥ 2 there)
+    interp = F.when(F.col("n_samples").isNotNull(),
+                    F.col("_last_cents").cast("double") / F.lit(100.0)) \
+        .otherwise((pc * m + (nc - pc) * k).cast("double")
+                   / (m * 100).cast("double"))
     return (j.select(
         *scols, "bucket_ts",
         F.coalesce(F.col("n_samples"), F.lit(0)).cast("long")
@@ -2093,6 +2107,15 @@ def benford_census(events: DataFrame, value_col: str = "value",
     censused as digit 0 rather than dropped — a zero-spike is exactly
     the kind of feed defect the screen exists to catch. NULL values
     drop (COUNT parity).
+
+    Domain preconditions (both pinned by the events convention, not by a
+    runtime check): |value| < 10^16, because Spark's non-ANSI
+    double→decimal(18,2) cast NULLs on overflow (the row would then pass
+    the isNotNull(value) filter yet emit a NULL digit, where an ANSI/
+    DuckDB oracle errors instead); and values 2dp-representable, because
+    HALF_UP tie behavior on an exact half-cent double (e.g. 0.125) is
+    not pinned cross-engine. The fixture generator emits pre-rounded
+    2dp values well inside both bounds.
 
     One exchange at (group, digit) grain behind a map-side partial.
 

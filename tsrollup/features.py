@@ -682,8 +682,9 @@ def shape_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     * ``mean_abs_change`` — Σ|Δ| / (n−1), the single IEEE division.
 
     Plan: per-row array math only; zero exchanges. Docs need n ≥ 2 (one
-    difference); peaks/crossings degrade to 0 at n = 2 rather than
-    dropping the doc.
+    difference); peaks degrade to 0 at n = 2 rather than dropping the
+    doc, while a 2-point doc with distinct values counts one mean
+    crossing (r_1·r_2 = −(x1−x2)² < 0 — implementation and oracle agree).
     """
     n = F.size(tokens_col)
     m = (n - 1).cast("int")

@@ -184,7 +184,8 @@ def parquet_split_atoms(path: str, cap: int = 1 << 30) -> int | None:
 
 def scan_min_parallel(df: DataFrame,
                       min_partitions: int | None = None,
-                      known_partitions: int | None = None) -> DataFrame:
+                      known_partitions: int | None = None,
+                      spread_cols: tuple[str, ...] | None = None) -> DataFrame:
     """Guard against a SMALL scan serializing a wide pipeline: a table that
     arrives as fewer splits than the session's parallelism (e.g. one file
     with one parquet row group — row groups are the split atom, so
@@ -201,12 +202,26 @@ def scan_min_parallel(df: DataFrame,
 
     ``known_partitions`` lets a caller that memoizes the split-count probe
     (the probe is ~0.1 s of driver-side RDD conversion per call) skip it —
-    see ``_fact`` in __spark_entry__.py."""
+    see ``_fact`` in __spark_entry__.py.
+
+    ``spread_cols`` switches the widening exchange from round-robin to
+    HASH partitioning on those columns (pass a high-cardinality unique
+    key). Round-robin repartition first LOCALLY SORTS every input
+    partition (sortBeforeRepartition, for deterministic retries) — and on
+    an under-split scan that sort runs on the scan's few real tasks,
+    serializing a full-table sort onto the critical path the guard exists
+    to shorten. Hash repartition needs no sort, is retry-deterministic by
+    construction, and downstream operators keyed on the same columns can
+    reuse the partitioning outright."""
     spark = df.sparkSession
     want = min_partitions or spark.sparkContext.defaultParallelism
     n = (known_partitions if known_partitions is not None
          else df.rdd.getNumPartitions())
     if n < want:
+        if spread_cols:
+            from pyspark.sql import functions as F
+
+            return df.repartition(want, *[F.col(c) for c in spread_cols])
         return df.repartition(want)
     return df
 

@@ -687,6 +687,13 @@ def length_histogram(df: DataFrame, text_col: str = "text",
 
     One (group, bucket)-grain exchange behind a map-side partial.
 
+    Precondition: ``text_col`` is non-NULL (the documents convention). A
+    NULL text would give ``size(split(NULL)) = -1`` in Spark — bucket 0
+    with a −1 word-sum contribution — where the DuckDB oracle yields a
+    NULL bucket; the divergence is unreachable on the fixture (no NULL
+    docs) and is pinned here rather than papered over with a filter the
+    frozen oracle SQL does not share.
+
     Output: group_col, bucket (int), lo (long, 2^(b−1) or 0), n_docs
     (long), n_words_sum (long), n_group (long), share (double).
     """
