@@ -56,15 +56,18 @@ def test_pricing_summary_pushes_partial_agg(spark):
     df = entrymod.q_pricing_summary(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     # exactly one DATA-DEPENDENT (hash) exchange — the agg's. The small-scan
-    # guard's RoundRobin repartition (io.scan_min_parallel) is expected on
-    # the single-row-group fixtures and absent at real scale; it must not
-    # count as an aggregation shuffle, and partial agg must still sit
-    # between the scan side and the hash exchange (map-side combine).
+    # guard's widening repartition (io.scan_min_parallel) is expected on
+    # the single-row-group fixtures and absent at real scale; whether it
+    # spreads round-robin or by hash on the table key, it carries the
+    # REPARTITION_BY_NUM tag and must not count as an aggregation shuffle.
+    # Partial agg must still sit between the scan side and the hash
+    # exchange (map-side combine).
     import re
 
     details = re.split(r"^\(\d+\) ", plan, flags=re.M)
     n_hash = sum(1 for d in details if d.startswith("Exchange")
-                 and "hashpartitioning" in d)
+                 and "hashpartitioning" in d
+                 and "REPARTITION_BY_NUM" not in d)
     assert n_hash == 1, plan
     # partial + final pair ⇒ map-side combine around the one hash exchange
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
