@@ -1053,15 +1053,18 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("long").alias("n_exact"))
     # one shared staged hash frame (key_is_hash below) — left LAZY on
     # purpose: materializing it (localCheckpoint) serializes the DAG
-    # behind one 3 s barrier, while the lazy plan lets the scheduler
+    # behind one barrier, while the lazy plan lets the scheduler
     # overlap all four sketch branches across idle cores (measured
-    # 3.5 s vs 4.3 s at sf0.1). A production tier pipeline stores the
-    # sketch TABLE itself and never recomputes any of this.
-    hashed = (ev.select("mon", "day",
-                        _h60(F.col("l_orderkey").cast("string"))
-                        .alias("h"))
-              .filter(F.col("h").isNotNull())
-              .distinct())
+    # 3.5 s vs 4.3 s at sf0.1; re-measured equal-at-best at sf1.0).
+    # NOT pre-distinct'd: kmv_sketch dedups internally and HLL
+    # registers are a max-agg, so a staged distinct is a redundant
+    # full-table exchange that every lazy branch would recompute
+    # (4 x 6M rows at sf1.0 — dropping it won every interleaved A/B
+    # pass, 6.9 s vs 8.2 s min). A production tier pipeline stores
+    # the sketch TABLE itself and never recomputes any of this.
+    hashed = ev.select("mon", "day",
+                       _h60(F.col("l_orderkey").cast("string"))
+                       .alias("h"))
     kd = kmv_sketch(hashed, "h", ["mon"], k=64, key_is_hash=True)
     kdir = kd.select("mon", kmv_estimate(kd, k=64).alias("kmv_est"))
     km = kmv_merge(kmv_sketch(hashed, "h", ["mon", "day"], k=64,
@@ -2283,7 +2286,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     edges = lsh_candidate_pairs(docs, k=4, bands=2, n=3, max_bucket=100)
-    return near_dup_clusters(edges, docs.select("doc_id"))
+    # nodes leg: bare doc_id projection feeding a join — the widening
+    # exchange would be pure loss (scan→join, no pre-shuffle compute)
+    return near_dup_clusters(
+        edges, _docs(spark, sf_dir, widen=False).select("doc_id"))
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

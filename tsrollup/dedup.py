@@ -312,12 +312,23 @@ def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
         if reliable_checkpoints:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    def _pin_lazy(df: DataFrame) -> DataFrame:
+        # checkpoint-on-first-action: the NEXT action both computes and
+        # persists the frame, so pin+measure (and pin+convergence-check
+        # below) cost ONE job instead of two — on a small graph the
+        # fixpoint is driver/job-latency bound, and each merged barrier
+        # is a full scheduler round trip saved
+        if reliable_checkpoints:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
     # checkpoint the DIRECTED edge list first, THEN mirror it: a union of
     # two selects over the un-materialized edge DAG would execute the whole
     # upstream similarity pipeline twice (the two union branches share no
     # exchange), and the checkpoint would store every edge in both
-    # directions — materialize once, mirror the stored rows
-    e = _pin(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    # directions — materialize once, mirror the stored rows (the count
+    # below is the materializing action)
+    e = _pin_lazy(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # scale-ADAPTIVE round partitioning: every per-round frame is
     # edge/node-sized, so the fixpoint's shuffles are sized from the
@@ -367,7 +378,7 @@ def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
                                    | (F.col("label")
                                       > F.coalesce("_ll", F.col("label"))))
                                   .alias("_chg")))
-            new_labels = _pin(new_labels)
+            new_labels = _pin_lazy(new_labels)
             changed = new_labels.agg(
                 F.sum(F.col("_chg").cast("int")).alias("c")).collect()[0]["c"]
             labels = new_labels.drop("_chg")
