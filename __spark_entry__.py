@@ -1340,11 +1340,14 @@ def q_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold boundary, so any off-by-one in the cross-multiplied cut
     hash-mismatches. Bit-exact tail oracle."""
     from tsrollup.sketches import heavy_hitters
-    from tsrollup.text import _word_ngrams
+    from tsrollup.text import _word_ngrams, words
 
-    return heavy_hitters(_docs(spark, sf_dir), threshold_num=1,
-                         threshold_den=1000,
-                         token_arr=_word_ngrams("text", 2))
+    # word split STAGED in its own projection so the interpreted gram
+    # transform reads an attribute instead of re-splitting per element
+    # (see _word_ngrams docstring)
+    staged = _docs(spark, sf_dir).select(words("text").alias("_w"))
+    return heavy_hitters(staged, threshold_num=1, threshold_den=1000,
+                         token_arr=_word_ngrams(F.col("_w"), 2))
 
 
 def q_histogram_quantile_hourly(spark: SparkSession, sf_dir: str

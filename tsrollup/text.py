@@ -116,12 +116,18 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", *_fingerprint_cols(text_col))
 
 
-def _word_ngrams(text_col: str, n: int) -> Column:
-    """Word n-grams as space-joined strings (array<string>), empty array
-    when the doc has fewer than ``n`` words. The sequence() bound is guarded
-    because Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than returning
-    empty."""
-    w = words(text_col)
+def _word_ngrams(w: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (array<string>) over a word
+    ARRAY column, empty array when the doc has fewer than ``n`` words.
+    ``w`` must be a STAGED attribute (a split column materialized in its
+    own projection), never an inline ``split(text)``: higher-order
+    functions are CodegenFallback (interpreted, no CSE), so an inline
+    split is re-evaluated per gram element per reference — O(L²) per doc
+    (measured 2.6 s → 1.5 s on the heavy_ngrams row at sf1.0 from staging
+    alone). CollapseProject keeps the staging projection intact because
+    the gram transform references ``w`` more than once. The sequence()
+    bound is guarded because Spark's sequence(1, 0) DESCENDS ([1, 0])
+    rather than returning empty."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
         lambda i: F.concat_ws(
@@ -157,8 +163,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     first element equal to "" would count run 1 / distinct 1, and for
     n ≥ 2 every gram contains the join space anyway."""
     ns = tuple(ns)
-    staged = df.select("doc_id", *[
-        F.sort_array(_word_ngrams(text_col, n)).alias(f"_s{n}") for n in ns])
+    staged = (df.select("doc_id", words(text_col).alias("_w"))
+              .select("doc_id", *[
+                  F.sort_array(_word_ngrams(F.col("_w"), n)).alias(f"_s{n}")
+                  for n in ns]))
 
     def _fold(sorted_col: Column) -> Column:
         init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
