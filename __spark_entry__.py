@@ -1197,7 +1197,9 @@ def q_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_value IGNORE NULLS)."""
     from tsrollup.counters import grid_gapfill
 
-    return grid_gapfill(_fact(spark, sf_dir, "events"))
+    # widen=False: grid_gapfill's own series repartition is the (only)
+    # spreading exchange — a widening exchange right before it is loss
+    return grid_gapfill(_fact(spark, sf_dir, "events", widen=False))
 
 
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

