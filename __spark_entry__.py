@@ -1182,7 +1182,10 @@ def q_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline and the double-loop DP reference (tests/test_dtw.py)."""
     from tsrollup.dtw import dtw_knn
 
-    toks = _tokenized(spark, sf_dir)
+    # pin the tokenized corpus: the query-collection take and dtw_knn's
+    # own corpus pin otherwise each re-run the interpreted tokenize HOF
+    # over every doc (checkpoint-on-first-action, honest per invocation)
+    toks = _tokenized(spark, sf_dir).localCheckpoint(eager=False)
     qdf = toks.filter(F.size("tokens") >= 64).orderBy("doc_id").limit(3)
     return dtw_knn(toks, qdf, k=5, r=8, length=64)
 
@@ -2335,7 +2338,9 @@ def q_segment_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-length zero-padded segments."""
     from tsrollup.segments import extract_segments
 
-    ev = _fact(spark, sf_dir, "events")
+    # widen=False: the user_id window exchange right after the scan is
+    # the spreading shuffle (A/B at sf1.0: 1.37 s vs 1.97 s widened)
+    ev = _fact(spark, sf_dir, "events", widen=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev2 = ev.withColumn("pos", F.row_number().over(w) - 1)
     signal = (ev2.groupBy("user_id")

@@ -164,9 +164,15 @@ def dtw_knn(df: DataFrame, queries: DataFrame, k: int = 5, r: int = 8,
     nq = len(qids)
     qid_of = {i: qids[i] for i in range(nq)}
 
+    # pin the filtered corpus: the plan references it from FOUR jobs (the
+    # seed DP, the tau collect, the survivor DP and the final union), and
+    # without the pin each re-runs the upstream tokenize (an interpreted
+    # HOF over every doc). checkpoint-on-first-action: the first job both
+    # computes and persists, later jobs read executor-local blocks.
     corpus = df.select(F.col(id_col).alias("doc_id"),
                        F.col(tokens_col).alias("toks")) \
-               .filter(F.size("toks") >= length)
+               .filter(F.size("toks") >= length) \
+               .localCheckpoint(eager=False)
 
     def lb_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,7 +191,11 @@ def dtw_knn(df: DataFrame, queries: DataFrame, k: int = 5, r: int = 8,
                 "lb": lb.reshape(-1).astype(np.int64),
             })
 
-    lb_df = corpus.mapInPandas(lb_scan, "qi int, doc_id string, lb long")
+    # same rationale: the LB table feeds the seed window, the survivor
+    # filter and the final ranking — pin so the NumPy envelope scan runs
+    # once per invocation, not once per referencing job
+    lb_df = corpus.mapInPandas(lb_scan, "qi int, doc_id string, lb long") \
+                  .localCheckpoint(eager=False)
 
     def exact(cand_ids: DataFrame) -> DataFrame:
         """Exact DTW for a (qi, doc_id) candidate list: broadcast-join the
