@@ -671,9 +671,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = (pts.groupBy("user_id", F.col("event_type").alias("itype"))
           .agg(F.min("_us").alias("i_start"),
                (F.max("_us") + 1).alias("i_end")))
+    # bucket_width ≈ the typical interval length (range_join's own sizing
+    # rule): the intervals are per-(user, type) ACTIVITY EXTENTS spanning
+    # nearly the whole retention window, so day-scale buckets exploded
+    # each interval into ~120 rows while catching the same ≤|types|
+    # candidates per point. Month-scale buckets emit 1-2 rows per
+    # interval with identical candidates (purely a perf parameter — the
+    # residual filter reproduces the containment predicate exactly;
+    # verified same row count, 1.9 s vs 2.5 s interleaved at sf1.0).
     joined = range_join(pts, iv, on="user_id", point_ts="_us",
                         start_col="i_start", end_col="i_end",
-                        bucket_width=6 * 3600 * 1_000_000,
+                        bucket_width=32 * 86400 * 1_000_000,
                         attrs=("itype", "i_start", "i_end"))
     return (joined.filter(F.col("itype") != F.col("event_type"))
             .select("event_id", "user_id", "itype", "i_start", "i_end"))

@@ -174,40 +174,45 @@ def minhash_signatures(df: DataFrame, k: int = 8, n: int = 3,
     """k-permutation MinHash signatures over word n-gram shingles:
     sig_i(doc) = min over shingles of an independent 60-bit hash.
 
-    ZERO shuffle: a doc's shingle set already lives in one row, so each
-    signature is array_min over a per-element hash transform — no explode,
-    no groupBy. At 100 TB this is a pure map over the scan.
+    Shape: shingles EXPLODE to rows and the k per-doc minimums reduce
+    through ONE map-side-combined aggregation — exploded rows of a doc
+    stay in their partition, so the partial min collapses them before the
+    exchange, which carries one narrow row per doc. This replaced the
+    earlier zero-shuffle higher-order-function form: HOFs are
+    CodegenFallback (interpreted), so the per-shingle md5/conv chain paid
+    interpreter overhead per element per column, while the exploded form
+    runs the whole hash chain in generated code (measured 1.4 s vs 2.2 s
+    at sf1.0, bit-identical; feeds lsh_pairs and dedup_cluster too).
+    explode_outer keeps the (doc_id, NULL…) row the HOF form emitted for
+    docs with fewer than ``n`` words (min over an empty group is NULL).
 
-    md5 economy: one 128-bit digest yields TWO disjoint 60-bit hashes (hex
-    slices [1..15] and [16..30]), so k signatures cost ⌈k/2⌉ md5 evaluations
-    per shingle instead of k. That economy is only real if the digest is
-    SHARED across the two offset reads: higher-order functions are
-    CodegenFallback (interpreted, no cross-column CSE), so two transform
-    columns each containing md5(salt|s) would evaluate the digest twice —
-    the digest hex array is therefore STAGED per salt in its own
-    projection, and the per-offset min columns read the staged array
-    (measured 2.0 s → 1.6 s at sf1.0, bit-identical; also feeds lsh_pairs
-    and dedup_cluster)."""
+    md5 economy: one 128-bit digest yields TWO disjoint 60-bit hashes
+    (hex slices [1..15] and [16..30]), so k signatures cost ⌈k/2⌉ md5
+    evaluations per shingle instead of k — codegen subexpression
+    elimination shares each salt's digest across its two offset reads.
+    The shingle expression is inlined INTO the generator (the
+    word_shingles pushback note: a bare staged attribute would let the
+    inferred size()>0 filter sink the interpreted shingle transform below
+    the widening exchange)."""
     if k % 2:  # odd k: the last salt only uses its first offset
         n_salts = k // 2 + 1
     else:
         n_salts = k // 2
-    staged = staged_shingles(df, n, text_col)
-
-    def digest(salt: int):
-        # NB: a two-arg lambda would make Spark pass the ARRAY INDEX as arg 2
-        return lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s))
-
-    def h_at(off: int):
-        return lambda d: F.conv(F.substring(d, off, 15), 16, 10).cast("long")
-
-    dig = staged.select("doc_id", *[
-        F.transform("_sh", digest(salt)).alias(f"_d{salt}")
-        for salt in range(n_salts)])
-    sig = [F.array_min(F.transform(f"_d{i // 2}", h_at(1 + 15 * (i % 2))))
-           .alias(f"mh{i}")
-           for i in range(k)]
-    return dig.select("doc_id", *sig)
+    ex = (df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+          .select("doc_id",
+                  F.explode_outer(_shingles_of(F.col("_w"), n))
+                  .alias("_s")))
+    cols = []
+    for salt in range(n_salts):
+        d = F.md5(F.concat(F.lit(f"{salt}|"), F.col("_s")))
+        for off in range(2):
+            i = 2 * salt + off
+            if i < k:
+                cols.append(F.conv(F.substring(d, 1 + 15 * off, 15), 16, 10)
+                            .cast("long").alias(f"mh{i}"))
+    return (ex.select("doc_id", *cols)
+            .groupBy("doc_id")
+            .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)]))
 
 
 def lsh_candidate_pairs(df: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
