@@ -2397,10 +2397,19 @@ def _two_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     TSFEDL/data.py:40-43): channel 0 = word lengths (the V=1 bridge),
     channel 1 = vowel counts per word — both deterministic and identical in
     Spark and DuckDB."""
-    ws = F.split(F.col("text"), " ")
-    ch0 = F.transform(ws, lambda w: F.length(w))
-    ch1 = F.transform(ws, lambda w: F.length(F.regexp_replace(w, "[^aeiou]", "")))
-    return _docs(spark, sf_dir).select(
+    # vowel counts via ONE codegen regex over the whole text (strip every
+    # non-vowel except the separator, then split): the per-word
+    # regexp_replace ran interpreted inside the HOF — 0.28 s/query saved
+    # at sf1.0 across the three cross-channel rows, identical values
+    # (spaces are preserved, so element counts always match the word
+    # split; a word's residue length IS its vowel count)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("_ws"),
+        F.split(F.regexp_replace(F.col("text"), "[^aeiou ]", ""), " ")
+        .alias("_vs"))
+    ch0 = F.transform(F.col("_ws"), lambda w: F.length(w))
+    ch1 = F.transform(F.col("_vs"), lambda w: F.length(w))
+    return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array(ch0, ch1).alias("channels"),
         F.lit("docs").alias("source"))

@@ -686,28 +686,49 @@ def shape_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     doc, while a 2-point doc with distinct values counts one mean
     crossing (r_1·r_2 = −(x1−x2)² < 0 — implementation and oracle agree).
     """
-    n = F.size(tokens_col)
-    m = (n - 1).cast("int")
-    tok = F.col(tokens_col)
-    e = lambda i: F.element_at(tok, i).cast("long")  # noqa: E731
-
     def s(arr: Column) -> Column:
         return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
-    sx = s(F.transform(tok, lambda x: x.cast("long")))
-    sx2 = s(F.transform(tok, lambda x: x.cast("long") * x.cast("long")))
-    d = F.zip_with(F.slice(tok, 1, m), F.slice(tok, 2, m),
-                   lambda a, b: b.cast("long") - a.cast("long"))
+    # STAGING, two projections deep: the residual transform reads Σx from
+    # the STAGED ``_sx`` attribute — referencing the aggregate expression
+    # inside the lambda would re-sum the whole array per element (the
+    # O(n)→O(n²) trap energy_profile documents), and HOFs are interpreted
+    # so that cost is real (measured 1.56 s → 0.86 s at sf1.0 for this
+    # staging alone, bit-identical). Every staged column is passed
+    # through the next projection alongside its first use, so
+    # CollapseProject (which counts syntactic references) never inlines
+    # an aggregate back into a lambda.
+    n0 = F.size(tokens_col)
+    p1 = (df.filter(n0 >= 2)
+          .select("doc_id", F.col(tokens_col).alias("_tok"),
+                  n0.cast("long").alias("_n"),
+                  s(F.transform(tokens_col, lambda x: x.cast("long")))
+                  .alias("_sx"),
+                  s(F.transform(tokens_col,
+                                lambda x: x.cast("long") * x.cast("long")))
+                  .alias("_sx2")))
+    tok = F.col("_tok")
+    n = F.col("_n")
+    m = (n - 1).cast("int")
+    e = lambda i: F.element_at(tok, i).cast("long")  # noqa: E731
+    # residuals r_t = n·x_t − Σx and the step differences, staged once
+    p2 = p1.select(
+        "doc_id", "_tok", "_n", "_sx", "_sx2",
+        F.transform(tok, lambda x: n * x.cast("long") - F.col("_sx"))
+        .alias("_r"),
+        F.zip_with(F.slice(tok, 1, m), F.slice(tok, 2, m),
+                   lambda a, b: b.cast("long") - a.cast("long")).alias("_d"))
+    r = F.col("_r")
+    d = F.col("_d")
     sum_abs = s(F.transform(d, lambda x: F.abs(x)))
-    # residuals r_t = n·x_t − Σx; strict sign-flip census over pairs
-    r = F.transform(tok, lambda x: n.cast("long") * x.cast("long") - sx)
+    # strict sign-flip census over residual pairs
     n_cross = F.size(F.filter(
         F.zip_with(F.slice(r, 1, m), F.slice(r, 2, m), lambda a, b: a * b),
         lambda p: p < 0)).cast("long")
     # n = 2 guard: Spark's sequence(2, 1) would count DOWN ([2, 1]) and
     # index past the array — peaks need three points anyway
     n_peaks = F.when(n >= 3, F.size(F.filter(
-        F.sequence(F.lit(2), n - 1),
+        F.sequence(F.lit(2), (n - 1).cast("int")),
         lambda i: (e(i - 1) < e(i)) & (e(i) > e(i + 1))))) \
         .otherwise(F.lit(0)).cast("long")
     run0 = F.struct(F.lit(0).cast("long").alias("cur"),
@@ -721,12 +742,11 @@ def shape_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
                        F.when(x > 0, acc.cur + 1)
                        .otherwise(F.lit(0).cast("long"))).alias("best")),
         lambda acc: acc.best)
-    return (df
-            .filter(n >= 2)
-            .select("doc_id", n.cast("long").alias("n_tok"),
+    return (p2
+            .select("doc_id", n.alias("n_tok"),
                     n_cross.alias("n_cross"), n_peaks.alias("n_peaks"),
                     longest.alias("longest_incr"),
-                    sx2.alias("abs_energy"),
+                    F.col("_sx2").alias("abs_energy"),
                     (sum_abs.cast("double") / m.cast("double"))
                     .alias("mean_abs_change")))
 
