@@ -1263,17 +1263,26 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsrollup.checkpoint import table_diff
 
     ev = _fact(spark, sf_dir, "events")
-
-    def hourly(df: DataFrame) -> DataFrame:
-        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-        return (df.groupBy("user_id",
+    # BOTH snapshots from ONE scan+aggregation: the b-side's sum is the
+    # conditional sum and its key set is the groups holding >= 1
+    # non-error row — value-identical to aggregating the filtered table
+    # separately, for one scan instead of two. The combined frame is
+    # grain-reduced (per user-hour) and pinned checkpoint-on-first-
+    # action so table_diff's two reads share it.
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    nonerr = F.col("event_type") != "error"
+    combined = (ev.groupBy("user_id",
                            F.date_trunc("hour", F.col("ts")).alias("h"))
                 .agg(F.sum(cents.cast("decimal(18,0)")).cast("long")
-                     .alias("cents")))
-
-    return table_diff(hourly(ev),
-                      hourly(ev.filter(F.col("event_type") != "error")),
-                      ["user_id", "h"], ["cents"])
+                     .alias("_ca"),
+                     F.sum(F.when(nonerr, cents.cast("decimal(18,0)")))
+                     .cast("long").alias("_cb"),
+                     F.count(F.when(nonerr, F.lit(1))).alias("_nb"))
+                .localCheckpoint(eager=False))
+    a = combined.select("user_id", "h", F.col("_ca").alias("cents"))
+    b = (combined.filter(F.col("_nb") > 0)
+         .select("user_id", "h", F.col("_cb").alias("cents")))
+    return table_diff(a, b, ["user_id", "h"], ["cents"])
 
 
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1648,9 +1648,14 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 64,
     # per-series span as a broadcast-joined aggregate, not a window over
     # the raw rows: with few series the window exchange serializes the
     # whole table onto that many cores (and the plan referenced it twice)
+    # pinned (checkpoint-on-first-action): the stats broadcast subtree is
+    # embedded by BOTH staged copies below, and each embedding would
+    # otherwise re-run the scan+aggregation; the frame is series-grain —
+    # tiny at any scale
     stats = named.groupBy("series").agg(
         F.min("_us").alias("_lo"),
-        (F.max("_us") - F.min("_us")).alias("_span"))
+        (F.max("_us") - F.min("_us")).alias("_span")) \
+        .localCheckpoint(eager=False)
     staged = (named.join(F.broadcast(stats), "series").select(
         "series", "t", "_id", "v", "_yc",
         (F.col("_us") - F.col("_lo")).alias("_x"),
@@ -1673,8 +1678,9 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 64,
         F.lead("_n").over(wb).alias("_nn"),
         F.lead("_sx").over(wb).alias("_sxn"),
         F.lead("_sy").over(wb).alias("_syn"))
-    # anchors are bucket-grain (series × n_buckets rows) — broadcast them
-    # onto the raw rows so no exchange ever carries the samples
+    # anchors are bucket-grain (series × n_buckets rows) — pinned and
+    # broadcast onto the raw rows so no exchange ever carries the samples
+    anch = anch.localCheckpoint(eager=False)
     j = staged.join(F.broadcast(anch), ["series", "bucket"])
     npd = F.col("_np").cast("decimal(10,0)")
     nnd = F.col("_nn").cast("decimal(10,0)")

@@ -241,7 +241,13 @@ def source_drift_tv(df: DataFrame, group_col: str = "source",
     d18 = "decimal(18,0)"
     t = df.select(F.col(group_col).alias("source"),
                   F.explode(tokens_col).alias("v"))
-    hist = t.groupBy("source", "v").agg(F.count("*").cast("long").alias("o"))
+    # pinned (checkpoint-on-first-action): the histogram is referenced by
+    # both marginal aggregations and the grid join — each reference would
+    # re-run the token explode+aggregation. Histogram grain is tiny at
+    # any corpus scale, so the pin is scale-safe.
+    hist = (t.groupBy("source", "v")
+            .agg(F.count("*").cast("long").alias("o"))
+            .localCheckpoint(eager=False))
     vals = hist.groupBy("v").agg(F.sum("o").cast("long").alias("ct"))
     srcs = hist.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
     n1 = vals.agg(F.sum("ct").cast("long").alias("n"))
@@ -522,7 +528,13 @@ def ks_drift(df: DataFrame, group_col: str = "source",
     d18 = "decimal(18,0)"
     t = df.select(F.col(group_col).alias("source"),
                   F.explode(tokens_col).alias("v"))
-    hist = t.groupBy("source", "v").agg(F.count("*").cast("long").alias("o"))
+    # pinned (checkpoint-on-first-action): the histogram is referenced by
+    # both marginal aggregations and the grid join — each reference would
+    # re-run the token explode+aggregation. Histogram grain is tiny at
+    # any corpus scale, so the pin is scale-safe.
+    hist = (t.groupBy("source", "v")
+            .agg(F.count("*").cast("long").alias("o"))
+            .localCheckpoint(eager=False))
     vals = hist.groupBy("v").agg(F.sum("o").cast("long").alias("ct"))
     srcs = hist.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
     n1 = vals.agg(F.sum("ct").cast("long").alias("n"))

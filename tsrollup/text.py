@@ -262,8 +262,14 @@ def collocations(df: DataFrame, k: int = 50, min_count: int = 5,
         raise ValueError("need k >= 1 and min_count >= 1")
     ws = df.select("doc_id", words(text_col).alias("_ws"))
     toks = ws.select(F.explode("_ws").alias("w"))
-    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
-    tot = toks.agg(F.count("*").cast("long").alias("_N"))
+    # the unigram table is referenced THREE times downstream (w1 join,
+    # w2 join, and N below) and each reference would re-run the word
+    # explode+aggregation; pinned checkpoint-on-first-action — the frame
+    # is vocabulary-grain, tiny at any corpus scale. N derives from the
+    # pinned counts (Σn ≡ total word occurrences, exact).
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("n")) \
+        .localCheckpoint(eager=False)
+    tot = uni.agg(F.sum("n").cast("long").alias("_N"))
     pairs = (ws.select(F.explode(F.expr(
                  "transform(slice(_ws, 1, size(_ws) - 1), "
                  "(w, i) -> struct(w AS w1, _ws[i + 1] AS w2))")).alias("p"))
