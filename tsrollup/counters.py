@@ -191,7 +191,12 @@ def lag_coupling(events: DataFrame, type_a: str = "click",
                  .cast("decimal(18,2)").alias("a"),
                  F.sum(F.when(F.col(type_col) == type_b,
                               F.col(value_col).cast("decimal(18,2)")))
-                 .cast("decimal(18,2)").alias("b")))
+                 .cast("decimal(18,2)").alias("b"))
+            # pinned: both join sides below re-reference the grid, and
+            # each reference would re-run the scan+aggregation; the frame
+            # is user-bucket grain (retention-bounded), so the
+            # checkpoint-on-first-action pin is scale-safe
+            .localCheckpoint(eager=False))
     lags = F.explode(F.sequence(F.lit(0), F.lit(int(max_lag)))).alias("lag")
     # hour buckets: fixed-duration (day-time) interval — hour bucket starts
     # are always 3600 s apart as instants. day buckets: CALENDAR interval —
