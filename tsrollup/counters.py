@@ -1624,20 +1624,13 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 64,
     arithmetic touches the output, so any engine agreeing on the
     argmax agrees on every byte.
 
-    Shape: NO raw-data exchange at all. The per-series time span and
-    the per-bucket anchor table are both tiny (series- and
-    series×bucket-grain), so they compute through map-side partial
-    aggregation and attach back as BROADCAST joins; the per-bucket
-    argmax is then ONE max-of-struct aggregation whose partial,
-    map-side combine collapses every bucket to a single row before its
-    (bucket-grain) exchange. The previous shape windowed min/max over
-    the raw rows partitioned by the series key — with a handful of
-    series that serialized two full passes onto that many cores, and
-    three per-bucket row_number sorts moved the raw rows through a
-    series×bucket exchange besides (measured 2.9 s → 1.1 s at sf1.0,
-    byte-identical). Empty pixel columns simply don't appear; anchors
-    come from the nearest non-empty neighbor buckets (the practical
-    LTTB-on-gappy-data behavior).
+    Shape: the m4_downsample single-series-exchange pattern — bucket
+    assignment by exact integer div, per-bucket centroid sums at
+    bucket grain, lag/lead anchors along the bucket axis, and the
+    join back to candidates all cluster on (a superset of) the series
+    key. Empty pixel columns simply don't appear; anchors come from
+    the nearest non-empty neighbor buckets (the practical LTTB-on-
+    gappy-data behavior).
 
     Output: series, bucket (long), n (long), t (timestamp), v (double).
     """
@@ -1650,22 +1643,14 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 64,
         (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
         .alias("_yc"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"))
-    # per-series span as a broadcast-joined aggregate, not a window over
-    # the raw rows: with few series the window exchange serializes the
-    # whole table onto that many cores (and the plan referenced it twice)
-    # pinned (checkpoint-on-first-action): the stats broadcast subtree is
-    # embedded by BOTH staged copies below, and each embedding would
-    # otherwise re-run the scan+aggregation; the frame is series-grain —
-    # tiny at any scale
-    stats = named.groupBy("series").agg(
-        F.min("_us").alias("_lo"),
-        (F.max("_us") - F.min("_us")).alias("_span")) \
-        .localCheckpoint(eager=False)
-    staged = (named.join(F.broadcast(stats), "series").select(
+    ws = Window.partitionBy("series")
+    lo = F.min("_us").over(ws)
+    span = F.max("_us").over(ws) - lo
+    staged = (named.select(
         "series", "t", "_id", "v", "_yc",
-        (F.col("_us") - F.col("_lo")).alias("_x"),
-        ((F.col("_us") - F.col("_lo")) * n_buckets).alias("_num"),
-        (F.col("_span") + 1).alias("_den"))
+        (F.col("_us") - lo).alias("_x"),
+        ((F.col("_us") - lo) * n_buckets).alias("_num"),
+        (span + 1).alias("_den"))
         .withColumn("bucket", F.expr("_num div _den"))
         .drop("_num", "_den"))
     xd = F.col("_x").cast("decimal(20,0)")
@@ -1683,10 +1668,7 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 64,
         F.lead("_n").over(wb).alias("_nn"),
         F.lead("_sx").over(wb).alias("_sxn"),
         F.lead("_sy").over(wb).alias("_syn"))
-    # anchors are bucket-grain (series × n_buckets rows) — pinned and
-    # broadcast onto the raw rows so no exchange ever carries the samples
-    anch = anch.localCheckpoint(eager=False)
-    j = staged.join(F.broadcast(anch), ["series", "bucket"])
+    j = staged.join(anch, ["series", "bucket"])
     npd = F.col("_np").cast("decimal(10,0)")
     nnd = F.col("_nn").cast("decimal(10,0)")
     f1 = (F.col("_sxp") * nnd - F.col("_sxn") * npd).cast("decimal(38,0)")
@@ -1694,26 +1676,18 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 64,
     f2 = (F.col("_sxp") - xd * npd).cast("decimal(38,0)")
     g2 = (F.col("_syn") * npd - F.col("_syp") * nnd).cast("decimal(38,0)")
     scored = j.withColumn("_score", F.abs(f1 * g1 - f2 * g2))
-    # per-bucket argmax as ONE max-of-struct aggregation (map-side partial
-    # collapses each bucket to one row before the bucket-grain exchange).
-    # The struct key encodes the same total order the row_number variants
-    # pinned: first bucket min(x, id) ⇒ max(0, −x, −id); last bucket
-    # max(x, id) ⇒ max(0, +x, +id); interior max area, ties to smaller
-    # (x, id) ⇒ max(score, −x, −id). (x, id) is unique per row, so the
-    # payload fields never participate in the comparison.
-    first_b = F.col("_np").isNull()
-    last_b = F.col("_nn").isNull()
-    k1 = F.when(first_b | last_b,
-                F.lit(0).cast("decimal(38,0)")).otherwise(F.col("_score"))
-    k2 = F.when(last_b, xd).otherwise(-xd)
-    k3 = F.when(last_b, F.col("_id")).otherwise(-F.col("_id"))
-    sel = (scored.groupBy("series", "bucket")
-           .agg(F.max(F.struct(k1.alias("k1"), k2.alias("k2"),
-                               k3.alias("k3"), F.col("n").alias("n"),
-                               F.col("t").alias("t"),
-                               F.col("v").alias("v"))).alias("_m")))
-    return sel.select("series", "bucket", F.col("_m.n").alias("n"),
-                      F.col("_m.t").alias("t"), F.col("_m.v").alias("v"))
+    wsel = Window.partitionBy("series", "bucket")
+    rank = F.when(
+        F.col("_np").isNull(),                      # first bucket: first pt
+        F.row_number().over(wsel.orderBy("_x", "_id"))
+    ).when(
+        F.col("_nn").isNull(),                      # last bucket: last pt
+        F.row_number().over(wsel.orderBy(F.desc("_x"), F.desc("_id")))
+    ).otherwise(                                    # interior: max area
+        F.row_number().over(wsel.orderBy(F.desc("_score"), "_x", "_id")))
+    return (scored.withColumn("_rk", rank)
+            .filter(F.col("_rk") == 1)
+            .select("series", "bucket", "n", "t", "v"))
 
 
 def disorder_stats(events: DataFrame,
