@@ -74,9 +74,17 @@ def kmv_sketch(df: DataFrame, key_col: str, group_cols: list[str],
     per group, as a sorted array column ``kmv`` (ascending; shorter
     than k means the group's exact distinct count is the array size).
 
-    Plan: distinct (group, hash) — one exchange with map-side partial —
-    then a per-group spillable sort + row_number prune reusing the same
-    partitioning (no second exchange), then a ≤k-row collect per group.
+    Plan: NO full-table distinct exchange — the k smallest DISTINCT
+    hashes are selected with ``dense_rank() <= k`` (duplicate hashes
+    share a rank, so every copy of the k smallest distinct values
+    survives the cut and the final ``collect_set`` dedups them). Spark's
+    WindowGroupLimit applies the rank cut per map partition BEFORE the
+    exchange, so the one shuffle carries ≤ ~k·partitions candidate rows
+    per group instead of every distinct (group, hash) row — the earlier
+    distinct-then-row_number shape paid a full-table exchange just to
+    dedup rows the rank cut was about to discard (interleaved A/B on
+    the sketch_distinct row at sf1.0: 6.3 s vs 8.0 s min, new form
+    faster on every pass, bit-identical).
 
     ``key_is_hash=True`` declares ``key_col`` already holds the 60-bit
     hash — the hash-once-sketch-many path: a pipeline feeding several
@@ -88,14 +96,13 @@ def kmv_sketch(df: DataFrame, key_col: str, group_cols: list[str],
     h = (F.col(key_col) if key_is_hash
          else _h60(F.col(key_col).cast("string")))
     hashed = (df.select(*group_cols, h.alias("_h"))
-              .filter(F.col("_h").isNotNull())  # COUNT(DISTINCT) parity
-              .distinct())
+              .filter(F.col("_h").isNotNull()))  # COUNT(DISTINCT) parity
     w = Window.partitionBy(*group_cols).orderBy("_h")
     return (hashed
-            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_rn", F.dense_rank().over(w))
             .filter(F.col("_rn") <= k)
             .groupBy(*group_cols)
-            .agg(F.array_sort(F.collect_list("_h")).alias("kmv")))
+            .agg(F.array_sort(F.collect_set("_h")).alias("kmv")))
 
 
 def kmv_merge(sketch: DataFrame, group_cols: list[str],
