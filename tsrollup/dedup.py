@@ -403,10 +403,15 @@ def near_dup_clusters(edges: DataFrame, nodes: DataFrame | None = None,
                .select("doc_id",
                        F.coalesce("cluster_rep", "doc_id")
                        .alias("cluster_rep")))
-    sizes = out.groupBy("cluster_rep").agg(
-        F.count("*").cast("long").alias("cluster_sz"))
-    return out.join(sizes, "cluster_rep") \
-        .select("doc_id", "cluster_rep", "cluster_sz")
+    # cluster size as a window count on the one cluster_rep exchange —
+    # the earlier sizes-groupBy + join-back referenced `out` twice
+    # (recomputing the nodes join per branch) and paid two more exchanges
+    from pyspark.sql import Window
+
+    return out.select(
+        "doc_id", "cluster_rep",
+        F.count("*").over(Window.partitionBy("cluster_rep"))
+        .cast("long").alias("cluster_sz"))
 
 
 def star_contract_components(edges: DataFrame, nodes: DataFrame | None = None,
@@ -490,10 +495,15 @@ def star_contract_components(edges: DataFrame, nodes: DataFrame | None = None,
                .select("doc_id",
                        F.coalesce("cluster_rep", "doc_id")
                        .alias("cluster_rep")))
-    sizes = out.groupBy("cluster_rep").agg(
-        F.count("*").cast("long").alias("cluster_sz"))
-    return out.join(sizes, "cluster_rep") \
-        .select("doc_id", "cluster_rep", "cluster_sz")
+    # window count on one cluster_rep exchange (same rationale as the
+    # near_dup_clusters tail: the sizes-groupBy + join-back shape
+    # referenced `out` twice and paid two more exchanges)
+    from pyspark.sql import Window
+
+    return out.select(
+        "doc_id", "cluster_rep",
+        F.count("*").over(Window.partitionBy("cluster_rep"))
+        .cast("long").alias("cluster_sz"))
 
 
 def contamination_matches(docs: DataFrame, probes: DataFrame, n: int = 8,
