@@ -33,17 +33,21 @@ def count_op(plan: str, op: str) -> int:
 def split_exchanges(plan: str) -> tuple[int, int]:
     """``(data, guard)`` exchange counts from the detail sections.
 
-    guard — the small-scan guard's RoundRobin repartitions ONLY
+    guard — the small-scan guard's widening repartitions ONLY
     (``io.scan_min_parallel``: fires when a fixture table arrives in fewer
     splits than cores, structurally absent at production split counts).
-    Matched by the partitioning NAME, never by exclusion.
+    The guard spreads round-robin or by hash on the table's unique key;
+    either way the exchange carries the ``REPARTITION_BY_NUM`` origin tag
+    (an explicit ``repartition(n, ...)``), which no planner-inserted
+    shuffle carries — matched by that tag, never by exclusion.
 
     data — every other exchange: hash, range AND SinglePartition (a global
     agg/sort is a real data-dependent shuffle and must stay counted).
     """
     details = re.split(r"^\(\d+\) ", plan, flags=re.M)
     ex = [d for d in details if d.startswith("Exchange")]
-    guard = sum(1 for d in ex if "RoundRobinPartitioning" in d)
+    guard = sum(1 for d in ex
+                if "RoundRobinPartitioning" in d or "REPARTITION_BY_NUM" in d)
     return len(ex) - guard, guard
 
 
